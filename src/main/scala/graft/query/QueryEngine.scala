@@ -1,0 +1,87 @@
+package graft.query
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.QueryResult
+import graft.snapshot.SnapshotReader
+import graft.validate.{PlanGuard, QuerySanitizer, QueryValidator}
+
+/** 400-class failure (reference: ValueError → HTTP 400,
+  * api-service/src/main.py:125-127).
+  */
+final class InvalidQueryException(msg: String)
+    extends IllegalArgumentException(msg)
+
+/** The serving query path (reference execute_query,
+  * api-service/src/query_engine.py:117-149 + SURVEY.md §3.1):
+  *
+  *   sanitize → validate (block/allow-list) → snapshot freshness check
+  *   → parse-time read-only guard → spark.sql → row cap → collect →
+  *   envelope
+  *
+  * Differences from the reference, both deliberate (SURVEY.md §2.3):
+  * the per-pattern `max_rows` caps and read-only enforcement are real
+  * here, not just declared. The cap is injected as `.limit(cap)` BEFORE
+  * collect, so Catalyst plans a GlobalLimit (or TakeOrderedAndProject
+  * under ORDER BY) and the driver never materializes an unbounded
+  * result — mandatory at scale (SURVEY.md §7.4 risk 5).
+  *
+  * Timing matches the reference's observable contract: the clock starts
+  * before validation and any snapshot refresh (query_engine.py:129-132).
+  */
+final class QueryEngine(spark: SparkSession, reader: SnapshotReader) {
+
+  def execute(rawQuery: String): QueryResult = {
+    val t0 = System.nanoTime()
+
+    val query = QuerySanitizer.sanitize(rawQuery)
+    val v = QueryValidator.validate(query)
+    if (!v.valid)
+      throw new InvalidQueryException(v.error.getOrElse("invalid query"))
+
+    reader.refreshIfStale()
+
+    PlanGuard.assertReadOnly(spark, query) // parse-time, pre-execution
+    val df = spark.sql(query)
+    val capped = v.maxRows.map(df.limit).getOrElse(df)
+
+    val schema = capped.schema
+    val rows = capped.collect()
+    val data = rows.toSeq.map(r =>
+      schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }.toMap)
+
+    QueryResult(
+      success = true,
+      data = data,
+      columns = schema.fieldNames.toSeq,
+      rowCount = rows.length.toLong,
+      executionTimeMs = (System.nanoTime() - t0) / 1e6)
+  }
+
+  /** GET /schema equivalent (api-service/src/query_engine.py:151-165):
+    * `{table: [column, ...]}` over the registered snapshot tables.
+    */
+  def schema(): Map[String, Seq[String]] = {
+    reader.refreshIfStale()
+    reader.tableNames
+      .map(t => t -> spark.table(t).schema.fieldNames.toSeq).toMap
+  }
+}
+
+/** Per-client sliding-window rate limiter (reference
+  * api-service/src/rate_limiter.py:15-24: 50 req / 60 s per client).
+  * Driver-side, in-memory, thread-safe.
+  */
+final class RateLimiter(maxRequests: Int = 50, windowSeconds: Int = 60,
+                        clock: () => Long = () => System.currentTimeMillis()) {
+  private val hits =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Queue[Long]]
+
+  def allow(clientKey: String): Boolean = synchronized {
+    val now = clock()
+    val q = hits.getOrElseUpdate(clientKey, scala.collection.mutable.Queue.empty)
+    while (q.nonEmpty && q.head <= now - windowSeconds * 1000L) q.dequeue()
+    if (q.size >= maxRequests) false
+    else { q.enqueue(now); true }
+  }
+}

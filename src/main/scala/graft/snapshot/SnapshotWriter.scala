@@ -1,0 +1,54 @@
+package graft.snapshot
+
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+
+import graft.model.Manifest
+
+/** Publishes one snapshot generation (reference sync cycle steps K1-K6,
+  * etl-service/src/sync.py:58-157):
+  *
+  *  1. write every table as parquet under `history/<key>/<table>/`
+  *  2. write the per-generation manifest
+  *  3. swap `current/manifest.json` — the atomic publish (T6)
+  *
+  * Scale notes: each table write is a distributed parquet job; callers
+  * control partitioning (e.g. `df.repartition(n, $"id")` or
+  * `sortWithinPartitions($"updated_at")` for min/max-stat pruning on
+  * the watermark column — the Spark analog of the reference's
+  * `updated_at` index, SURVEY.md §1.5). Row counts ride on parquet
+  * footer metadata, not a second full scan.
+  */
+final class SnapshotWriter(store: SnapshotStore) {
+
+  def publish(tables: Map[String, DataFrame],
+              now: Instant = Instant.now(),
+              sortCol: Option[String] = Some("updated_at")): Manifest = {
+    val key = SnapshotStore.keyFor(now)
+
+    val counts = tables.map { case (name, df) =>
+      val out = df.schema.fieldNames.find(sortCol.contains) match {
+        case Some(c) => df.sortWithinPartitions(c)
+        case None => df
+      }
+      val dir = store.tableDir(key, name).toString
+      out.write.mode("overwrite").parquet(dir)
+      // count from footer metadata (Spark's parquet count fast path)
+      name -> store.spark.read.parquet(dir).count()
+    }
+
+    val manifest = Manifest(
+      version = key,
+      timestamp = now.toString, // ISO-8601, reference sync.py:151
+      snapshotKey = s"history/$key",
+      tables = counts,
+      metadata = Map("engine" -> "seretlspark"))
+
+    val json = Manifest.toJson(manifest)
+    store.writeString(new org.apache.hadoop.fs.Path(
+      store.genDir(key), "manifest.json"), json)
+    store.writeString(store.currentManifestPath, json) // the publish
+    manifest
+  }
+}

@@ -1,0 +1,113 @@
+package graft.snapshot
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import graft.SparkSpec
+import graft.ingest.{ParquetSource, SyncManager, WatermarkStore}
+
+/** End-to-end sync cycle over a temp source dir (SURVEY.md §3.2 / §5.2):
+  * extract → snapshot publish → manifest swap → retention; watermark
+  * persistence across manager restarts; the built-in inventory view.
+  */
+class SnapshotSyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val env: (String, String) = {
+    val srcDir = Files.createTempDirectory("graft-src").toString
+    val snapDir = Files.createTempDirectory("graft-snap").toString
+    val inventory = Seq(
+      (1L, "widget", 5L, 9.99, ts("2024-01-01 00:00:00")),
+      (2L, "gadget", 3L, 19.50, ts("2024-01-02 00:00:00")),
+      (3L, "doohickey", 7L, 4.25, ts("2024-01-03 00:00:00")))
+      .toDF("id", "name", "quantity", "price", "updated_at")
+    val products = Seq((1L, ts("2024-01-01 12:00:00")), (2L, ts("2024-01-02 12:00:00")))
+      .toDF("id", "updated_at")
+    inventory.write.mode("overwrite").parquet(s"$srcDir/inventory.parquet")
+    products.write.mode("overwrite").parquet(s"$srcDir/products.parquet")
+    (srcDir, snapDir)
+  }
+
+  private def newManager(keep: Int = 2) = {
+    val (srcDir, snapDir) = env
+    val store = new SnapshotStore(spark, snapDir)
+    val source = new ParquetSource(srcDir, Seq("inventory", "products"))
+    (new SyncManager(spark, source, store, keepCount = keep), store)
+  }
+
+  test("cycle publishes snapshot + manifest with row counts") {
+    val (mgr, store) = newManager()
+    val r = mgr.runCycle(Instant.parse("2024-02-01T00:00:00Z"))
+    assert(r.success, r.error)
+    val m = store.readCurrentManifest().get
+    assert(m.tables == Map("inventory" -> 3L, "products" -> 2L))
+    assert(m.version == "20240201_000000000")
+    assert(store.fs.exists(store.tableDir(m.version, "inventory")))
+  }
+
+  test("watermarks persisted and change detection is strict >") {
+    val (mgr, store) = newManager()
+    mgr.runCycle(Instant.parse("2024-02-01T01:00:00Z"))
+    val wm = new WatermarkStore(store).load()
+    assert(wm("inventory").startsWith("2024-01-03 00:00:00"))
+    assert(wm("products").startsWith("2024-01-02 12:00:00"))
+    // second cycle: nothing changed since the watermark (strict >)
+    val r2 = mgr.runCycle(Instant.parse("2024-02-01T02:00:00Z"))
+    assert(r2.changedCounts == Map("inventory" -> 0L, "products" -> 0L))
+  }
+
+  test("retention keeps newest N generations") {
+    val (mgr, store) = newManager(keep = 2)
+    val t0 = Instant.parse("2024-03-01T00:00:00Z")
+    (0 until 4).foreach(i => mgr.runCycle(t0.plusSeconds(i)))
+    val gens = store.listGenerations()
+    assert(gens.size == 2, gens)
+    assert(gens.max == "20240301_000003000")
+    // current manifest always resolvable after pruning
+    assert(store.readCurrentManifest().exists(m =>
+      store.fs.exists(store.genDir(m.version))))
+  }
+
+  test("reader registers views incl. v_inventory_summary") {
+    val (mgr, store) = newManager()
+    mgr.runCycle(Instant.parse("2024-04-01T00:00:00Z"))
+    val reader = new SnapshotReader(store)
+    assert(reader.refreshIfStale())
+    val row = spark.sql(
+      "SELECT total_items, total_quantity, avg_price FROM v_inventory_summary").first()
+    assert(row.getLong(0) == 3L)
+    assert(row.getLong(1) == 15L)
+    assert(math.abs(row.getDouble(2) - (9.99 + 19.50 + 4.25) / 3) < 1e-9)
+  }
+
+  test("reader TTL: no re-resolve before expiry, swap visible after") {
+    val (mgr, store) = newManager()
+    mgr.runCycle(Instant.parse("2024-05-01T00:00:00Z"))
+    var now = Instant.parse("2024-05-01T00:00:00Z")
+    val reader = new SnapshotReader(store,
+      ttl = java.time.Duration.ofSeconds(120), clock = () => now)
+    assert(reader.refreshIfStale())
+    val v1 = reader.currentManifest.get.version
+    // publish a new generation; reader inside TTL must not see it
+    mgr.runCycle(Instant.parse("2024-05-01T00:01:00Z"))
+    now = now.plusSeconds(60)
+    assert(!reader.refreshIfStale())
+    assert(reader.currentManifest.get.version == v1)
+    // past TTL: swap observed
+    now = now.plusSeconds(120)
+    assert(reader.refreshIfStale())
+    assert(reader.currentManifest.get.version == "20240501_000100000")
+  }
+
+  test("failure is soft (T7)") {
+    val (_, snapDir) = env
+    val store = new SnapshotStore(spark, snapDir)
+    val badSource = new ParquetSource("/nonexistent", Seq("nope"))
+    val mgr = new SyncManager(spark, badSource, store)
+    val r = mgr.runCycle()
+    assert(!r.success && r.error.nonEmpty)
+  }
+}
