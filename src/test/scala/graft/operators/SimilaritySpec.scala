@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Seq(1f, 0f, 0f, 0f), 0),
+    (1L, Seq(0.9f, 0.1f, 0f, 0f), 0),   // close to 0
+    (2L, Seq(0f, 1f, 0f, 0f), 1),
+    (3L, Seq(0f, 0.95f, 0.05f, 0f), 1), // close to 2
+    (4L, Seq(-1f, 0f, 0f, 0f), 2),      // opposite of 0
+    (5L, Seq(1f, 0f, 0f, 0f), 0))       // duplicate of 0
+    .toDF("vec_id", "embedding", "label")
+
+  test("vector functions: dot, norm, cosine") {
+    val r = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+      .select(
+        VectorFunctions.dot($"a", $"b").as("d"),
+        VectorFunctions.norm($"a").as("n"),
+        VectorFunctions.cosine($"a", $"a").as("self"))
+      .first()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14)) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    // zero vector → cosine 0, not NaN
+    val z = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b")).first().getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("brute top-k: nearest neighbors in cosine order") {
+    val out = Similarity.bruteTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(5L, 1L, 2L))
+    assert(out.head.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("srp top-k recalls the duplicate and near vector") {
+    val out = Similarity.srpTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding",
+      k = 3, numPlanes = 4, dim = 4)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(out.contains(5L), s"srp missed the exact duplicate: $out")
+  }
+
+  test("label centroids") {
+    val c = Similarity.labelCentroids(vecs, "label", "embedding")
+      .orderBy("label").collect()
+    val c0 = c(0).getSeq[Double](c(0).fieldIndex("centroid"))
+    assert(math.abs(c0.head - (1.0 + 0.9 + 1.0) / 3) < 1e-6)
+    assert(c.length == 3)
+  }
+
+  test("embedding near-dups finds the duplicate pair") {
+    val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.99, numPlanes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 5L)), s"missing dup pair: $pairs")
+    assert(!pairs.contains((0L, 4L)), "opposite vectors must not pair")
+  }
+}
