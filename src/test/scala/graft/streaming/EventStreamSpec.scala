@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Stage the real sf0.001 events into a streaming-source directory. */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed agg over the stream == batch groupBy of same data") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    // Complete mode so windows still inside the watermark at end-of-
+    // stream are emitted too (append withholds unfinalized windows)
+    EventStream.runToMemory(
+      EventStream.windowedAgg(stream, "1 hour"), "win_out",
+      OutputMode.Complete())
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toString)
+
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toString)
+
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream/batch divergence: ${streamed.length} vs ${batch.length} rows")
+  }
+
+  test("session windows split on the gap") {
+    val dir = Files.createTempDirectory("graft-sess").toString
+    // user 1: two sessions (45-min gap); user 2: one session
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 00:10:00", 1L, "view", 2.0, "{}"),
+      (3L, "2024-01-01 01:00:00", 1L, "view", 4.0, "{}"),
+      (4L, "2024-01-01 00:05:00", 2L, "click", 8.0, "{}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", unix_timestamp(col("tss")) * 1000000000L)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+
+    EventStream.runToMemory(
+      EventStream.sessionAgg(EventStream.readEvents(spark, dir), "30 minutes"),
+      "sess_out", OutputMode.Complete())
+    val out = spark.table("sess_out")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3, out.mkString(";"))
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.head.getAs[Long]("n_events") == 2L) // 00:00+00:10 merged
+    assert(u1(1).getAs[Long]("n_events") == 1L)   // 01:00 separate
+  }
+
+  test("stateful user profiles accumulate across a batch") {
+    import EventStream.UserEvent
+    val events = Seq(
+      UserEvent(7L, "view", 1.5), UserEvent(7L, "click", 2.5),
+      UserEvent(8L, "view", 4.0)).toDS()
+    // mapGroupsWithState also runs on batch Datasets — same semantics
+    val out = EventStream.userProfiles(events).collect()
+      .map(p => p.user_id -> p).toMap
+    assert(out(7L).n_events == 2L && out(7L).total_value == 4.0)
+    assert(out(8L).n_events == 1L && out(8L).last_type == "view")
+  }
+}
