@@ -114,8 +114,13 @@ object TextFunctions {
     * length, punctuation/digit floods, shouting, low vocabulary
     * diversity, and missing stopwords (boilerplate/code smell).
     */
-  def qualityScore(text: Column): Column = {
-    val f = qualityFeatures(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromFeatures(qualityFeatures(text))
+
+  /** Score from an already-computed feature struct — callers selecting
+    * both features and score evaluate the (regex-heavy) features once.
+    */
+  def qualityScoreFromFeatures(f: Column): Column = {
     val lenOk = when(f.getField("n_tokens").between(5, 100000), 1.0).otherwise(0.3)
     val punctOk = lit(1.0) - least(f.getField("punct_ratio") * 3.0, lit(1.0))
     val digitOk = lit(1.0) - least(f.getField("digit_ratio") * 3.0, lit(1.0))
@@ -133,10 +138,14 @@ object TextFunctions {
     * char-k-gram shingle set (a min-k rolling-hash sketch — stable
     * under small edits), collapsed to one 64-bit value. Near-identical
     * documents collide; unrelated ones don't.
+    *
+    * Sketches only the first `maxChars` characters: the sketch's
+    * discriminating power saturates long before that, and capping keeps
+    * per-row cost bounded regardless of document length (a 1 MB outlier
+    * must not own the task). Dedup on hashed longs, not strings, and
+    * sort before distinct — both orders of magnitude cheaper at width.
     */
-  def minKFingerprint(text: Column, k: Int = 8, m: Int = 8): Column = {
-    val hashes = transform(array_distinct(charShingles(text, k)), s => xxhash64(s))
-    val minK = slice(array_sort(hashes), 1, m)
-    xxhash64(array_join(transform(minK, h => h.cast("string")), ","))
-  }
+  def minKFingerprint(text: Column, k: Int = 8, m: Int = 8,
+                      maxChars: Int = 512): Column =
+    TextSketches.minKSketch(text, k, m, maxChars)
 }

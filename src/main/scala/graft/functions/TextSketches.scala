@@ -1,0 +1,232 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass per-row sketch kernels as custom Catalyst Expressions.
+  *
+  * The composed higher-order-function formulation (tokens → shingles →
+  * per-seed hash mins) is semantically clean but evaluates captured
+  * subtrees PER ARRAY ELEMENT in interpreted lambda evaluation — the
+  * tokenizer regex re-runs for every shingle index, turning an O(len)
+  * kernel into O(len·shingles). These expressions do one imperative
+  * pass per row with primitive buffers (preference (b) of the operator
+  * rules: a custom Expression where built-ins can't express the
+  * computation efficiently).
+  */
+private[functions] object Sketch {
+  /** Lowercase alphanumeric tokenizer (same semantics as
+    * TextFunctions.tokens) over a JVM string, allocation-light.
+    */
+  def tokenize(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < s.length) {
+      val c = Character.toLowerCase(s.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      h ^= (c & 0xffL); h *= 0x100000001b3L
+      h ^= ((c >> 8) & 0xffL); h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Word n-gram shingle hashes (joined with single spaces, matching
+    * TextFunctions.wordShingles ++ xxhash-style hashing semantics at
+    * the level that matters: distinct shingle ↔ distinct hash).
+    */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) return Array.empty
+    val count = math.max(toks.length - n + 1, 1)
+    val out = new Array[Long](count)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      val m = math.min(n, toks.length - i)
+      while (j < m) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      out(i) = fnv1a64(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  /** Seeded affine mixers (odd multipliers) — a classic universal-ish
+    * hash family for minwise sketches; JVM long arithmetic wraps.
+    */
+  def mixers(k: Int, seed: Long = 0x9e3779b97f4a7c15L): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val a = Array.fill(k)(rnd.nextLong() | 1L)
+    val b = Array.fill(k)(rnd.nextLong())
+    (a, b)
+  }
+}
+
+/** minhash_signature(text) → array<long> of `numHashes` component mins
+  * over word `shingleWords`-gram shingles. Empty text → Long.MaxValue
+  * components (never collides into a band bucket with real content).
+  */
+case class MinHashSignature(child: Expression, shingleWords: Int,
+                            numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"expected string, got $o")
+  }
+
+  @transient private lazy val (mixA, mixB) = Sketch.mixers(numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = Sketch.shingleHashes(
+      input.asInstanceOf[UTF8String].toString, shingleWords)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < hashes.length) {
+      val h = hashes(s)
+      var i = 0
+      while (i < numHashes) {
+        val v = h * mixA(i) + mixB(i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** shingle_hash_set(text) → sorted distinct array<long> of word-n-gram
+  * shingle hashes (the exact-Jaccard verification sets).
+  */
+case class ShingleHashSet(child: Expression, shingleWords: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"expected string, got $o")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = Sketch.shingleHashes(
+      input.asInstanceOf[UTF8String].toString, shingleWords)
+    java.util.Arrays.sort(hashes)
+    var n = 0
+    var i = 0
+    while (i < hashes.length) { // in-place dedup of the sorted array
+      if (n == 0 || hashes(i) != hashes(n - 1)) { hashes(n) = hashes(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, n))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hash_set"
+}
+
+/** mink_sketch(text) → 64-bit min-k document sketch over char k-grams
+  * of the first `maxChars` chars (see TextFunctions.minKFingerprint for
+  * semantics; this is the one-pass kernel with a bounded insertion
+  * buffer instead of sort-the-world).
+  */
+case class MinKSketch64(child: Expression, k: Int, m: Int, maxChars: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"expected string, got $o")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    // normalize: lowercase, whitespace runs → single space, cap length
+    val sb = new java.lang.StringBuilder(math.min(raw.length, maxChars))
+    var i = 0
+    var lastSpace = false
+    while (i < raw.length && sb.length < maxChars) {
+      val c = raw.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (!lastSpace && sb.length > 0) { sb.append(' '); lastSpace = true }
+      } else { sb.append(Character.toLowerCase(c)); lastSpace = false }
+      i += 1
+    }
+    val s = sb.toString
+    val top = Array.fill(m)(Long.MaxValue) // small descending-insert buffer
+    var used = 0
+    var p = 0
+    val limit = math.max(s.length - k + 1, 1)
+    while (p < limit) {
+      val h = Sketch.fnv1a64(s.substring(p, math.min(p + k, s.length)))
+      if (used == 0 || h < top(math.min(used, m) - 1) || used < m) {
+        // insertion into the sorted top-m buffer, skipping duplicates
+        var lo = 0
+        while (lo < used && top(lo) < h) lo += 1
+        if (lo >= m) () // not in top-m
+        else if (lo < used && top(lo) == h) () // duplicate shingle
+        else {
+          var j = math.min(used, m - 1)
+          while (j > lo) { top(j) = top(j - 1); j -= 1 }
+          top(lo) = h
+          if (used < m) used += 1
+        }
+      }
+      p += 1
+    }
+    var fp = 0xcbf29ce484222325L
+    var t = 0
+    while (t < used) {
+      fp ^= top(t); fp *= 0x100000001b3L; t += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "mink_sketch64"
+}
+
+object TextSketches {
+  import org.apache.spark.sql.graftshim.ColumnBridge._
+
+  def minhashSignature(text: Column, shingleWords: Int = 3,
+                       numHashes: Int = 32): Column =
+    column(MinHashSignature(expression(text), shingleWords, numHashes))
+
+  def shingleHashSet(text: Column, shingleWords: Int = 3): Column =
+    column(ShingleHashSet(expression(text), shingleWords))
+
+  def minKSketch(text: Column, k: Int = 8, m: Int = 8,
+                 maxChars: Int = 512): Column =
+    column(MinKSketch64(expression(text), k, m, maxChars))
+}

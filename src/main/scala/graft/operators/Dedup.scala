@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{SimHash64, TextFunctions}
+import graft.functions.{SimHash64, TextFunctions, TextSketches}
 
 /** Deduplication operators for training-data pipelines, all expressed
   * as declarative DataFrame plans:
@@ -49,39 +49,35 @@ object Dedup {
 
   // ── MinHash + LSH ───────────────────────────────────────────────────
 
-  /** Per-document MinHash signature columns `mh_0 … mh_{k-1}`.
+  /** Per-document MinHash signatures as one `array<long>` column `sig`.
     *
-    * Implementation: explode the shingle set and take k independent
-    * mins under k seeded hash views of each shingle. The k aggregates
-    * run in one pass with map-side partial aggregation, so the shuffle
-    * carries one k-wide row per document per partition — not the
-    * exploded shingles.
+    * One imperative pass per row via the MinHashSignature Catalyst
+    * expression (no explode, no shuffle, no per-element lambda
+    * re-evaluation — see TextSketches for why the HOF formulation was
+    * O(len·shingles) per row). Map-side only; scales with the scan.
     */
-  def minhashSignatures(docs: DataFrame, idCol: String, shingles: Column,
-                        numHashes: Int = 32): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(array_distinct(shingles)).as("__sh"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__sh"))).as(s"mh_$i"))
-    exploded.groupBy(idCol).agg(mins.head, mins.tail: _*)
-  }
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleWords: Int = 3,
+                        numHashes: Int = 32): DataFrame =
+    docs.select(col(idCol),
+      TextSketches.minhashSignature(col(textCol), shingleWords, numHashes)
+        .as("sig"))
 
   /** LSH candidate pairs: signatures banded `bands × rowsPerBand`;
     * documents sharing any band bucket become candidates. Estimated
-    * Jaccard = fraction of agreeing minhash components.
+    * Jaccard = fraction of agreeing minhash components (zip over two
+    * k-element arrays — cheap).
     */
   def minhashCandidates(sig: DataFrame, idCol: String,
                         bands: Int, rowsPerBand: Int,
                         maxBucketSize: Int = 1000): DataFrame = {
     val bandCols = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"mh_$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
     }
-    val sigArr = array((0 until bands * rowsPerBand).map(i => col(s"mh_$i")): _*)
-    val withSig = sig.withColumn("__sig", sigArr)
+    val withSig = sig
       .withColumn("__b", explode(array(bandCols: _*)))
-      .select(col(idCol), col("__sig"), col("__b.band").as("band"),
+      .select(col(idCol), col("sig").as("__sig"), col("__b.band").as("band"),
         col("__b.bh").as("bh"))
 
     // skew guard: drop degenerate buckets (e.g. empty-shingle collisions)
@@ -107,11 +103,17 @@ object Dedup {
 
   /** Exact n-gram Jaccard verification of candidate pairs against the
     * source shingle sets. Returns pairs with `jaccard >= threshold`.
+    *
+    * Sets are carried as sorted arrays of 64-bit shingle HASHES, not
+    * strings (ShingleHashSet kernel): identical set semantics (modulo
+    * ~2^-64 collisions) at a fraction of the shuffle width and
+    * intersect cost.
     */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
-                    shingles: Column, threshold: Double): DataFrame = {
+                    textCol: String, shingleWords: Int,
+                    threshold: Double): DataFrame = {
     val sets = docs.select(col(idCol).as("__id"),
-      array_distinct(shingles).as("__set"))
+      TextSketches.shingleHashSet(col(textCol), shingleWords).as("__set"))
     candidates
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "set_a"), Seq("id_a"))
@@ -124,15 +126,31 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard", "jaccard")
   }
 
-  /** Full MinHash-LSH near-dup pipeline over a text column. */
+  /** Compute-heavy per-row stages must not inherit a too-coarse source
+    * partitioning (one small parquet file = one task = one core doing
+    * all the hashing). The row shuffle is orders of magnitude cheaper
+    * than the per-row work it parallelizes.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism * 2
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline over a text column.
+    *
+    * Candidates are prefiltered on the signature-estimated Jaccard
+    * (margin 0.6×threshold — the estimator is unbiased with σ ≈
+    * 1/√numHashes, so the margin keeps recall while discarding the
+    * band-collision noise floor before the expensive exact verify).
+    */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleWords: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.7): DataFrame = {
-    val shingles =
-      TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), shingleWords)
-    val sig = minhashSignatures(docs, idCol, shingles, numHashes)
+    val spread = fanOut(docs)
+    val sig = minhashSignatures(spread, idCol, textCol, shingleWords, numHashes)
     val cands = minhashCandidates(sig, idCol, bands, numHashes / bands)
-    jaccardVerify(cands, docs, idCol, shingles, threshold)
+      .filter(col("est_jaccard") >= threshold * 0.6)
+    jaccardVerify(cands, spread, idCol, textCol, shingleWords, threshold)
   }
 
   // ── SimHash ─────────────────────────────────────────────────────────
@@ -150,7 +168,7 @@ object Dedup {
                       bands: Int = 4, maxHamming: Int = 3,
                       maxBucketSize: Int = 1000): DataFrame = {
     val bits = 64 / bands
-    val fp = simhashFingerprints(docs, idCol, textCol)
+    val fp = simhashFingerprints(fanOut(docs), idCol, textCol)
     val banded = fp.withColumn("__b", explode(array(
       (0 until bands).map(b => struct(lit(b).as("band"),
         col("simhash").bitwiseAND(lit(((1L << bits) - 1) << (b * bits)))

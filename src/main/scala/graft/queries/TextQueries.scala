@@ -16,6 +16,12 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
+  /** Single-file sources arrive as one input split; per-row-compute-
+    * heavy entries spread rows over the cluster first (see Dedup.fanOut).
+    */
+  private def spread(s: org.apache.spark.sql.SparkSession, d: String) =
+    docs(s, d).repartition(s.sparkContext.defaultParallelism * 2)
+
   val all: Seq[Q] = Seq(
 
     Q("d01_dedup_exact",
@@ -74,24 +80,28 @@ object TextQueries {
 
     // ── sketch/heuristic operators (rows-only; spec-tested on fixtures) ─
     Q("d06_langid",
-      (s, d) => docs(s, d).select(
+      (s, d) => spread(s, d).select(
         col("doc_id"), col("lang").as("labeled_lang"),
         TextFunctions.langId(col("text")).as("detected_lang"))
         .orderBy("doc_id")),
 
     Q("d07_quality",
-      (s, d) => docs(s, d)
+      (s, d) => spread(s, d)
         .withColumn("q", TextFunctions.qualityFeatures(col("text")))
         .select(col("doc_id"),
-          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.qualityScoreFromFeatures(col("q")).as("quality"),
           col("q.n_tokens").as("n_tokens"),
           round(col("q.punct_ratio"), 4).as("punct_ratio"),
           round(col("q.distinct_token_ratio"), 4).as("distinct_token_ratio"))
         .orderBy("doc_id")),
 
+    // LSH operating point: r=4,b=8 → ~50% candidate probability at
+    // j≈0.6; the corpus's planted near-dups sit at j≈0.99 (recall ~1)
+    // while the shared-vocabulary noise floor (j<0.3) almost never
+    // collides on a 4-row band.
     Q("d08_minhash_neardups",
       (s, d) => Dedup.minhashNearDups(docs(s, d), "doc_id", "text",
-        shingleWords = 2, numHashes = 32, bands = 16, threshold = 0.2)
+        shingleWords = 3, numHashes = 32, bands = 8, threshold = 0.5)
         .orderBy("id_a", "id_b"),
       headline = true),
 
@@ -101,7 +111,7 @@ object TextQueries {
         .orderBy("id_a", "id_b")),
 
     Q("d10_fingerprint_mink",
-      (s, d) => docs(s, d).select(col("doc_id"),
+      (s, d) => spread(s, d).select(col("doc_id"),
         TextFunctions.minKFingerprint(col("text")).as("sketch_fp"))
         .orderBy("doc_id"))
   )

@@ -13,6 +13,8 @@ object VectorQueries {
 
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "embeddings")
+      // single-file source → spread before per-row vector math
+      .repartition(s.sparkContext.defaultParallelism * 2)
 
   val all: Seq[Q] = Seq(
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
-import graft.functions.{SimHash64, TextFunctions}
+import graft.functions.SimHash64
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -37,11 +37,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash est_jaccard ~ exact jaccard") {
-    val sh = TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2)
-    val sig = Dedup.minhashSignatures(docs, "doc_id", sh, numHashes = 32)
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text",
+      shingleWords = 2, numHashes = 32)
     assert(sig.count() == 5)
     val cands = Dedup.minhashCandidates(sig, "doc_id", bands = 16, rowsPerBand = 2)
-    val verified = Dedup.jaccardVerify(cands, docs, "doc_id", sh, 0.0)
+    val verified = Dedup.jaccardVerify(cands, docs, "doc_id", "text", 2, 0.0)
       .filter($"id_a" === 1 && $"id_b" === 2).first()
     assert(verified.getAs[Double]("jaccard") == 1.0)
     assert(verified.getAs[Double]("est_jaccard") == 1.0)
