@@ -72,22 +72,10 @@ object TextFunctions {
     *  - CJK codepoint ratio > 0.2 → "zh" (script-level call);
     *  - else argmax of stopword-profile ratios, "und" when no profile
     *    clears the floor (pure word-salad / code / gibberish).
-    * Composed from array/struct functions only: `array_max` on
-    * (score, lang) structs is an ordered argmax, fully codegen'd.
+    * One tokenizer pass per row via the LangIdExpr kernel.
     */
-  def langId(text: Column, floor: Double = 0.02): Column = {
-    val toks = tokens(text)
-    val cjkRatio =
-      when(length(text) === 0, 0.0).otherwise(
-        (length(text) - length(regexp_replace(text, "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]", "")))
-          .cast("double") / length(text))
-    val scored = array(stopwordProfiles.keys.toSeq.sorted.map(l =>
-      struct(langScore(toks, l).as("score"), lit(l).as("lang"))): _*)
-    val best = array_max(scored)
-    when(cjkRatio > 0.2, "zh")
-      .when(best.getField("score") >= floor, best.getField("lang"))
-      .otherwise("und")
-  }
+  def langId(text: Column, floor: Double = 0.02): Column =
+    TextSketches.langId(text, floor)
 
   // ── quality scoring ─────────────────────────────────────────────────
 

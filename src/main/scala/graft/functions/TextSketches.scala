@@ -216,8 +216,73 @@ case class MinKSketch64(child: Expression, k: Int, m: Int, maxChars: Int)
   override def prettyName: String = "mink_sketch64"
 }
 
+/** lang_id(text) → language code: CJK codepoint ratio test, else argmax
+  * stopword-profile hit ratio, "und" below the floor. One tokenizer
+  * pass + hash-set membership per token (the HOF formulation ran the
+  * tokenizer once per language profile).
+  */
+case class LangIdExpr(child: Expression, floor: Double)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"expected string, got $o")
+  }
+
+  @transient private lazy val profiles: Array[(UTF8String, java.util.HashSet[String])] =
+    TextFunctions.stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val set = new java.util.HashSet[String]()
+      words.foreach(set.add)
+      (UTF8String.fromString(lang), set)
+    }.toArray
+
+  private val und = UTF8String.fromString("und")
+  private val zh = UTF8String.fromString("zh")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) return und
+    var cjk = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3040 && c <= 0x30ff) ||
+        (c >= 0xac00 && c <= 0xd7af) || (c >= 0x3400 && c <= 0x4dbf)) cjk += 1
+      i += 1
+    }
+    if (cjk.toDouble / s.length > 0.2) return zh
+    val toks = Sketch.tokenize(s)
+    if (toks.isEmpty) return und
+    var best = -1
+    var bestScore = 0.0
+    var p = 0
+    while (p < profiles.length) {
+      val set = profiles(p)._2
+      var hits = 0
+      var t = 0
+      while (t < toks.length) {
+        if (set.contains(toks(t))) hits += 1
+        t += 1
+      }
+      val score = hits.toDouble / toks.length
+      // ties resolve to the lexicographically-first profile
+      if (score > bestScore) { bestScore = score; best = p }
+      p += 1
+    }
+    if (best >= 0 && bestScore >= floor) profiles(best)._1 else und
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "lang_id"
+}
+
 object TextSketches {
   import org.apache.spark.sql.graftshim.ColumnBridge._
+
+  def langId(text: Column, floor: Double = 0.02): Column =
+    column(LangIdExpr(expression(text), floor))
 
   def minhashSignature(text: Column, shingleWords: Int = 3,
                        numHashes: Int = 32): Column =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
+import graft.functions.VectorKernels
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
@@ -34,7 +34,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", VectorKernels.cosineSim(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -51,11 +51,10 @@ object Similarity {
               vecCol: String, k: Int, numPlanes: Int = 8,
               dim: Int = 64, multiprobe: Boolean = true,
               seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", srpBucket(col("cv"), planes))
+      .withColumn("bucket", VectorKernels.srpBucket(col("cv"), numPlanes, dim, seed))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket0", srpBucket(col("qv"), planes))
+      .withColumn("bucket0", VectorKernels.srpBucket(col("qv"), numPlanes, dim, seed))
     val probes =
       if (!multiprobe) array(col("bucket0"))
       else array(col("bucket0") +:
@@ -64,7 +63,7 @@ object Similarity {
 
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", VectorKernels.cosineSim(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.select("query_id", "neighbor_id", "cosine").distinct()
@@ -96,14 +95,13 @@ object Similarity {
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, numPlanes: Int = 8,
                         dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim, seed)
     val v = corpus.select(col(idCol), col(vecCol).as("__v"))
-      .withColumn("bucket", srpBucket(col("__v"), planes))
+      .withColumn("bucket", VectorKernels.srpBucket(col("__v"), numPlanes, dim, seed))
     val a = v.select(col("bucket"), col(idCol).as("id_a"), col("__v").as("va"))
     val b = v.select(col("bucket"), col(idCol).as("id_b"), col("__v").as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", VectorKernels.cosineSim(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine").distinct()
   }
