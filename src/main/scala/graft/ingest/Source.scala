@@ -46,11 +46,14 @@ trait Source {
   }
 }
 
-/** Directory-of-parquet source: `<dir>/<table>.parquet`. */
+/** Directory-of-parquet source: `<dir>/<table>.parquet`. Reads through
+  * Tables.load so TIMESTAMP(NANOS) columns get the same ns→us
+  * normalization everywhere.
+  */
 final class ParquetSource(dir: String, tables: Seq[String]) extends Source {
   def tableNames: Seq[String] = tables
   def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
+    graft.core.Tables.load(spark, dir, table)
 }
 
 /** JDBC source — shape parity with the reference's extract path (S1:

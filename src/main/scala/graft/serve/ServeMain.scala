@@ -1,0 +1,73 @@
+package graft.serve
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{EngineConfig, Tables}
+import graft.ingest.{ParquetSource, SyncManager}
+import graft.query.{QueryEngine, RateLimiter}
+import graft.snapshot.{SnapshotReader, SnapshotStore}
+
+/** The whole service: background sync loop + HTTP query facade — the
+  * Spark-native equivalent of running the reference's etl-service and
+  * api-service together (SURVEY.md §3.1-§3.2). Ctrl-C / SIGTERM stops
+  * the scheduler, drains HTTP, and stops the session (V12).
+  *
+  * Env (reference parity, EngineConfig): TABLES_TO_SYNC,
+  * SYNC_INTERVAL_SECONDS, SNAPSHOT_KEEP_COUNT, RATE_LIMIT_REQUESTS,
+  * HTTP_PORT, SOURCE_DIR, SNAPSHOT_DIR.
+  */
+object ServeMain {
+  def main(args: Array[String]): Unit = {
+    val cfg = EngineConfig.fromEnv()
+    val tables = sys.env.get("TABLES_TO_SYNC")
+      .map(_ => cfg.tablesToSync).getOrElse(Tables.all) // testdata default
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val store = new SnapshotStore(spark, cfg.snapshotDir)
+    val sync = new SyncManager(spark,
+      new ParquetSource(cfg.sourceDir, tables), store, cfg.keepCount)
+    val reader = new SnapshotReader(store,
+      java.time.Duration.ofSeconds(cfg.refreshTtlSeconds))
+    val engine = new QueryEngine(spark, reader)
+    val api = new HttpApi(engine,
+      rateLimiter = new RateLimiter(cfg.rateLimitRequests,
+        cfg.rateLimitWindowSeconds),
+      port = cfg.httpPort)
+
+    @volatile var running = true
+    val scheduler = new Thread(() => {
+      while (running) { // T1: immediate first run, fixed interval, 1-at-a-time
+        val r = sync.runCycle()
+        System.err.println(s"""{"sync":${r.success},"tables":${
+          r.manifest.map(_.tables.size).getOrElse(0)},"pruned":${
+          r.prunedGenerations.size}}""")
+        var slept = 0
+        while (running && slept < cfg.syncIntervalSeconds) {
+          Thread.sleep(1000); slept += 1
+        }
+      }
+    }, "graft-sync")
+    scheduler.setDaemon(true)
+    scheduler.start()
+
+    val port = api.start()
+    System.err.println(s"[serve] listening on 127.0.0.1:$port")
+
+    sys.addShutdownHook { // V12
+      running = false
+      api.stop()
+      spark.stop()
+      System.err.println("[serve] stopped")
+    }
+    Thread.currentThread().join() // serve until signalled
+  }
+}

@@ -30,10 +30,15 @@ final class SnapshotReader(store: SnapshotStore,
   def tableNames: Seq[String] =
     manifest.map(_.tables.keys.toSeq.sorted).getOrElse(Seq.empty)
 
-  /** Re-resolve the manifest if the TTL has lapsed (or never loaded). */
+  /** Re-resolve the manifest if the TTL has lapsed — or on EVERY call
+    * while nothing is loaded yet (reference parity: `_get_connection`
+    * always downloads when it has no open snapshot,
+    * api-service/src/query_engine.py:98-108; only a loaded snapshot is
+    * TTL-cached).
+    */
   def refreshIfStale(): Boolean = synchronized {
     val now = clock()
-    val stale = loadedAt.forall(t =>
+    val stale = loadedVersion.isEmpty || loadedAt.forall(t =>
       Duration.between(t, now).compareTo(ttl) >= 0)
     if (!stale) return false
     loadedAt = Some(now)
