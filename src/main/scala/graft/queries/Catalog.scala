@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Catalog {
   def all: Seq[Q] =
-    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all
+    RelationalQueries.all ++ ExtraQueries.all ++
+      TextQueries.all ++ VectorQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Q._
+
+/** Second ring of the relational surface: multidimensional aggregation
+  * (cube/grouping sets), exact and approximate distincts, percentiles,
+  * batch sessionization, correlated subqueries, the TPC-H Q5-shaped
+  * 6-way join, string distance, conditional aggregation, JSON
+  * extraction — all admitted by the reference's passthrough surface
+  * (SURVEY.md §2.3) and all first-class Spark built-ins.
+  */
+object ExtraQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Seq[Q] = Seq(
+
+    Q("q32_cube",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ${oSum("o_totalprice")} AS rev
+               FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+               ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    Q("q33_percentiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.5)  AS p50,
+                quantile_cont(l_quantity, 0.75) AS p75
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("q34_count_distinct",
+      (s, d) => t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status")),
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+                COUNT(DISTINCT l_suppkey) AS n_supps,
+                COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+              FROM lineitem""")),
+
+    // HLL sketches are engine-specific → rows-only; the exact distinct
+    // above is the oracle-checked twin.
+    Q("q35_approx_distinct",
+      (s, d) => t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+
+    // Batch sessionization: session_window ≡ the gaps-and-islands SQL
+    // (new session when the gap since the previous event >= 30 min).
+    Q("q36_sessionize",
+      (s, d) => t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+        .orderBy("user_id"),
+      Some("""WITH x AS (
+                SELECT user_id,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+                FROM events)
+              SELECT user_id, CAST(1 + SUM(new_s) AS BIGINT) AS n_sessions,
+                     COUNT(*) AS n_events
+              FROM x GROUP BY user_id ORDER BY user_id""")),
+
+    Q("q37_correlated_subquery",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val avgs = o.groupBy(col("o_custkey").as("ck"))
+          .agg(davg(col("o_totalprice")).as("cust_avg"))
+        o.join(avgs, col("o_custkey") === col("ck"))
+          .filter(col("o_totalprice") > col("cust_avg"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_totalprice > (
+                 SELECT ${oAvg("o2.o_totalprice")} FROM orders o2
+                 WHERE o2.o_custkey = orders.o_custkey)
+               ORDER BY o_orderkey""")),
+
+    // TPC-H Q5-shaped: 6-way join, local-supplier condition, revenue
+    // per nation within a region. Dims broadcast; fact side streams.
+    Q("q38_regional_revenue",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val su = t(s, d, "supplier")
+        val n = broadcast(t(s, d, "nation"))
+        val r = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+               ${oSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+               COUNT(*) AS n
+               FROM lineitem
+               JOIN orders   ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+               JOIN nation   ON s_nationkey = n_nationkey
+               JOIN region   ON n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA'
+               GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      headline = true),
+
+    Q("q39_levenshtein",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"),
+          levenshtein(substring(col("p_name"), 1, 10), lit("promo brush"))
+            .cast("long").as("dist"))
+        .orderBy("p_partkey").limit(2000),
+      Some("""SELECT p_partkey,
+                CAST(levenshtein(SUBSTRING(p_name, 1, 10), 'promo brush') AS BIGINT) AS dist
+              FROM part ORDER BY p_partkey LIMIT 2000""")),
+
+    Q("q40_conditional_agg",
+      (s, d) => t(s, d, "orders").agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(0.0)).as("rev_f"),
+        (count(when(col("o_totalprice") > 100000, 1)).cast("double") /
+          count(lit(1))).as("big_order_ratio")),
+      Some(s"""SELECT
+                 COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+                 COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+                 ${oSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS rev_f,
+                 CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS DOUBLE)
+                   / COUNT(*) AS big_order_ratio
+               FROM orders""")),
+
+    Q("q41_json_extract",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id").limit(5000),
+      Some("""SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events ORDER BY event_id LIMIT 5000""")),
+
+    // lag/lead + range frame + ntile over the event stream
+    Q("q42_window_lag_lead",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        t(s, d, "events").filter(col("user_id") < 30)
+          .select(col("event_id"), col("user_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+                LAG(value, 1) OVER w AS prev_value,
+                LEAD(value, 1) OVER w AS next_value,
+                CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+              FROM events WHERE user_id < 30
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+              ORDER BY user_id, event_id""")),
+
+    // sliding average over a row frame (moving aggregate)
+    Q("q43_window_moving_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(-2, 0)
+        t(s, d, "events").filter(col("user_id") < 30)
+          .select(col("event_id"), col("user_id"),
+            (sum(dec(col("value"), 2)).over(w).cast("double") /
+              count(lit(1)).over(w)).as("moving_avg"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                  / COUNT(*) OVER w AS moving_avg
+              FROM events WHERE user_id < 30
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              ORDER BY user_id, event_id""")),
+
+    // exact-dedup survivor selection as a query (window rn = 1)
+    Q("d11_dedup_survivors",
+      (s, d) => graft.operators.Dedup
+        .exactSurvivors(t(s, d, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lower(text)
+                         ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1
+              ORDER BY doc_id"""))
+  )
+}
