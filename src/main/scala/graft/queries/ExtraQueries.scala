@@ -206,6 +206,29 @@ object ExtraQueries {
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
 
+    // as-of (temporal) join: each purchase enriched with the user's
+    // most recent prior view (AsOfJoin composition vs native ASOF JOIN)
+    Q("q44_asof_join",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("v_ts"),
+            col("event_id").as("view_id"))
+        graft.operators.AsOfJoin.backward(purchases, views,
+          "user_id", "ts", "v_ts", Map("view_id" -> "last_view_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'purchase'),
+                   v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                         WHERE event_type = 'view')
+              SELECT p.event_id, p.user_id, p.ts, v.view_id AS last_view_id
+              FROM p ASOF LEFT JOIN v
+                ON p.user_id = v.user_id AND p.ts >= v.ts
+              ORDER BY p.event_id""")),
+
     // exact-dedup survivor selection as a query (window rn = 1)
     Q("d11_dedup_survivors",
       (s, d) => graft.operators.Dedup
