@@ -110,6 +110,16 @@ object TextQueries {
         bands = 4, maxHamming = 12)
         .orderBy("id_a", "id_b")),
 
+    // end-to-end curation pass (quality gate → exact dedup → near-dup
+    // sweep) — the composed pipeline a training corpus runs
+    Q("d12_curation",
+      (s, d) => graft.operators.Curation
+        .curate(spread(s, d), "doc_id", "text",
+          minQuality = 0.3, nearDupThreshold = 0.5)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+      headline = true),
+
     Q("d10_fingerprint_mink",
       (s, d) => spread(s, d).select(col("doc_id"),
         TextFunctions.minKFingerprint(col("text")).as("sketch_fp"))

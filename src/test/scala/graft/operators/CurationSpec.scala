@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "The quick brown fox jumps over the lazy dog near the river bank"), // exact dup
+    (3L, "The quick brown fox jumps over the lazy cat near the river bank"), // near dup
+    (4L, "Completely different prose about the behavior of distributed query engines"),
+    (5L, "!!! ??? *** $$$ ### @@@ %%% &&&"))                                 // junk
+    .toDF("doc_id", "text")
+
+  test("curation drops junk, exact dups, and near dups; keeps min ids") {
+    val out = Curation.curate(docs, "doc_id", "text",
+      minQuality = 0.5, nearDupThreshold = 0.45)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 4L), s"survivors: $out")
+  }
+
+  test("report counts each stage") {
+    val r = Curation.report(docs, "doc_id", "text",
+      minQuality = 0.5, nearDupThreshold = 0.45)
+    assert(r.input == 5)
+    assert(r.afterQuality == 4)  // junk gone
+    assert(r.afterExact == 3)    // exact dup gone
+    assert(r.afterNearDup == 2)  // near dup gone
+  }
+
+  test("language gate") {
+    val mixed = Seq(
+      (1L, "the cat sat on the mat and it was happy with the sun in the sky"),
+      (2L, "der Hund und die Katze sind nicht mit der Maus auf dem Tisch heute"))
+      .toDF("doc_id", "text")
+    val out = Curation.curate(mixed, "doc_id", "text",
+      minQuality = 0.0, keepLangs = Some(Set("en")))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+}
