@@ -51,6 +51,15 @@ object VectorQueries {
           .orderBy("query_id", "rank")
       }),
 
+    Q("e05_knn_ivf",
+      (s, d) => {
+        val e = emb(s, d)
+        graft.operators.IvfAnn.topK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 3)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      }),
+
     Q("e03_label_centroids",
       (s, d) => Similarity.labelCentroids(emb(s, d), "label", "embedding")
         .withColumn("centroid",

@@ -92,6 +92,33 @@ object EventStream {
       }
   }
 
+  /** Streaming sync: each micro-batch of new source files is published
+    * as a snapshot generation (manifest swap included) — the
+    * Structured-Streaming form of the reference's scheduled sync cycle
+    * (incremental variant: a generation holds the batch's rows;
+    * checkpointing replaces the watermark store for exactly-once file
+    * consumption). `Trigger.AvailableNow` processes the backlog and
+    * stops — one reference "sync tick"; a ProcessingTime trigger makes
+    * it continuous.
+    */
+  def streamToSnapshots(events: DataFrame,
+                        store: graft.snapshot.SnapshotStore,
+                        table: String, checkpoint: String,
+                        availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = new graft.snapshot.SnapshotWriter(store)
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          writer.publish(Map(table -> batch), sortCol = Some("ts"))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow)
+      q.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else q).start()
+  }
+
   /** Run any of the above to a named in-memory sink, synchronously —
     * the test/bench harness entry (guide: batch-as-stream pattern).
     */

@@ -68,6 +68,22 @@ class EventStreamSpec extends SparkSpec {
     assert(u1(1).getAs[Long]("n_events") == 1L)   // 01:00 separate
   }
 
+  test("streaming sync publishes snapshot generations per micro-batch") {
+    import graft.snapshot.SnapshotStore
+    val snapDir = Files.createTempDirectory("graft-ssnap").toString
+    val ckpt = Files.createTempDirectory("graft-sckpt").toString
+    val store = new SnapshotStore(spark, snapDir)
+    val q = EventStream.streamToSnapshots(
+      EventStream.readEvents(spark, eventsDir), store, "events", ckpt)
+    q.awaitTermination(120000)
+    val m = store.readCurrentManifest()
+    assert(m.nonEmpty, "no manifest published")
+    assert(m.get.tables("events") > 0)
+    val snap = spark.read.parquet(
+      store.tableDir(m.get.version, "events").toString)
+    assert(snap.count() == m.get.tables("events"))
+  }
+
   test("stateful user profiles accumulate across a batch") {
     import EventStream.UserEvent
     val events = Seq(
