@@ -44,27 +44,38 @@ final class SyncManager(spark: SparkSession, source: Source,
     try {
       val state = watermarks.load()
 
-      // change detection + watermark advance (per table, S2+S3)
-      val changed = source.tableNames.map { t =>
-        val since = state.get(t)
-        val delta = source.readChangedSince(spark, t, since, watermarkCol)
-        val n = delta.count()
-        source.maxWatermark(spark, t, watermarkCol)
-          .foreach(wm => watermarks.update(t, wm))
-        t -> n
+      // change detection (S2+S3): ONE delta scan per table yields both
+      // the changed count and the new watermark (max over the delta ==
+      // max over the table whenever anything changed; empty delta means
+      // the watermark must not move)
+      val deltas = source.tableNames.map { t =>
+        t -> source.readChangedSince(spark, t, state.get(t), watermarkCol)
       }.toMap
+      val stats = deltas.map { case (t, delta) =>
+        import org.apache.spark.sql.functions.{col, count, lit, max}
+        if (delta.schema.fieldNames.contains(watermarkCol)) {
+          val row = delta.agg(count(lit(1)),
+            max(col(watermarkCol)).cast("string")).first()
+          t -> ((row.getLong(0),
+            if (row.isNullAt(1)) None else Some(row.getString(1))))
+        } else t -> ((delta.count(), Option.empty[String]))
+      }
+      val changed = stats.map { case (t, (n, _)) => t -> n }
 
       // snapshot build: full rebuild (reference T4) or changed-only
       val frames = source.tableNames.map { t =>
-        val df =
-          if (incremental)
-            source.readChangedSince(spark, t, state.get(t), watermarkCol)
-          else source.read(spark, t)
-        t -> df
+        t -> (if (incremental) deltas(t) else source.read(spark, t))
       }.toMap
 
       val manifest = writer.publish(frames, now,
         sortCol = Some(watermarkCol))
+
+      // watermarks advance ONLY after the publish landed — advancing
+      // first would permanently skip (old, new] rows if publish failed
+      stats.foreach { case (t, (_, wm)) =>
+        wm.foreach(w => watermarks.update(t, w))
+      }
+
       val pruned = retention.prune()
       SyncResult(success = true, Some(manifest), changed, pruned)
     } catch {

@@ -34,50 +34,53 @@ object AsOfJoin {
                leftTime: String, rightTime: String,
                rightCols: Map[String, String],
                tolerance: Option[Long] = None): DataFrame = {
+    // the right payload travels as ONE struct (ts + all carried cols):
+    // a single last(..., ignoreNulls) then always carries a CONSISTENT
+    // right row — per-column carries could skip a NULL value onto an
+    // older row while the timestamp tracked the newer one (stale value
+    // passing the tolerance check, torn multi-column output)
+    val payloadFields = struct(
+      col(rightTime).as("__p_ts") +:
+        rightCols.keys.toSeq.map(c => col(c).as(s"__p_$c")): _*)
+    val rightTagged = right
+      .select((key +: rightTime +: rightCols.keys.toSeq).distinct.map(col): _*)
+      .withColumn("__t", col(rightTime))
+      .withColumn("__is_left", lit(0))
+      .withColumn("__payload", payloadFields)
+      .select(col(key), col("__t"), col("__is_left"), col("__payload"))
+
     val leftTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
-      .withColumn("__rt", lit(null).cast(right.schema(rightTime).dataType))
-    val rightTagged = rightCols.foldLeft(
-      right.select((key +: rightTime +: rightCols.keys.toSeq).distinct
-        .map(col): _*)
-        .withColumn("__t", col(rightTime))
-        .withColumn("__is_left", lit(0))
-        .withColumn("__rt", col(rightTime))) { case (df, _) => df }
+      .withColumn("__payload",
+        lit(null).cast(rightTagged.schema("__payload").dataType))
+      .select((left.columns.map(col) :+ col("__t") :+ col("__is_left")
+        :+ col("__payload")): _*)
 
-    // align schemas for the union
-    val leftCols = leftTagged.columns.toSet
-    val withNulls = (rightCols.keys.toSeq :+ rightTime)
-      .filterNot(leftCols.contains)
-      .foldLeft(leftTagged) { (df, c) =>
-        df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-      }
-    val rightAligned = withNulls.columns.foldLeft(rightTagged) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(withNulls.schema(c).dataType))
-    }.select(withNulls.columns.map(col): _*)
+    val rightAligned = left.columns.filterNot(rightTagged.columns.contains)
+      .foldLeft(rightTagged) { (df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }.select(leftTagged.columns.map(col): _*)
 
     // right rows sort BEFORE left rows at equal timestamps → inclusive
     // (right.time <= left.time), matching ASOF JOIN semantics
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightCols.foldLeft(
-      withNulls.unionByName(rightAligned)) { case (df, (rc, out)) =>
-      df.withColumn(s"__carry_$out", last(col(rc), ignoreNulls = true).over(w))
-    }.withColumn("__carry_ts", last(col("__rt"), ignoreNulls = true).over(w))
+    val matched = leftTagged.unionByName(rightAligned)
+      .withColumn("__carry", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
 
-    val matched = carried.filter(col("__is_left") === 1)
-    val aged = tolerance match {
-      case Some(sec) => matched.withColumn("__ok",
-        col("__carry_ts").isNotNull &&
-          unix_timestamp(col("__t")) - unix_timestamp(col("__carry_ts")) <= sec)
-      case None => matched.withColumn("__ok", col("__carry_ts").isNotNull)
+    val ok = tolerance match {
+      case Some(sec) => col("__carry").isNotNull &&
+        unix_timestamp(col("__t")) -
+          unix_timestamp(col("__carry.__p_ts")) <= sec
+      case None => col("__carry").isNotNull
     }
-
-    val out = rightCols.foldLeft(aged) { case (df, (_, outName)) =>
-      df.withColumn(outName,
-        when(col("__ok"), col(s"__carry_$outName")).otherwise(lit(null)))
+    val out = rightCols.foldLeft(matched.withColumn("__ok", ok)) {
+      case (df, (rc, outName)) =>
+        df.withColumn(outName,
+          when(col("__ok"), col(s"__carry.__p_$rc")).otherwise(lit(null)))
     }
     out.select(left.columns.map(col) ++
       rightCols.values.toSeq.sorted.map(col): _*)

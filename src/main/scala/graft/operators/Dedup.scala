@@ -76,6 +76,11 @@ object Dedup {
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
     }
     val withSig = sig
+      // shingle-less documents carry the all-MaxValue sentinel signature
+      // (MinHashSignature on empty text); they'd collide in EVERY band
+      // with each other — no shingles means no similarity evidence, so
+      // they never become candidates
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
       .withColumn("__b", explode(array(bandCols: _*)))
       .select(col(idCol), col("sig").as("__sig"), col("__b.band").as("band"),
         col("__b.bh").as("bh"))
@@ -97,7 +102,7 @@ object Dedup {
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double")
-          / (bands * rowsPerBand)).as("est_jaccard"))
+          / size(col("sig_a"))).as("est_jaccard"))
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
@@ -119,9 +124,13 @@ object Dedup {
         .withColumnRenamed("__set", "set_a"), Seq("id_a"))
       .join(sets.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__set", "set_b"), Seq("id_b"))
+      // empty ∪ empty would give 0/0 = NaN, and Spark orders NaN ABOVE
+      // every number so `NaN >= threshold` passes — define ∅/∅ as 0
       .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))))
+        when(size(array_union(col("set_a"), col("set_b"))) === 0, 0.0)
+          .otherwise(
+            size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+              size(array_union(col("set_a"), col("set_b")))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard", "jaccard")
   }
@@ -168,7 +177,12 @@ object Dedup {
                       bands: Int = 4, maxHamming: Int = 3,
                       maxBucketSize: Int = 1000): DataFrame = {
     val bits = 64 / bands
-    val fp = simhashFingerprints(fanOut(docs), idCol, textCol)
+    // token-less docs all collapse to the same all-zero-vote fingerprint
+    // — no content evidence, exclude from pairing (same reasoning as the
+    // empty-signature guard in minhashCandidates)
+    val fp = simhashFingerprints(
+      fanOut(docs).filter(
+        size(TextFunctions.tokens(col(textCol))) > 0), idCol, textCol)
     val banded = fp.withColumn("__b", explode(array(
       (0 until bands).map(b => struct(lit(b).as("band"),
         col("simhash").bitwiseAND(lit(((1L << bits) - 1) << (b * bits)))

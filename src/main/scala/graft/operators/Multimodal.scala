@@ -37,7 +37,7 @@ object Multimodal {
     df.select(
       col(idCol).cast("long").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col(idCol) % 3 + 1).cast("int")).as("kind"),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
       bytes.as("bytes"),
       struct(
         (pmod(col(idCol), lit(640)) + 32).cast("int").as("width"),

@@ -81,7 +81,11 @@ final class RateLimiter(maxRequests: Int = 50, windowSeconds: Int = 60,
     val now = clock()
     val q = hits.getOrElseUpdate(clientKey, scala.collection.mutable.Queue.empty)
     while (q.nonEmpty && q.head <= now - windowSeconds * 1000L) q.dequeue()
-    if (q.size >= maxRequests) false
-    else { q.enqueue(now); true }
+    val allowed = q.size < maxRequests
+    if (allowed) q.enqueue(now)
+    // periodic sweep of idle clients: memory stays bounded by the
+    // active-window set, not by every client IP ever seen
+    if (hits.size > 10000) hits.filterInPlace((_, v) => v.nonEmpty)
+    allowed
   }
 }

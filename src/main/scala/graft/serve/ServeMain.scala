@@ -38,7 +38,21 @@ object ServeMain {
     val reader = new SnapshotReader(store,
       java.time.Duration.ofSeconds(cfg.refreshTtlSeconds))
     val engine = new QueryEngine(spark, reader)
+    // JWT auth activates when a secret is configured (AUTH_SECRET +
+    // AUTH_AUDIENCE/AUTH_ISSUER); otherwise the service runs open and
+    // says so loudly — never silently.
+    val auth = sys.env.get("AUTH_SECRET") match {
+      case Some(secret) => new HmacJwtAuthenticator(
+        secret.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        audience = sys.env.getOrElse("AUTH_AUDIENCE", "graft-api"),
+        issuer = sys.env.getOrElse("AUTH_ISSUER", "graft"))
+      case None =>
+        System.err.println(
+          "[serve] WARNING: AUTH_SECRET not set — serving UNAUTHENTICATED")
+        new NoAuth()
+    }
     val api = new HttpApi(engine,
+      auth = auth,
       rateLimiter = new RateLimiter(cfg.rateLimitRequests,
         cfg.rateLimitWindowSeconds),
       port = cfg.httpPort)

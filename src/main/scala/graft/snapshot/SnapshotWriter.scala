@@ -24,7 +24,8 @@ final class SnapshotWriter(store: SnapshotStore) {
 
   def publish(tables: Map[String, DataFrame],
               now: Instant = Instant.now(),
-              sortCol: Option[String] = Some("updated_at")): Manifest = {
+              sortCol: Option[String] = Some("updated_at"),
+              metadata: Map[String, String] = Map.empty): Manifest = {
     val key = SnapshotStore.keyFor(now)
 
     val counts = tables.map { case (name, df) =>
@@ -43,7 +44,7 @@ final class SnapshotWriter(store: SnapshotStore) {
       timestamp = now.toString, // ISO-8601, reference sync.py:151
       snapshotKey = s"history/$key",
       tables = counts,
-      metadata = Map("engine" -> "seretlspark"))
+      metadata = Map("engine" -> "seretlspark") ++ metadata)
 
     val json = Manifest.toJson(manifest)
     store.writeString(new org.apache.hadoop.fs.Path(

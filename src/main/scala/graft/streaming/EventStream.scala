@@ -109,8 +109,14 @@ object EventStream {
     val writer = new graft.snapshot.SnapshotWriter(store)
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          writer.publish(Map(table -> batch), sortCol = Some("ts"))
+        // foreachBatch is at-least-once: a crash between publish and
+        // checkpoint commit replays the batch. The batch id rides in
+        // the manifest; a replayed id is skipped → effectively-once.
+        val alreadyPublished = store.readCurrentManifest()
+          .exists(_.metadata.get("batch_id").contains(batchId.toString))
+        if (!alreadyPublished && !batch.isEmpty)
+          writer.publish(Map(table -> batch), sortCol = Some("ts"),
+            metadata = Map("batch_id" -> batchId.toString))
         ()
       }
       .option("checkpointLocation", checkpoint)

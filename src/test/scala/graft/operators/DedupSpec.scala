@@ -65,6 +65,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 5L && p._1 == 4L))
   }
 
+  test("token-less documents never pair as near-dups (NaN/sentinel guard)") {
+    // CJK-only / punctuation-only / empty texts produce no [a-z0-9]
+    // tokens: all-sentinel minhash signatures and all-zero simhash
+    // fingerprints would otherwise collide pairwise
+    val weird = Seq(
+      (10L, "你好世界这是测试"), (11L, "完全不同的中文文本"),
+      (12L, "!!! ??? ***"), (13L, ""), (14L, "normal english words here"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashNearDups(weird, "doc_id", "text",
+      shingleWords = 2, numHashes = 32, bands = 16, threshold = 0.1)
+      .collect()
+    assert(mh.isEmpty, s"minhash false positives: ${mh.mkString(";")}")
+    val sh = Dedup.simhashNearDups(weird, "doc_id", "text",
+      bands = 4, maxHamming = 3).collect()
+    assert(sh.isEmpty, s"simhash false positives: ${sh.mkString(";")}")
+  }
+
   test("simhash64 expression edge cases") {
     val out = Seq(Seq.empty[String], Seq("a"))
       .toDF("toks").select(SimHash64.simhash64($"toks").as("h"))
