@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Registers the custom kernels in the session's FunctionRegistry so
+  * the SQL passthrough surface (QueryEngine / spark.sql) can call them
+  * by name — the reference's users talk SQL, not the Column API:
+  *
+  *   SELECT simhash64(tokens), minhash_signature(text), mink_sketch64(text),
+  *          lang_id(text), cosine_sim(a, b), srp_bucket(v) FROM …
+  */
+object Registry {
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs.head, 3, 32), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hash_set",
+      exprs => ShingleHashSet(exprs.head, 3), "scala_udf")
+    reg.createOrReplaceTempFunction("mink_sketch64",
+      exprs => MinKSketch64(exprs.head, 8, 8, 512), "scala_udf")
+    reg.createOrReplaceTempFunction("lang_id",
+      exprs => LangIdExpr(exprs.head, 0.02), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("srp_bucket",
+      exprs => SrpBucket(exprs.head, 8, 64, 42L), "scala_udf")
+  }
+}
