@@ -80,23 +80,11 @@ object TextFunctions {
   // ── quality scoring ─────────────────────────────────────────────────
 
   /** Raw quality features as a struct column (length, token shape,
-    * punctuation/digit/upper ratios, English stopword ratio, repetition).
+    * punctuation/digit/upper ratios, English stopword ratio,
+    * repetition). One-pass QualityStatsExpr kernel.
     */
-  def qualityFeatures(text: Column): Column = {
-    val toks = tokens(text)
-    val nChars = length(text).cast("double")
-    val nonEmpty = greatest(nChars, lit(1.0))
-    struct(
-      length(text).cast("long").as("n_chars"),
-      size(toks).cast("long").as("n_tokens"),
-      (nChars / greatest(size(toks).cast("double"), lit(1.0))).as("chars_per_token"),
-      (length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / nonEmpty).as("punct_ratio"),
-      (length(regexp_replace(text, "[^0-9]", "")).cast("double") / nonEmpty).as("digit_ratio"),
-      (length(regexp_replace(text, "[^A-Z]", "")).cast("double") / nonEmpty).as("upper_ratio"),
-      langScore(toks, "en").as("stopword_ratio"),
-      (size(array_distinct(toks)).cast("double") /
-        greatest(size(toks).cast("double"), lit(1.0))).as("distinct_token_ratio"))
-  }
+  def qualityFeatures(text: Column): Column =
+    TextSketches.qualityStats(text)
 
   /** Scalar quality score in [0,1]: documents lose points for extreme
     * length, punctuation/digit floods, shouting, low vocabulary

@@ -278,11 +278,87 @@ case class LangIdExpr(child: Expression, floor: Double)
   override def prettyName: String = "lang_id"
 }
 
+/** quality_stats(text) → struct of the quality features (see
+  * TextFunctions.qualityFeatures for field semantics). One character
+  * scan + one tokenizer pass per row — the HOF/regex formulation ran
+  * five regexp_replace passes plus three tokenizations.
+  */
+case class QualityStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = QualityStatsExpr.schema
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"expected string, got $o")
+  }
+
+  @transient private lazy val enStopwords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextFunctions.stopwordProfiles("en").foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var punct = 0; var digit = 0; var upper = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // ASCII classes matching the regex formulation exactly:
+      // \p{Punct} = !"#$%&'()*+,-./:;<=>?@[\]^_`{|}~ ; [0-9] ; [A-Z]
+      if (c >= '!' && c <= '~' &&
+        !(c >= '0' && c <= '9') && !(c >= 'A' && c <= 'Z') &&
+        !(c >= 'a' && c <= 'z')) punct += 1
+      if (c >= '0' && c <= '9') digit += 1
+      if (c >= 'A' && c <= 'Z') upper += 1
+      i += 1
+    }
+    val toks = Sketch.tokenize(s)
+    var sw = 0
+    val distinct = new java.util.HashSet[String]()
+    var t = 0
+    while (t < toks.length) {
+      if (enStopwords.contains(toks(t))) sw += 1
+      distinct.add(toks(t))
+      t += 1
+    }
+    val nChars = s.length.toDouble
+    val nonEmpty = math.max(nChars, 1.0)
+    val nToks = math.max(toks.length.toDouble, 1.0)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        s.length.toLong, toks.length.toLong,
+        nChars / nToks, punct / nonEmpty, digit / nonEmpty,
+        upper / nonEmpty,
+        if (toks.isEmpty) 0.0 else sw.toDouble / toks.length,
+        distinct.size / nToks))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "quality_stats"
+}
+
+object QualityStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("chars_per_token", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("digit_ratio", DoubleType, nullable = false),
+    StructField("upper_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("distinct_token_ratio", DoubleType, nullable = false)))
+}
+
 object TextSketches {
   import org.apache.spark.sql.graftshim.ColumnBridge._
 
   def langId(text: Column, floor: Double = 0.02): Column =
     column(LangIdExpr(expression(text), floor))
+
+  def qualityStats(text: Column): Column =
+    column(QualityStatsExpr(expression(text)))
 
   def minhashSignature(text: Column, shingleWords: Int = 3,
                        numHashes: Int = 32): Column =

@@ -38,7 +38,11 @@ object Curation {
         .filter(col("__lang").isin(ls.toSeq: _*)).drop("__lang")
       case None => gated
     }
+    // the survivors frame feeds three consumers (signatures, verify
+    // sets, final anti-join); without a persist the regex-heavy quality
+    // gate and the dedup window recompute once per consumer
     val exact = Dedup.exactSurvivors(langed.drop("__q"), idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupIds = Dedup.minhashNearDups(exact, idCol, textCol,
       threshold = nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct() // keep the lower id

@@ -55,7 +55,8 @@ object VectorQueries {
       (s, d) => {
         val e = emb(s, d)
         graft.operators.IvfAnn.topK(e.filter(col("vec_id") < 10), e,
-          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 3)
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 3,
+          iterations = 1)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
       }),

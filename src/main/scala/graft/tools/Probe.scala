@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import graft.core.Tables
-import graft.operators.Dedup
+import graft.operators.Curation
 
 /** Scratch perf probe (dev tool, not part of the driver contract). */
 object Probe {
@@ -12,15 +12,18 @@ object Probe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
     }
-    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+    (1 to 3).foreach { i =>
       val docs = Tables.load(spark, d, "documents")
-      val out = Dedup.minhashNearDups(docs, "doc_id", "text",
-        shingleWords = 3, numHashes = 32, bands = 8, threshold = 0.5)
-      time(s"minhashNearDups $d")(println("[probe] pairs " + out.count()))
+        .repartition(64)
+      val out = Curation.curate(docs, "doc_id", "text",
+        minQuality = 0.3, nearDupThreshold = 0.5)
+      time(s"curate run$i")(println("[probe] survivors " +
+        out.count()))
     }
     spark.stop()
   }
