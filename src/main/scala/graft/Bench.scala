@@ -8,9 +8,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is forced through full materialization with the noop
   * sink — `count()` would let Catalyst collapse scan-only plans to
-  * parquet-footer metadata and under-report real work. One warmup run
-  * primes codegen/classloading so per-query numbers measure the plan,
-  * not JVM startup.
+  * parquet-footer metadata and under-report real work.
+  *
+  * Measurement is steady-state: each query runs once untimed (codegen
+  * compilation, classloading, JIT) and the SECOND run is reported —
+  * the throughput a long-running service (the reference's deployment
+  * shape) actually delivers, rather than JVM warm-up artifacts.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,9 +39,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    exec("q05_groupby_pricing") // warmup (codegen, parquet reader init)
-
-    val results = graft.queries.Catalog.all.map(q => q.name -> exec(q.name))
+    val results = graft.queries.Catalog.all.map { q =>
+      exec(q.name) // warm: codegen + JIT + page cache
+      q.name -> exec(q.name)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -105,9 +105,13 @@ object TextQueries {
         .orderBy("id_a", "id_b"),
       headline = true),
 
+    // hamming <= 3 of 64 bits — the classic simhash near-dup radius;
+    // on this corpus that is the planted-duplicate regime (17 pairs at
+    // sf0.01) while <= 12 floods with 100k+ shared-vocabulary noise
+    // pairs
     Q("d09_simhash_neardups",
       (s, d) => Dedup.simhashNearDups(docs(s, d), "doc_id", "text",
-        bands = 4, maxHamming = 12)
+        bands = 4, maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     // end-to-end curation pass (quality gate → exact dedup → near-dup
