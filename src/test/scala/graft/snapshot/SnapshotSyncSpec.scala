@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import java.time.Instant
 
 import graft.SparkSpec
-import graft.ingest.{ParquetSource, SyncManager, WatermarkStore}
+import graft.ingest.{ParquetSource, SyncManager, SyncMode, WatermarkStore}
 
 /** End-to-end sync cycle over a temp source dir (SURVEY.md §3.2 / §5.2):
   * extract → snapshot publish → manifest swap → retention; watermark
@@ -116,7 +116,7 @@ class SnapshotSyncSpec extends SparkSpec {
     val store = new SnapshotStore(spark, snapDir)
     val mgr = new SyncManager(spark,
       new ParquetSource(srcDir, Seq("inventory")), store,
-      incremental = true)
+      mode = SyncMode.IncrementalOnly)
 
     // first cycle: no watermark yet → full extract
     val r1 = mgr.runCycle(Instant.parse("2024-06-01T00:00:00Z"))
@@ -135,6 +135,42 @@ class SnapshotSyncSpec extends SparkSpec {
     val snap2 = spark.read.parquet(
       store.tableDir(r2.manifest.get.version, "inventory").toString)
     assert(snap2.select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("merge mode upserts the delta into the previous generation") {
+    val srcDir = Files.createTempDirectory("graft-mrgsrc").toString
+    val snapDir = Files.createTempDirectory("graft-mrgsnap").toString
+    def writeSource(rows: Seq[(Long, Long, Timestamp)]): Unit =
+      rows.toDF("id", "quantity", "updated_at")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$srcDir/inventory.parquet")
+
+    writeSource(Seq(
+      (1L, 5L, ts("2024-01-01 00:00:00")),
+      (2L, 3L, ts("2024-01-02 00:00:00"))))
+    val store = new SnapshotStore(spark, snapDir)
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), store,
+      mode = SyncMode.Merge)
+
+    // bootstrap generation: no previous snapshot → full extract
+    val r1 = mgr.runCycle(Instant.parse("2024-07-01T00:00:00Z"))
+    assert(r1.success && r1.manifest.get.tables("inventory") == 2L)
+
+    // row 2 updated + row 3 inserted after the watermark
+    writeSource(Seq(
+      (1L, 5L, ts("2024-01-01 00:00:00")),
+      (2L, 99L, ts("2024-01-06 00:00:00")),
+      (3L, 7L, ts("2024-01-05 00:00:00"))))
+    val r2 = mgr.runCycle(Instant.parse("2024-07-01T01:00:00Z"))
+    assert(r2.success, r2.error)
+    assert(r2.changedCounts("inventory") == 2L) // only the delta read
+    assert(r2.manifest.get.tables("inventory") == 3L) // full merged table
+    val merged = spark.read.parquet(
+      store.tableDir(r2.manifest.get.version, "inventory").toString)
+      .select("id", "quantity").as[(Long, Long)].collect().sortBy(_._1)
+    assert(merged.toSeq == Seq((1L, 5L), (2L, 99L), (3L, 7L)),
+      merged.mkString(";")) // update applied, insert applied, rest kept
   }
 
   test("failure is soft (T7)") {
