@@ -22,10 +22,17 @@ import graft.model.Manifest
   */
 final class SnapshotWriter(store: SnapshotStore) {
 
+  /** @param partitionBy per-table hive-style partition columns: the
+    *   snapshot directory gains `col=value/` subdirs and any query
+    *   filtering on them prunes whole directories at planning time
+    *   (PartitionFilters — the coarse-grained analog of the row-group
+    *   stats the sortCol provides).
+    */
   def publish(tables: Map[String, DataFrame],
               now: Instant = Instant.now(),
               sortCol: Option[String] = Some("updated_at"),
-              metadata: Map[String, String] = Map.empty): Manifest = {
+              metadata: Map[String, String] = Map.empty,
+              partitionBy: Map[String, Seq[String]] = Map.empty): Manifest = {
     val key = SnapshotStore.keyFor(now)
 
     val counts = tables.map { case (name, df) =>
@@ -34,7 +41,11 @@ final class SnapshotWriter(store: SnapshotStore) {
         case None => df
       }
       val dir = store.tableDir(key, name).toString
-      out.write.mode("overwrite").parquet(dir)
+      val w = out.write.mode("overwrite")
+      partitionBy.get(name).filter(_.nonEmpty) match {
+        case Some(cols) => w.partitionBy(cols: _*).parquet(dir)
+        case None => w.parquet(dir)
+      }
       // count from footer metadata (Spark's parquet count fast path)
       name -> store.spark.read.parquet(dir).count()
     }
