@@ -206,6 +206,28 @@ object ExtraQueries {
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
 
+    // first/last/nth value over an explicit full frame
+    Q("q45_window_first_last",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "events").filter(col("user_id") < 30)
+          .select(col("event_id"), col("user_id"),
+            first(col("value")).over(w).as("first_v"),
+            last(col("value")).over(w).as("last_v"),
+            nth_value(col("value"), 2).over(w).as("second_v"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                FIRST_VALUE(value) OVER w AS first_v,
+                LAST_VALUE(value) OVER w AS last_v,
+                NTH_VALUE(value, 2) OVER w AS second_v
+              FROM events WHERE user_id < 30
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY user_id, event_id""")),
+
     // as-of (temporal) join: each purchase enriched with the user's
     // most recent prior view (AsOfJoin composition vs native ASOF JOIN)
     Q("q44_asof_join",

@@ -93,7 +93,38 @@ object TextQueries {
           col("q.n_tokens").as("n_tokens"),
           round(col("q.punct_ratio"), 4).as("punct_ratio"),
           round(col("q.distinct_token_ratio"), 4).as("distinct_token_ratio"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id"),
+      // the full feature+score formula re-expressed in DuckDB SQL —
+      // every ratio is an exact int/int division, so the doubles (and
+      // the rounded score) are bit-identical
+      Some(s"""WITH t AS (
+                 SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) > 0) AS toks
+                 FROM documents),
+               f AS (
+                 SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_replace(text, '[^!-~]|[0-9A-Za-z]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1) AS punct_ratio,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1) AS digit_ratio,
+                   CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1) AS upper_ratio,
+                   CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / greatest(len(toks), 1) AS distinct_token_ratio
+                 FROM t)
+               SELECT doc_id,
+                 round((((
+                   (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+                   + (1.0 - least(punct_ratio * 3.0, 1.0)) * 0.2)
+                   + (1.0 - least(digit_ratio * 3.0, 1.0)) * 0.15)
+                   + (1.0 - least(upper_ratio * 4.0, 1.0)) * 0.15)
+                   + least(distinct_token_ratio * 2.0, 1.0) * 0.2, 4) AS quality,
+                 n_tokens,
+                 round(punct_ratio, 4) AS punct_ratio,
+                 round(distinct_token_ratio, 4) AS distinct_token_ratio
+               FROM f ORDER BY doc_id""")),
 
     // LSH operating point: r=4,b=8 → ~50% candidate probability at
     // j≈0.6; the corpus's planted near-dups sit at j≈0.99 (recall ~1)
