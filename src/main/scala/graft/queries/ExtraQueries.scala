@@ -206,6 +206,40 @@ object ExtraQueries {
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
 
+    // schema-on-read JSON parsing (from_json → typed struct) + agg
+    Q("q46_from_json",
+      (s, d) => t(s, d, "events")
+        .withColumn("k",
+          from_json(col("props"), lit("k INT")).getField("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k").cast("long")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+                COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+                MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // null-handling scalars over rollup-produced nulls
+    Q("q47_null_handling",
+      (s, d) => t(s, d, "orders")
+        .rollup("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"),
+          when(col("o_orderstatus").isNull, "total")
+            .otherwise("group").as("row_kind"),
+          nullif(coalesce(col("o_orderstatus"), lit("F")), lit("F")).as("nullif_f"))
+        .orderBy("status"),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS n,
+                CASE WHEN o_orderstatus IS NULL THEN 'total' ELSE 'group' END AS row_kind,
+                NULLIF(COALESCE(o_orderstatus, 'F'), 'F') AS nullif_f
+              FROM orders GROUP BY ROLLUP(o_orderstatus) ORDER BY status""")),
+
     // first/last/nth value over an explicit full frame
     Q("q45_window_first_last",
       (s, d) => {
