@@ -145,6 +145,42 @@ object TextQueries {
         bands = 4, maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
+    // inverted-index term statistics: per-doc top-5 terms by term
+    // frequency, with corpus document frequency (TF-IDF's exact-integer
+    // core — explode → two aggregations → per-doc top-k)
+    Q("d13_term_stats",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = spread(s, d).select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        val tf = tok.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        val df_ = tok.groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("term"))
+        tf.join(df_, "term")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("doc_id", "term", "tf", "df")
+          .orderBy(col("doc_id"), col("tf").desc, col("term"))
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> len(x) > 0)) AS term
+                FROM documents),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                     FROM tok GROUP BY doc_id, term),
+              dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                      FROM tok GROUP BY term),
+              r AS (SELECT doc_id, term, tf, df,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY tf DESC, term) AS rn
+                    FROM tf JOIN dfq USING (term))
+              SELECT doc_id, term, tf, df FROM r WHERE rn <= 5
+              ORDER BY doc_id, tf DESC, term""")),
+
     // end-to-end curation pass (quality gate → exact dedup → near-dup
     // sweep) — the composed pipeline a training corpus runs
     Q("d12_curation",
