@@ -191,6 +191,35 @@ object TextQueries {
         .orderBy("doc_id"),
       headline = true),
 
+    // deterministic stratified sample: 20 docs per language by md5
+    // hash order (reproducible across engines — oracle-checked)
+    Q("d14_stratified_sample",
+      (s, d) => graft.operators.Sampling
+        .stratified(docs(s, d), "lang", "doc_id", n = 20)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+                FROM documents) WHERE rn <= 20
+              ORDER BY doc_id""")),
+
+    // greedy per-language token budget (training-mix quota fill)
+    Q("d15_token_budget",
+      (s, d) => graft.operators.Sampling
+        .tokenBudget(docs(s, d), "lang", "doc_id", "n_chars",
+          budget = 5000L)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       SUM(n_chars) OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR))
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+                FROM documents) WHERE running <= 5000
+              ORDER BY doc_id""")),
+
     Q("d10_fingerprint_mink",
       (s, d) => spread(s, d).select(col("doc_id"),
         TextFunctions.minKFingerprint(col("text")).as("sketch_fp"))

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 100L)
+    .map(i => (i, if (i <= 60) "en" else if (i <= 90) "de" else "fr",
+      (i % 10 + 1) * 100))
+    .toDF("doc_id", "lang", "n_tokens")
+
+  test("stratified: exact n per stratum, deterministic, capped by size") {
+    val s1 = Sampling.stratified(docs, "lang", "doc_id", 15)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 15L, "de" -> 15L, "fr" -> 10L)) // fr has 10
+    val s2 = Sampling.stratified(docs, "lang", "doc_id", 15)
+    assert(s1.collect().map(_.toString).sorted.toSeq ==
+      s2.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("token budget: per-stratum running totals stay within budget") {
+    val out = Sampling.tokenBudget(docs, "lang", "doc_id", "n_tokens", 2000L)
+    val sums = out.groupBy("lang").sum("n_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.values.forall(_ <= 2000L), sums)
+    assert(out.count() > 0)
+    // greedy: adding the next hash-ordered doc would break the budget —
+    // so each stratum's total is within one doc of the cap (>= 1100
+    // here since max doc size is 1000+100)
+    assert(sums.values.forall(_ >= 2000L - 1100L), sums)
+  }
+
+  test("mixture: weighted quotas with deterministic fill") {
+    val out = Sampling.mixture(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), total = 20)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 10L, "de" -> 6L, "fr" -> 4L), counts)
+  }
+}
