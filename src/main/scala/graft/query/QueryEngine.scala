@@ -12,6 +12,14 @@ import graft.validate.{PlanGuard, QuerySanitizer, QueryValidator}
 final class InvalidQueryException(msg: String)
     extends IllegalArgumentException(msg)
 
+/** Query exceeded the execution-time cap and its Spark jobs were
+  * cancelled (the whitelist's `max_execution_time_seconds: 30`,
+  * query_whitelist.json:71 — declared by the reference, enforced here;
+  * SURVEY.md §2.3).
+  */
+final class QueryTimeoutException(msg: String)
+    extends RuntimeException(msg)
+
 /** The serving query path (reference execute_query,
   * api-service/src/query_engine.py:117-149 + SURVEY.md §3.1):
   *
@@ -29,7 +37,9 @@ final class InvalidQueryException(msg: String)
   * Timing matches the reference's observable contract: the clock starts
   * before validation and any snapshot refresh (query_engine.py:129-132).
   */
-final class QueryEngine(spark: SparkSession, reader: SnapshotReader) {
+final class QueryEngine(spark: SparkSession, reader: SnapshotReader,
+                        maxExecutionSeconds: Int =
+                          QueryValidator.maxExecutionTimeSeconds) {
 
   def execute(rawQuery: String): QueryResult = {
     val t0 = System.nanoTime()
@@ -46,7 +56,7 @@ final class QueryEngine(spark: SparkSession, reader: SnapshotReader) {
     val capped = v.maxRows.map(df.limit).getOrElse(df)
 
     val schema = capped.schema
-    val rows = capped.collect()
+    val rows = collectWithTimeout(capped, query)
     val data = rows.toSeq.map(r =>
       schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }.toMap)
 
@@ -56,6 +66,37 @@ final class QueryEngine(spark: SparkSession, reader: SnapshotReader) {
       columns = schema.fieldNames.toSeq,
       rowCount = rows.length.toLong,
       executionTimeMs = (System.nanoTime() - t0) / 1e6)
+  }
+
+  /** Execution-time cap: the collect runs under a per-query job group;
+    * on timeout every job in the group is cancelled on the cluster (the
+    * work actually STOPS — a bare future timeout would leave executors
+    * burning) and the declared-contract timeout surfaces as 500-class.
+    */
+  private def collectWithTimeout(df: org.apache.spark.sql.DataFrame,
+                                 query: String): Array[org.apache.spark.sql.Row] = {
+    val groupId = s"graft-query-${java.util.UUID.randomUUID()}"
+    val executor = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = executor.submit(
+        new java.util.concurrent.Callable[Array[org.apache.spark.sql.Row]] {
+          def call(): Array[org.apache.spark.sql.Row] = {
+            spark.sparkContext.setJobGroup(groupId, query,
+              interruptOnCancel = true)
+            try df.collect()
+            finally spark.sparkContext.clearJobGroup()
+          }
+        })
+      try fut.get(maxExecutionSeconds.toLong, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(groupId)
+          throw new QueryTimeoutException(
+            s"Query exceeded maximum execution time of ${maxExecutionSeconds}s")
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      }
+    } finally executor.shutdownNow()
   }
 
   /** GET /schema equivalent (api-service/src/query_engine.py:151-165):

@@ -66,6 +66,28 @@ object EventStream {
         col("w.end").as("session_end"), col("user_id"),
         col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: each left event joined to right
+    * events of the same key whose time falls in
+    * `[left.ts - maxAge, left.ts]` — attribution joins ("purchases to
+    * the views of the preceding hour"). Watermarks on BOTH sides bound
+    * the join state; without them a stream-stream join buffers forever.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   maxAge: String = "1 hour",
+                   lateness: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val l = left.withWatermark("ts", lateness)
+      .select(col(keyCol).as("k"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col(keyCol).as("r_k"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"))
+    l.join(r, expr(
+      s"k = r_k AND r_ts >= l_ts - INTERVAL $maxAge AND r_ts <= l_ts"))
+      .select(col("k").as(keyCol), col("l_event_id"), col("l_ts"),
+        col("r_event_id"), col("r_ts"))
+  }
+
   // ── custom state: per-user running profile ──────────────────────────
 
   final case class UserEvent(user_id: Long, event_type: String, value: Double)

@@ -72,6 +72,33 @@ class QueryEngineSpec extends SparkSpec {
     assert(big.rowCount == 10000)
   }
 
+  test("execution timeout cancels the job group (declared 30s cap, enforced)") {
+    val impatient = {
+      val srcDir = Files.createTempDirectory("graft-tosrc").toString
+      val snapDir = Files.createTempDirectory("graft-tosnap").toString
+      Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("id", "updated_at")
+        .write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+      val store = new SnapshotStore(spark, snapDir)
+      new SyncManager(spark, new ParquetSource(srcDir, Seq("t")), store)
+        .runCycle()
+      new QueryEngine(spark, new SnapshotReader(store),
+        maxExecutionSeconds = 2)
+    }
+    // a cross join large enough to outlive the 2s cap
+    spark.range(3000000).toDF("a").createOrReplaceTempView("big_a")
+    spark.range(3000000).toDF("b").createOrReplaceTempView("big_b")
+    val t0 = System.nanoTime()
+    intercept[QueryTimeoutException] {
+      impatient.execute(
+        "SELECT COUNT(*) FROM big_a WHERE a IN (SELECT CAST(b % 7 AS BIGINT) + a FROM big_b)")
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed < 30, s"cancellation took ${elapsed}s")
+    // engine still serves after a cancellation
+    assert(impatient.execute("SELECT * FROM t").rowCount == 1)
+  }
+
   test("PlanGuard rejects commands at parse time") {
     intercept[PlanGuard.WriteRejectedException] {
       PlanGuard.assertReadOnly(spark, "CREATE TABLE t (x INT)")

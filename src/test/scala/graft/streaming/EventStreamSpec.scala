@@ -84,6 +84,30 @@ class EventStreamSpec extends SparkSpec {
     assert(snap.count() == m.get.tables("events"))
   }
 
+  test("stream-stream interval join: views within the preceding hour") {
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    Seq(
+      (1L, "2024-01-01 08:00:00", 1L, "view", 1.0, "{}"),     // too old
+      (2L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}"),     // in window
+      (3L, "2024-01-01 10:30:00", 1L, "purchase", 9.0, "{}"),
+      (4L, "2024-01-01 10:15:00", 2L, "view", 1.0, "{}"))     // other user
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", unix_timestamp(col("tss")) * 1000000000L)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+
+    val events = EventStream.readEvents(spark, dir)
+    val joined = EventStream.intervalJoin(
+      events.filter(col("event_type") === "purchase"),
+      events.filter(col("event_type") === "view"),
+      "user_id", maxAge = "1 hour")
+    EventStream.runToMemory(joined, "ssj_out")
+    val out = spark.table("ssj_out")
+      .select("l_event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((3L, 2L)), out) // only the in-window same-user view
+  }
+
   test("stateful user profiles accumulate across a batch") {
     import EventStream.UserEvent
     val events = Seq(
