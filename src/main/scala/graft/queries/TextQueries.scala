@@ -191,6 +191,23 @@ object TextQueries {
         .orderBy("doc_id"),
       headline = true),
 
+    // PII audit over the corpus (regex subset shared by Java regex and
+    // RE2, so the counts oracle-match; the synthetic corpus is clean →
+    // the oracle asserts exactly that)
+    Q("d16_pii_audit",
+      (s, d) => docs(s, d)
+        .withColumn("c", graft.functions.Redaction.piiCounts(col("text")))
+        .groupBy()
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("c.n_emails")).as("total_emails"),
+          sum(col("c.n_urls")).as("total_urls"),
+          sum(col("c.n_ips")).as("total_ips")),
+      Some("""SELECT COUNT(*) AS n_docs,
+                SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS total_emails,
+                SUM(len(regexp_extract_all(text, 'https?://[^\s]+'))) AS total_urls,
+                SUM(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS total_ips
+              FROM documents""")),
+
     // deterministic stratified sample: 20 docs per language by md5
     // hash order (reproducible across engines — oracle-checked)
     Q("d14_stratified_sample",
