@@ -56,6 +56,27 @@ final class ParquetSource(dir: String, tables: Seq[String]) extends Source {
     graft.core.Tables.load(spark, dir, table)
 }
 
+/** CSV source: `<dir>/<table>.csv` with header + schema inference.
+  * At scale, pass an explicit schema instead — inference scans twice.
+  */
+final class CsvSource(dir: String, tables: Seq[String],
+                      delimiter: String = ",") extends Source {
+  def tableNames: Seq[String] = tables
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .option("inferSchema", "true")
+      .csv(s"$dir/$table.csv")
+}
+
+/** JSON-lines source: `<dir>/<table>.jsonl`. */
+final class JsonSource(dir: String, tables: Seq[String]) extends Source {
+  def tableNames: Seq[String] = tables
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.json(s"$dir/$table.jsonl")
+}
+
 /** JDBC source — shape parity with the reference's extract path (S1:
   * full scan, partitioned on the key column for executor parallelism —
   * connections open on executors, not the driver). Unused in the offline

@@ -206,6 +206,85 @@ object ExtraQueries {
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
 
+    // TPC-H Q7-shaped: bilateral volume between two nations by year
+    Q("q48_nation_volume",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val su = t(s, d, "supplier")
+        val n1 = broadcast(t(s, d, "nation"))
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = broadcast(t(s, d, "nation"))
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(n1, col("s_nationkey") === col("sk"))
+          .join(n2, col("c_nationkey") === col("ck"))
+          .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY")
+            || (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+                 ${oSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+               FROM lineitem
+               JOIN orders   ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+                  OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+               GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // TPC-H Q15-shaped: argmax via scalar subquery over an aggregate
+    Q("q49_top_supplier",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .cast("double").as("total_revenue"))
+        val maxRev = rev.agg(max(col("total_revenue"))).first().getDouble(0)
+        rev.filter(col("total_revenue") === maxRev)
+          .join(t(s, d, "supplier"), col("supplier_no") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rev AS (
+                 SELECT l_suppkey AS supplier_no,
+                   ${oSum("l_extendedprice * (1.0 - l_discount)", 4)} AS total_revenue
+                 FROM lineitem GROUP BY l_suppkey)
+               SELECT s_suppkey, s_name, total_revenue
+               FROM rev JOIN supplier ON supplier_no = s_suppkey
+               WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+               ORDER BY s_suppkey""")),
+
+    // TPC-H Q18-shaped: large orders via IN over a grouped HAVING
+    Q("q50_large_orders",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val big = li.groupBy("l_orderkey")
+          .agg(dsum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 250)
+        t(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select("o_orderkey", "o_custkey", "o_totalprice", "total_qty")
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+               FROM orders JOIN (
+                 SELECT l_orderkey, ${oSum("l_quantity")} AS total_qty
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING ${oSum("l_quantity")} > 250) big
+               ON o_orderkey = big.l_orderkey
+               ORDER BY total_qty DESC, o_orderkey""")),
+
     // schema-on-read JSON parsing (from_json → typed struct) + agg
     Q("q46_from_json",
       (s, d) => t(s, d, "events")

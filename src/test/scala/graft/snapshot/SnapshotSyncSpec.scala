@@ -173,6 +173,30 @@ class SnapshotSyncSpec extends SparkSpec {
       merged.mkString(";")) // update applied, insert applied, rest kept
   }
 
+  test("csv and json sources feed the same sync pipeline") {
+    import graft.ingest.{CsvSource, JsonSource}
+    val srcDir = Files.createTempDirectory("graft-fmt").toString
+    val snapDir = Files.createTempDirectory("graft-fmtsnap").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$srcDir/inventory.csv"),
+      "id,quantity,updated_at\n1,5,2024-01-01 00:00:00\n2,3,2024-01-02 00:00:00\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$srcDir/products.jsonl"),
+      """{"id": 1, "updated_at": "2024-01-01 12:00:00"}""" + "\n" +
+        """{"id": 2, "updated_at": "2024-01-03 12:00:00"}""" + "\n")
+    val store = new SnapshotStore(spark, snapDir)
+    val csvR = new SyncManager(spark,
+      new CsvSource(srcDir, Seq("inventory")), store).runCycle(
+      Instant.parse("2024-08-01T00:00:00Z"))
+    assert(csvR.success, csvR.error)
+    assert(csvR.manifest.get.tables("inventory") == 2L)
+    val jsonR = new SyncManager(spark,
+      new JsonSource(srcDir, Seq("products")), store).runCycle(
+      Instant.parse("2024-08-01T01:00:00Z"))
+    assert(jsonR.success, jsonR.error)
+    assert(jsonR.manifest.get.tables("products") == 2L)
+  }
+
   test("failure is soft (T7)") {
     val (_, snapDir) = env
     val store = new SnapshotStore(spark, snapDir)
