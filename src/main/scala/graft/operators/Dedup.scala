@@ -85,12 +85,16 @@ object Dedup {
       .select(col(idCol), col("sig").as("__sig"), col("__b.band").as("band"),
         col("__b.bh").as("bh"))
 
-    // skew guard: drop degenerate buckets (e.g. empty-shingle collisions)
-    val sized = withSig
-      .withColumn("__cnt", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+    // skew guard: drop degenerate buckets (e.g. empty-shingle
+    // collisions). Hash-aggregated bucket sizes joined back — a window
+    // would SORT all banded rows per partition; the aggregation is one
+    // map-side-combined pass and the join output carries only
+    // keepable buckets
+    val bucketSizes = withSig.groupBy("band", "bh")
+      .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") <= maxBucketSize && col("__cnt") > 1)
-      .drop("__cnt")
+      .select("band", "bh")
+    val sized = withSig.join(bucketSizes, Seq("band", "bh"))
 
     val a = sized.select(col("band"), col("bh"),
       col(idCol).as("id_a"), col("__sig").as("sig_a"))
@@ -189,11 +193,13 @@ object Dedup {
           .as("bh"))): _*)))
       .select(col(idCol), col("simhash"), col("__b.band").as("band"),
         col("__b.bh").as("bh"))
-    val sized = banded
-      .withColumn("__cnt", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("__cnt") <= maxBucketSize)
-      .drop("__cnt")
+    // same hash-aggregated skew guard as minhashCandidates (buckets of
+    // size 1 can't pair, so they're dropped here too)
+    val keepBuckets = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") <= maxBucketSize && col("__cnt") > 1)
+      .select("band", "bh")
+    val sized = banded.join(keepBuckets, Seq("band", "bh"))
     val a = sized.select(col("band"), col("bh"), col(idCol).as("id_a"),
       col("simhash").as("sh_a"))
     val b = sized.select(col("band"), col("bh"), col(idCol).as("id_b"),

@@ -119,6 +119,24 @@ class HttpApiSpec extends SparkSpec {
     } finally tight.stop()
   }
 
+  test("concurrent queries all succeed (FAIR-ish serving)") {
+    import scala.jdk.CollectionConverters._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    try {
+      val tok = token()
+      val tasks = (1 to 5).map { i =>
+        new java.util.concurrent.Callable[Int] {
+          def call(): Int = get(
+            "/query?q=" + java.net.URLEncoder.encode(
+              s"SELECT * FROM inventory WHERE id >= $i ORDER BY id", "UTF-8"),
+            Some(tok))._1
+        }
+      }
+      val codes = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+      assert(codes.forall(_ == 200), codes)
+    } finally pool.shutdown()
+  }
+
   test("structured request logs carry method/path/status/duration/ip") {
     get("/health", None)
     val lines = api._3.synchronized(api._3.toString)
