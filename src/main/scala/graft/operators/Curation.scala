@@ -21,6 +21,9 @@ import graft.functions.TextFunctions
   */
 object Curation {
 
+  private val lastPersisted =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   final case class Report(
       input: Long, afterQuality: Long, afterLang: Long,
       afterExact: Long, afterNearDup: Long)
@@ -39,10 +42,14 @@ object Curation {
       case None => gated
     }
     // the survivors frame feeds three consumers (signatures, verify
-    // sets, final anti-join); without a persist the regex-heavy quality
-    // gate and the dedup window recompute once per consumer
+    // sets, final anti-join); without a persist the quality gate and
+    // the dedup window recompute once per consumer. At most one cached
+    // copy stays alive per JVM: repeated curate() calls release the
+    // previous one (long-lived sessions must not accumulate blocks).
     val exact = Dedup.exactSurvivors(langed.drop("__q"), idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(Curation.lastPersisted.getAndSet(exact))
+      .foreach(_.unpersist(blocking = false))
     val dupIds = Dedup.minhashNearDups(exact, idCol, textCol,
       threshold = nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct() // keep the lower id

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import graft.core.Tables
-import graft.operators.Dedup
+import graft.operators.Curation
 
 /** Scratch perf probe (dev tool, not part of the driver contract). */
 object Probe {
@@ -12,12 +12,16 @@ object Probe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
-         h <- Seq(3, 6, 12)) {
-      val docs = Tables.load(spark, d, "documents")
-      val n = Dedup.simhashNearDups(docs, "doc_id", "text",
-        bands = 4, maxHamming = h).count()
-      println(s"[probe] $d hamming<=$h pairs=$n")
+    val d = "/root/testdata/sf0.1"
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+    }
+    (1 to 3).foreach { i =>
+      val docs = Tables.load(spark, d, "documents").repartition(64)
+      val out = Curation.curate(docs, "doc_id", "text",
+        minQuality = 0.3, nearDupThreshold = 0.5)
+      time(s"curate run$i")(println("[probe] survivors " + out.count()))
     }
     spark.stop()
   }
