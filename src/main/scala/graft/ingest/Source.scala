@@ -70,6 +70,13 @@ final class CsvSource(dir: String, tables: Seq[String],
       .csv(s"$dir/$table.csv")
 }
 
+/** ORC source: `<dir>/<table>.orc` (columnar alternative, built-in). */
+final class OrcSource(dir: String, tables: Seq[String]) extends Source {
+  def tableNames: Seq[String] = tables
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.orc(s"$dir/$table.orc")
+}
+
 /** JSON-lines source: `<dir>/<table>.jsonl`. */
 final class JsonSource(dir: String, tables: Seq[String]) extends Source {
   def tableNames: Seq[String] = tables

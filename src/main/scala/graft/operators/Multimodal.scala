@@ -86,6 +86,25 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize plumbing: rewrites target dimensions in the typed metadata
+    * and produces a proportionally subsampled payload (every k-th byte
+    * — the STUB stand-in for a real scaler; see fakeDecode). The parts
+    * that survive a real codec swap: metadata contract, deterministic
+    * output size, pure column-level operation (no driver round trip).
+    */
+  def resize(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val origPixels = col("meta.width") * col("meta.height")
+    val targetPixels = lit(targetW) * lit(targetH)
+    val keepRatio = least(targetPixels.cast("double") / origPixels, lit(1.0))
+    val newLen = greatest((length(col("bytes")) * keepRatio).cast("int"), lit(1))
+    assets
+      .withColumn("bytes", col("bytes").substr(lit(1), newLen))
+      .withColumn("meta", struct(
+        lit(targetW).as("width"), lit(targetH).as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        newLen.cast("long").as("n_bytes")))
+  }
+
   /** Frame sampling for `video` assets: every `frameBytes` slice becomes
     * a (asset_id, frame_idx, frame) row — pure explode, no driver loop;
     * non-video assets pass through as a single frame 0.

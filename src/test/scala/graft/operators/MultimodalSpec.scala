@@ -45,6 +45,19 @@ class MultimodalSpec extends SparkSpec {
     assert(perAsset(2L) == 1L)
   }
 
+  test("resize rewrites metadata and shrinks payload proportionally") {
+    val a = Multimodal.assetsFrom(docs, "doc_id", "text")
+    val r = Multimodal.resize(a, 8, 8).filter($"asset_id" === 3).first()
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getInt(0) == 8 && meta.getInt(1) == 8)
+    val n = r.getAs[Array[Byte]]("bytes").length
+    assert(n < 200 && n >= 1, s"payload $n") // shrunk from 200 bytes
+    assert(meta.getLong(3) == n.toLong)      // n_bytes tracks payload
+    // upscale never grows the payload
+    val up = Multimodal.resize(a, 4096, 4096).filter($"asset_id" === 0).first()
+    assert(up.getAs[Array[Byte]]("bytes").length == 4)
+  }
+
   test("frame sampling: long video yields multiple capped frames") {
     val longDocs = Seq((2L, "x" * 1000)).toDF("doc_id", "text")
     val a = Multimodal.assetsFrom(longDocs, "doc_id", "text")

@@ -195,6 +195,16 @@ class SnapshotSyncSpec extends SparkSpec {
       Instant.parse("2024-08-01T01:00:00Z"))
     assert(jsonR.success, jsonR.error)
     assert(jsonR.manifest.get.tables("products") == 2L)
+
+    import graft.ingest.OrcSource
+    Seq((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-02 00:00:00")))
+      .toDF("id", "updated_at")
+      .write.mode("overwrite").orc(s"$srcDir/ledger.orc")
+    val orcR = new SyncManager(spark,
+      new OrcSource(srcDir, Seq("ledger")), store).runCycle(
+      Instant.parse("2024-08-01T02:00:00Z"))
+    assert(orcR.success, orcR.error)
+    assert(orcR.manifest.get.tables("ledger") == 2L)
   }
 
   test("failure is soft (T7)") {
