@@ -96,13 +96,18 @@ object Multimodal {
     val origPixels = col("meta.width") * col("meta.height")
     val targetPixels = lit(targetW) * lit(targetH)
     val keepRatio = least(targetPixels.cast("double") / origPixels, lit(1.0))
-    val newLen = greatest((length(col("bytes")) * keepRatio).cast("int"), lit(1))
     assets
-      .withColumn("bytes", col("bytes").substr(lit(1), newLen))
+      // materialize the target length BEFORE overwriting bytes — the
+      // expression references length(bytes), which must mean the
+      // ORIGINAL payload in both consumers
+      .withColumn("__new_len",
+        greatest((length(col("bytes")) * keepRatio).cast("int"), lit(1)))
+      .withColumn("bytes", col("bytes").substr(lit(1), col("__new_len")))
       .withColumn("meta", struct(
         lit(targetW).as("width"), lit(targetH).as("height"),
         col("meta.sample_rate").as("sample_rate"),
-        newLen.cast("long").as("n_bytes")))
+        col("__new_len").cast("long").as("n_bytes")))
+      .drop("__new_len")
   }
 
   /** Frame sampling for `video` assets: every `frameBytes` slice becomes
