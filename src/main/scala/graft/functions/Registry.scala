@@ -12,6 +12,26 @@ import org.apache.spark.sql.SparkSession
 object Registry {
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Composite functions register as hand-built catalyst trees (the
+    // Column API builds unresolved ColumnNodes that won't re-analyze
+    // inside a registered function body).
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace, RegExpExtractAll, Size}
+    def replaceChain(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     steps: Seq[(String, String)]) =
+      steps.foldLeft(e) { case (acc, (re, tag)) =>
+        RegExpReplace(acc, Literal(re), Literal(tag))
+      }
+    reg.createOrReplaceTempFunction("redact_pii",
+      exprs => replaceChain(exprs.head, Seq(
+        Redaction.urlRe -> "<URL>", Redaction.emailRe -> "<EMAIL>",
+        Redaction.ipv4Re -> "<IP>", Redaction.phoneRe -> "<PHONE>")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("quality_stats",
+      exprs => QualityStatsExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("token_count_bpe",
+      exprs => Size(RegExpExtractAll(exprs.head,
+        Literal("'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"),
+        Literal(0))), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",

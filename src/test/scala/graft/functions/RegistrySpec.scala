@@ -21,4 +21,18 @@ class RegistrySpec extends SparkSpec {
     assert(math.abs(row.getDouble(row.fieldIndex("cos")) - 1.0) < 1e-12)
     assert(row.getString(row.fieldIndex("lang")) == "en")
   }
+
+  test("composed column functions callable from SQL") {
+    Registry.registerAll(spark)
+    Seq((1L, "email me at a@b.co about the quick brown fox"))
+      .toDF("id", "text").createOrReplaceTempView("reg_c")
+    val row = spark.sql(
+      """SELECT redact_pii(text) AS red,
+        |       quality_stats(text).n_tokens AS n_toks,
+        |       token_count_bpe(text) AS bpe
+        |FROM reg_c""".stripMargin).first()
+    assert(row.getString(0).contains("<EMAIL>"))
+    assert(row.getLong(1) >= 9L)
+    assert(row.getInt(2) >= 9)
+  }
 }
