@@ -75,13 +75,21 @@ object Similarity {
     * mean per (label, dim), re-assemble ordered arrays. Scales to any
     * row count — the shuffle is labels × dims, independent of corpus
     * size after partial aggregation.
+    *
+    * The mean accumulates in DECIMAL(38,18): double SUM is
+    * order-dependent across partitions, so a plain `avg` returns a
+    * (slightly) different centroid on every repartition. Exact decimal
+    * accumulation makes the result reproducible — and differential-
+    * testable — regardless of partitioning.
     */
   def labelCentroids(corpus: DataFrame, labelCol: String,
                      vecCol: String): DataFrame =
     corpus.select(col(labelCol).as("label"),
       posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy("label", "dim")
-      .agg(avg(col("v").cast("double")).as("mean"))
+      .agg((sum(col("v").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double") / count(lit(1))).as("mean"))
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
         .as("__pairs"))

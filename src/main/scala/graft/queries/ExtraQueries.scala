@@ -295,9 +295,12 @@ object ExtraQueries {
           sum(col("k").cast("long")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type"),
+      // CAST(SUM(BIGINT) AS BIGINT): DuckDB widens integer SUM to
+      // HUGEINT, which the driver's pandas compare hashes differently
+      // from Spark's int64
       Some("""SELECT event_type,
                 COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
-                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
                 MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
               FROM events GROUP BY event_type ORDER BY event_type""")),

@@ -66,8 +66,11 @@ object TextQueries {
         sum(col("n_chars")).as("total_chars"),
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
         .orderBy("lang"),
+      // DuckDB SUM(BIGINT) widens to HUGEINT (int128) — pandas reads
+      // that as object/float and the driver's hash diverges from
+      // Spark's int64. Pin the oracle back to BIGINT.
       Some("""SELECT lang, COUNT(*) AS n_docs,
-                SUM(n_chars) AS total_chars,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
               FROM documents GROUP BY lang ORDER BY lang""")),
 
@@ -202,11 +205,24 @@ object TextQueries {
           sum(col("c.n_emails")).as("total_emails"),
           sum(col("c.n_urls")).as("total_urls"),
           sum(col("c.n_ips")).as("total_ips")),
-      Some("""SELECT COUNT(*) AS n_docs,
-                SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS total_emails,
-                SUM(len(regexp_extract_all(text, 'https?://[^\s]+'))) AS total_urls,
-                SUM(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS total_ips
-              FROM documents""")),
+      // the oracle applies the SAME strip cascade piiCounts does
+      // (emails counted on URL-stripped text, IPs on the URL+email-
+      // stripped text) — counting every category on raw text diverges
+      // whenever a URL embeds an email-/IP-shaped token. Sums cast
+      // back to BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT).
+      Some("""WITH c AS (
+                SELECT text,
+                  regexp_replace(text, 'https?://[^\s]+', '', 'g') AS no_url
+                FROM documents),
+              c2 AS (
+                SELECT text, no_url,
+                  regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g') AS no_email
+                FROM c)
+              SELECT COUNT(*) AS n_docs,
+                CAST(SUM(len(regexp_extract_all(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS total_emails,
+                CAST(SUM(len(regexp_extract_all(text, 'https?://[^\s]+'))) AS BIGINT) AS total_urls,
+                CAST(SUM(len(regexp_extract_all(no_email, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS total_ips
+              FROM c2""")),
 
     // deterministic stratified sample: 20 docs per language by md5
     // hash order (reproducible across engines — oracle-checked)

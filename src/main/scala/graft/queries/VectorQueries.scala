@@ -61,11 +61,22 @@ object VectorQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // exploded to scalar (label, dim, value) rows: the driver's pandas
+    // compare cannot sort/hash array columns, and the long form is
+    // DuckDB-oracle-checkable (exact decimal mean on both sides)
     Q("e03_label_centroids",
       (s, d) => Similarity.labelCentroids(emb(s, d), "label", "embedding")
-        .withColumn("centroid",
-          transform(col("centroid"), v => round(v, 6)))
-        .orderBy("label")),
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "value")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          round(col("value"), 6).as("value"))
+        .orderBy("label", "dim"),
+      Some("""SELECT label, CAST(dim AS BIGINT) AS dim,
+                round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+                  / COUNT(*), 6) AS value
+              FROM (SELECT label, unnest(embedding) AS v,
+                           unnest(range(len(embedding))) AS dim
+                    FROM embeddings)
+              GROUP BY label, dim ORDER BY label, dim""")),
 
     Q("e04_embedding_neardups",
       (s, d) => Similarity.embeddingNearDups(emb(s, d), "vec_id",
@@ -78,7 +89,11 @@ object VectorQueries {
         val assets = Multimodal.assetsFrom(
           Tables.load(s, d, "documents"), "doc_id", "text")
         Multimodal.extractFeatures(s, assets)
-          .withColumn("features", transform(col("features"), v => round(v, 5)))
+          // flattened to one CSV string: the driver's pandas compare
+          // cannot sort/hash array columns
+          .withColumn("features",
+            concat_ws(",", transform(col("features"),
+              v => round(v, 5).cast("string"))))
           .orderBy("asset_id")
       }),
 
