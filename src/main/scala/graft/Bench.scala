@@ -46,7 +46,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver parses the tail of captured output — silence shutdown
+    // logging and re-print the JSON as the true last line so it cannot
+    // be truncated out of the tail window
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(json)
   }
 }

@@ -21,9 +21,6 @@ import graft.functions.TextFunctions
   */
 object Curation {
 
-  private val lastPersisted =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
   final case class Report(
       input: Long, afterQuality: Long, afterLang: Long,
       afterExact: Long, afterNearDup: Long)
@@ -42,14 +39,15 @@ object Curation {
       case None => gated
     }
     // the survivors frame feeds three consumers (signatures, verify
-    // sets, final anti-join); without a persist the quality gate and
-    // the dedup window recompute once per consumer. At most one cached
-    // copy stays alive per JVM: repeated curate() calls release the
-    // previous one (long-lived sessions must not accumulate blocks).
+    // sets, final anti-join); without materialization the quality gate
+    // and the dedup window recompute once per consumer. localCheckpoint
+    // (eager) materializes once and truncates lineage — each curate()
+    // call owns its own checkpointed blocks (concurrent pipelines in
+    // the multi-threaded serving layer can't evict each other, unlike
+    // a JVM-global persist ref), and the ContextCleaner frees them
+    // when the returned frame is dropped.
     val exact = Dedup.exactSurvivors(langed.drop("__q"), idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(Curation.lastPersisted.getAndSet(exact))
-      .foreach(_.unpersist(blocking = false))
+      .localCheckpoint()
     val dupIds = Dedup.minhashNearDups(exact, idCol, textCol,
       threshold = nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct() // keep the lower id

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorKernels
 
@@ -16,8 +17,10 @@ import graft.functions.VectorKernels
   * Everything is DataFrame-composed and deterministic:
   *  - seeding: the `nCells` vectors with the smallest xxhash64(id) — a
   *    deterministic uniform sample, no Math.random;
-  *  - Lloyd iterations: assign (broadcast centroids, argmin by window)
-  *    → recompute means (posexplode + (cell,dim) partial aggregation);
+  *  - Lloyd iterations: assign (in-row argmin against the broadcast
+  *    centroid array) → recompute means (posexplode + (cell,dim)
+  *    partial aggregation in exact DECIMAL, so centroids do not drift
+  *    with partitioning);
   *  - index: (cell_id, id, vec) — at scale this is what you'd write
   *    back partitioned by cell_id for locality.
   */
@@ -37,7 +40,11 @@ object IvfAnn {
       assign(corpus, idCol, vecCol, cents)
         .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy("cell_id", "dim")
-        .agg(avg(col("v").cast("double")).as("m"))
+        // exact decimal mean: double SUM is partition-order-dependent,
+        // and a drifting centroid makes every downstream assignment —
+        // and therefore the whole index — non-reproducible
+        .agg((sum(col("v").cast("double").cast(DecimalType(38, 18)))
+          .cast("double") / count(lit(1))).as("m"))
         .groupBy("cell_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("__p"))
         .withColumn("centroid", transform(col("__p"), p => p.getField("m")))
@@ -45,17 +52,30 @@ object IvfAnn {
     }
   }
 
-  /** Nearest-centroid assignment: (idCol, vecCol, cell_id). */
+  /** Nearest-centroid assignment: (idCol, vecCol, cell_id).
+    *
+    * The centroid set is collapsed to ONE row carrying an
+    * array<struct<cell_id,centroid>> and broadcast; each corpus row
+    * computes its argmax-cosine in-row over that array. No ×nCells row
+    * inflation, no per-id window sort, no Exchange of corpus data at
+    * all — the previous crossJoin+row_number formulation shuffled and
+    * sorted an nCells× inflated corpus on a unique key, which at 100×
+    * scale is the index build's bottleneck. Ties break toward the
+    * smallest cell_id (struct max on (sim, -cell_id)), matching the
+    * old (sim desc, cell_id asc) rank order exactly.
+    */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("__sim").desc, col("cell_id"))
-    corpus.crossJoin(broadcast(cents))
-      .withColumn("__sim",
-        VectorKernels.cosineSim(col(vecCol), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+    val centArr = cents
+      .agg(collect_list(struct(col("cell_id"), col("centroid"))).as("__cents"))
+    corpus.crossJoin(broadcast(centArr))
+      .withColumn("__best", array_max(transform(col("__cents"), c =>
+        struct(
+          VectorKernels.cosineSim(col(vecCol), c.getField("centroid"))
+            .as("sim"),
+          (-c.getField("cell_id")).as("negcell")))))
+      .select(col(idCol), col(vecCol),
+        (-col("__best.negcell")).cast("int").as("cell_id"))
   }
 
   /** Approximate top-k: probe the `nProbe` closest cells per query,
@@ -69,6 +89,9 @@ object IvfAnn {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col("cell_id"))
 
+    // probe ranking: |queries| × nCells rows — the window partitions
+    // are bounded by nCells regardless of corpus size, so this stage
+    // is scale-safe as-is
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("__sim").desc, col("cell_id"))
     val probes = queries
@@ -80,13 +103,12 @@ object IvfAnn {
       .filter(col("__rn") <= nProbe)
       .select("query_id", "qv", "cell_id")
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    index.join(broadcast(probes), Seq("cell_id"))
+    // candidate ranking via the bounded-heap aggregate (map-side
+    // top-k; see Similarity.rankTopK) — the scored candidates are
+    // never shuffled
+    val scored = index.join(broadcast(probes), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorKernels.cosineSim(col("qv"), col("cv")))
-      .select("query_id", "neighbor_id", "cosine").distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    Similarity.rankTopK(scored, k)
   }
 }

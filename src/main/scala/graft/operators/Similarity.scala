@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorKernels
+import graft.functions.{TopKAgg, VectorKernels}
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
@@ -25,6 +24,26 @@ import graft.functions.VectorKernels
   */
 object Similarity {
 
+  /** Rank scored (query_id, neighbor_id, cosine) candidates to the
+    * per-query top k via the bounded-heap aggregate: each task reduces
+    * its candidates to <= k per query map-side, so only
+    * `numPartitions × |queries| × k` heap entries shuffle — never the
+    * scored candidates themselves. (The window-rank formulation
+    * shuffles EVERY candidate into |queries| partitions and sorts:
+    * with 10 queries over a 1B-row corpus that stage is the job.)
+    * Duplicate neighbor ids (multiprobe bucket overlap) collapse
+    * inside the heap, so no `distinct()` pre-pass is needed either.
+    */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopKAgg.topKByScore(col("cosine"), col("neighbor_id"), k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__c")))
+      .select(col("query_id"),
+        col("__c.id").as("neighbor_id"),
+        col("__c.score").as("cosine"),
+        (col("__pos") + 1).as("rank"))
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide).
     */
@@ -35,11 +54,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorKernels.cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** SRP-LSH-bucketed approximate top-k. `numPlanes` controls bucket
@@ -64,11 +79,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorKernels.cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.select("query_id", "neighbor_id", "cosine").distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Per-label centroids: posexplode to (label, dim, value), aggregate
@@ -99,14 +110,30 @@ object Similarity {
 
   /** Embedding-space near-duplicate pairs: same-SRP-bucket candidates
     * with cosine >= threshold (the dedup-by-embedding operator).
+    *
+    * Bucket count is fixed at 2^numPlanes, so bucket population grows
+    * O(N) with the corpus and the within-bucket self-join is
+    * O(N²/2^numPlanes) — `maxBucketSize` is the same hash-aggregated
+    * skew guard minhash/simhash banding uses (Dedup.minhashCandidates):
+    * one hot bucket must not become the whole job. Size `numPlanes`
+    * with the corpus; the guard is the backstop, not the tuning knob.
     */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, numPlanes: Int = 8,
-                        dim: Int = 64, seed: Long = 42L): DataFrame = {
+                        dim: Int = 64, seed: Long = 42L,
+                        maxBucketSize: Int = 1000): DataFrame = {
     val v = corpus.select(col(idCol), col(vecCol).as("__v"))
       .withColumn("bucket", VectorKernels.srpBucket(col("__v"), numPlanes, dim, seed))
-    val a = v.select(col("bucket"), col(idCol).as("id_a"), col("__v").as("va"))
-    val b = v.select(col("bucket"), col(idCol).as("id_b"), col("__v").as("vb"))
+    // singleton buckets can't pair; oversized buckets are degenerate
+    // (e.g. zero vectors all land in bucket 0) — drop both before the
+    // self-join, via one map-side-combined aggregation
+    val keepBuckets = v.groupBy("bucket")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") <= maxBucketSize && col("__cnt") > 1)
+      .select("bucket")
+    val sized = v.join(keepBuckets, Seq("bucket"))
+    val a = sized.select(col("bucket"), col(idCol).as("id_a"), col("__v").as("va"))
+    val b = sized.select(col("bucket"), col(idCol).as("id_b"), col("__v").as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorKernels.cosineSim(col("va"), col("vb")))

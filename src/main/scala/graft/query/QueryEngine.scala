@@ -125,8 +125,16 @@ final class RateLimiter(maxRequests: Int = 50, windowSeconds: Int = 60,
     val allowed = q.size < maxRequests
     if (allowed) q.enqueue(now)
     // periodic sweep of idle clients: memory stays bounded by the
-    // active-window set, not by every client IP ever seen
-    if (hits.size > 10000) hits.filterInPlace((_, v) => v.nonEmpty)
+    // active-window set, not by every client IP ever seen. Idle
+    // clients' queues keep their stale timestamps (dequeue happens on
+    // THEIR next allow()), so prune by timestamp, not emptiness.
+    if (hits.size > 10000) {
+      val cutoff = now - windowSeconds * 1000L
+      hits.filterInPlace((_, v) => v.nonEmpty && v.last > cutoff)
+    }
     allowed
   }
+
+  /** Number of tracked clients (test observability). */
+  private[graft] def trackedClients: Int = synchronized(hits.size)
 }

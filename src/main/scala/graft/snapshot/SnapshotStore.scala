@@ -55,6 +55,10 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
   def readCurrentManifest(): Option[Manifest] =
     readString(currentManifestPath).map(Manifest.fromJson)
 
+  /** The per-generation manifest written alongside each snapshot. */
+  def readGenerationManifest(key: String): Option[Manifest] =
+    readString(new Path(genDir(key), "manifest.json")).map(Manifest.fromJson)
+
   def listGenerations(): Seq[String] =
     if (!fs.exists(historyDir)) Seq.empty
     else fs.listStatus(historyDir).filter(_.isDirectory)

@@ -123,6 +123,19 @@ object EventStream {
     * stops — one reference "sync tick"; a ProcessingTime trigger makes
     * it continuous.
     */
+  /** Replay guard: was `batchId` already published as a generation?
+    * Scans HISTORY generations, not just the current pointer: a
+    * concurrent publish (e.g. a SyncManager cycle) landing between a
+    * batch's publish and its checkpoint commit would hide the id from
+    * `current` and let the replay double-publish. History is bounded
+    * by retention (keep-24), so the scan is O(1) manifest reads.
+    */
+  private[graft] def isBatchPublished(store: graft.snapshot.SnapshotStore,
+                                      batchId: Long): Boolean =
+    store.listGenerations().reverse
+      .exists(key => store.readGenerationManifest(key)
+        .exists(_.metadata.get("batch_id").contains(batchId.toString)))
+
   def streamToSnapshots(events: DataFrame,
                         store: graft.snapshot.SnapshotStore,
                         table: String, checkpoint: String,
@@ -134,8 +147,7 @@ object EventStream {
         // foreachBatch is at-least-once: a crash between publish and
         // checkpoint commit replays the batch. The batch id rides in
         // the manifest; a replayed id is skipped → effectively-once.
-        val alreadyPublished = store.readCurrentManifest()
-          .exists(_.metadata.get("batch_id").contains(batchId.toString))
+        val alreadyPublished = isBatchPublished(store, batchId)
         if (!alreadyPublished && !batch.isEmpty)
           writer.publish(Map(table -> batch), sortCol = Some("ts"),
             metadata = Map("batch_id" -> batchId.toString))

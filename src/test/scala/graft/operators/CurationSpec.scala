@@ -29,6 +29,24 @@ class CurationSpec extends SparkSpec {
     assert(r.afterNearDup == 2)  // near dup gone
   }
 
+  test("concurrent curate calls don't disturb each other") {
+    // round-1 regression: a JVM-global persist ref let two in-flight
+    // curate() pipelines unpersist each other's cached survivors
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Future.sequence((1 to 4).map { _ =>
+      Future {
+        Curation.curate(docs, "doc_id", "text",
+          minQuality = 0.5, nearDupThreshold = 0.45)
+          .select("doc_id").as[Long].collect().sorted.toSeq
+      }
+    })
+    Await.result(runs, 120.seconds).foreach { out =>
+      assert(out == Seq(1L, 4L), s"concurrent curate diverged: $out")
+    }
+  }
+
   test("language gate") {
     val mixed = Seq(
       (1L, "the cat sat on the mat and it was happy with the sun in the sky"),

@@ -56,6 +56,26 @@ class SimilaritySpec extends SparkSpec {
     assert(c.length == 3)
   }
 
+  test("ANN rank stage is aggregate-based: no Window in the plan") {
+    // the per-query rank must run as a partial-aggregating heap, not a
+    // window — a window shuffles every scored candidate into |queries|
+    // partitions (the straggler stage at scale)
+    val plan = Similarity.bruteTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank stage still uses a window:\n$plan")
+    assert(plan.contains("top_k_by_score"), "expected the heap aggregate")
+  }
+
+  test("embedding near-dups drops oversized buckets") {
+    // with maxBucketSize=1 every pairable (size>=2) bucket is over the
+    // cap, so every candidate pair must disappear
+    val none = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.0, numPlanes = 1, dim = 4, maxBucketSize = 1)
+      .count()
+    assert(none == 0L, "oversized buckets must be dropped, not joined")
+  }
+
   test("embedding near-dups finds the duplicate pair") {
     val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
       threshold = 0.99, numPlanes = 4, dim = 4)

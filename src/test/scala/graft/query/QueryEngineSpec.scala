@@ -125,4 +125,17 @@ class QueryEngineSpec extends SparkSpec {
     now += 61000L
     assert(rl.allow("a")) // window slid
   }
+
+  test("rate limiter sweep evicts idle clients") {
+    var now = 0L
+    val rl = new RateLimiter(maxRequests = 3, windowSeconds = 60, clock = () => now)
+    (0 until 10001).foreach(i => rl.allow(s"client-$i"))
+    assert(rl.trackedClients > 10000)
+    // all 10001 now idle past the window; the next allow() must sweep
+    // them (their queues hold only stale timestamps — the round-1 sweep
+    // kept every non-empty queue and the map grew without bound)
+    now += 61000L
+    rl.allow("fresh")
+    assert(rl.trackedClients <= 2, s"idle clients not swept: ${rl.trackedClients}")
+  }
 }

@@ -84,6 +84,23 @@ class EventStreamSpec extends SparkSpec {
     assert(snap.count() == m.get.tables("events"))
   }
 
+  test("replay guard sees batch ids buried under later publishes") {
+    import graft.snapshot.{SnapshotStore, SnapshotWriter}
+    val snapDir = Files.createTempDirectory("graft-replay").toString
+    val store = new SnapshotStore(spark, snapDir)
+    val writer = new SnapshotWriter(store)
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "v")
+    writer.publish(Map("t" -> df), metadata = Map("batch_id" -> "7"))
+    // a concurrent SyncManager-style publish lands on top: `current`
+    // no longer carries batch 7
+    writer.publish(Map("t" -> df), metadata = Map.empty)
+    assert(!store.readCurrentManifest().get.metadata.contains("batch_id"))
+    assert(EventStream.isBatchPublished(store, 7L),
+      "replay guard must scan history, not just the current manifest")
+    assert(!EventStream.isBatchPublished(store, 8L))
+  }
+
   test("stream-stream interval join: views within the preceding hour") {
     val dir = Files.createTempDirectory("graft-ssj").toString
     Seq(
