@@ -239,19 +239,31 @@ case class LangIdExpr(child: Expression, floor: Double)
 
   private val und = UTF8String.fromString("und")
   private val zh = UTF8String.fromString("zh")
+  private val ja = UTF8String.fromString("ja")
+  private val ko = UTF8String.fromString("ko")
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     if (s.isEmpty) return und
-    var cjk = 0
+    // script split inside the CJK block: hangul → ko; any meaningful
+    // kana share → ja (Japanese prose mixes kana between kanji, while
+    // Chinese text contains none); han-only → zh
+    var han = 0; var kana = 0; var hangul = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if ((c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3040 && c <= 0x30ff) ||
-        (c >= 0xac00 && c <= 0xd7af) || (c >= 0x3400 && c <= 0x4dbf)) cjk += 1
+      if ((c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3400 && c <= 0x4dbf)) han += 1
+      else if (c >= 0x3040 && c <= 0x30ff) kana += 1
+      else if ((c >= 0xac00 && c <= 0xd7af) || (c >= 0x1100 && c <= 0x11ff))
+        hangul += 1
       i += 1
     }
-    if (cjk.toDouble / s.length > 0.2) return zh
+    val cjk = han + kana + hangul
+    if (cjk.toDouble / s.length > 0.2) {
+      if (hangul > han && hangul > kana) return ko
+      if (kana.toDouble / cjk > 0.05) return ja
+      return zh
+    }
     val toks = Sketch.tokenize(s)
     if (toks.isEmpty) return und
     var best = -1

@@ -10,9 +10,25 @@ import org.apache.spark.sql.functions._
   * read contract (strict `updated_at > since`, database.py:79-85) is
   * defined here once.
   */
+/** One column of a source table's schema (reference: the
+  * INFORMATION_SCHEMA.COLUMNS probe, etl-service/src/database.py:95-108
+  * returns exactly (name, type, nullable)).
+  */
+final case class ColumnInfo(name: String, dataType: String, nullable: Boolean)
+
 trait Source {
   def tableNames: Seq[String]
   def read(spark: SparkSession, table: String): DataFrame
+
+  /** S4 (extract half): schema introspection for a source table —
+    * (name, type, nullable) per column, the reference's
+    * INFORMATION_SCHEMA.COLUMNS contract (database.py:95-108). For
+    * file sources this reads footer/inferred metadata only — no data
+    * scan is triggered by `.schema`.
+    */
+  def describe(spark: SparkSession, table: String): Seq[ColumnInfo] =
+    read(spark, table).schema.fields.toSeq
+      .map(f => ColumnInfo(f.name, f.dataType.sql, f.nullable))
 
   /** S2: changed rows since the watermark — strict `>` exactly like the
     * reference (rows sharing the max timestamp written later are skipped;
@@ -27,12 +43,14 @@ trait Source {
                        since: Option[String],
                        watermarkCol: String = "updated_at"): DataFrame = {
     val df = read(spark, table)
-    if (!df.schema.fieldNames.contains(watermarkCol)) df
-    else since match {
-      case Some(ts) => df.filter(col(watermarkCol) > lit(ts).cast(
-        df.schema(watermarkCol).dataType))
-        .orderBy(col(watermarkCol)) // database.py:83 ORDER BY updated_at
+    Source.resolve(df, watermarkCol) match {
       case None => df
+      case Some(c) => since match {
+        case Some(ts) => df.filter(col(c) > lit(ts).cast(
+          df.schema(c).dataType))
+          .orderBy(col(c)) // database.py:83 ORDER BY updated_at
+        case None => df
+      }
     }
   }
 
@@ -40,10 +58,18 @@ trait Source {
   def maxWatermark(spark: SparkSession, table: String,
                    watermarkCol: String = "updated_at"): Option[String] = {
     val df = read(spark, table)
-    if (!df.schema.fieldNames.contains(watermarkCol)) None
-    else Option(df.agg(max(col(watermarkCol)).cast("string")).first()
-      .getString(0))
+    Source.resolve(df, watermarkCol).flatMap(c =>
+      Option(df.agg(max(col(c)).cast("string")).first().getString(0)))
   }
+}
+
+object Source {
+  /** Resolve a column name case-insensitively (Spark's default analyzer
+    * behavior, and databases like SQL Server / Derby surface uppercased
+    * identifiers): returns the schema's actual spelling.
+    */
+  private[ingest] def resolve(df: DataFrame, name: String): Option[String] =
+    df.schema.fieldNames.find(_.equalsIgnoreCase(name))
 }
 
 /** Directory-of-parquet source: `<dir>/<table>.parquet`. Reads through
@@ -86,26 +112,49 @@ final class JsonSource(dir: String, tables: Seq[String]) extends Source {
 
 /** JDBC source — shape parity with the reference's extract path (S1:
   * full scan, partitioned on the key column for executor parallelism —
-  * connections open on executors, not the driver). Unused in the offline
-  * environment; compiled to keep the contract honest.
+  * connections open on executors, not the driver; the reference's
+  * pooled reads, database.py:36-41, parallelize implicitly).
+  *
+  * Partition bounds are probed with one MIN/MAX aggregate (pushed to
+  * the database — the scan itself never runs on the driver) before the
+  * partitioned read; an empty table or a probe failure degrades to a
+  * single-partition read instead of erroring.
   */
 final class JdbcSource(url: String, tables: Seq[String],
                        props: java.util.Properties,
                        partitionCol: Option[String] = Some("id"),
                        numPartitions: Int = 8) extends Source {
   def tableNames: Seq[String] = tables
+
+  private def withProps(r: org.apache.spark.sql.DataFrameReader) = {
+    props.stringPropertyNames().forEach(k => r.option(k, props.getProperty(k)))
+    r
+  }
+
+  /** MIN/MAX of the partition column, as strings Spark's JDBC bounds
+    * parser accepts (numeric, date, or timestamp columns).
+    */
+  private def probeBounds(spark: SparkSession, table: String,
+                          c: String): Option[(String, String)] = {
+    val row = withProps(spark.read.format("jdbc").option("url", url)
+      .option("query", s"SELECT MIN($c) AS lo, MAX($c) AS hi FROM $table"))
+      .load().first()
+    if (row.isNullAt(0) || row.isNullAt(1)) None
+    else Some((row.get(0).toString, row.get(1).toString))
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = {
-    val base = spark.read.format("jdbc")
-      .option("url", url).option("dbtable", table)
-    val withPart = partitionCol match {
-      case Some(c) => base
-        .option("partitionColumn", c)
-        .option("numPartitions", numPartitions)
-        // lower/upperBound must be probed by callers before use
-      case None => base
+    val base = withProps(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table))
+    val bounded = partitionCol.flatMap { c =>
+      scala.util.Try(probeBounds(spark, table, c)).toOption.flatten
+        .map { case (lo, hi) =>
+          base.option("partitionColumn", c)
+            .option("numPartitions", numPartitions)
+            .option("lowerBound", lo)
+            .option("upperBound", hi)
+        }
     }
-    props.stringPropertyNames().forEach(k =>
-      withPart.option(k, props.getProperty(k)))
-    withPart.load()
+    bounded.getOrElse(base).load()
   }
 }

@@ -31,10 +31,35 @@ final class NoAuth(scopes: Set[String] = Set("read:analytics", "read:schema"))
     Right(Principal("anonymous", scopes))
 }
 
+/** Shared JWT claim validation — the reference's claim contract
+  * (auth.py:52-100): exp against the clock, exact aud and iss, scopes
+  * split from the space-separated `scope` claim.
+  */
+private[serve] object JwtClaims {
+  def validate(claims: com.fasterxml.jackson.databind.JsonNode,
+               audience: String, issuer: String,
+               nowEpochS: Long): Either[String, Principal] = {
+    if (claims.has("exp") && claims.get("exp").asLong() < nowEpochS)
+      return Left("Token expired")
+    if (claims.path("aud").asText() != audience)
+      return Left("Invalid audience")
+    if (claims.path("iss").asText() != issuer)
+      return Left("Invalid issuer")
+    val scopes = claims.path("scope").asText("")
+      .split(' ').filter(_.nonEmpty).toSet
+    Right(Principal(claims.path("sub").asText("unknown"), scopes))
+  }
+
+  def bearer(h: Option[String]): Either[String, String] = h match {
+    case Some(v) if v.startsWith("Bearer ") => Right(v.substring(7).trim)
+    case _ => Left("Missing bearer token")
+  }
+}
+
 /** HS256 JWT verification (same claim contract as the reference's RS256
   * path: exp, aud, iss, scope — auth.py:52-100 — with the asymmetric
   * JWKS step replaced by a shared-secret MAC so verification works with
-  * zero egress; swap in an RS256 verifier where a JWKS endpoint exists).
+  * zero egress; see RsaJwksAuthenticator for the RS256 form).
   */
 final class HmacJwtAuthenticator(secret: Array[Byte], audience: String,
                                  issuer: String,
@@ -43,35 +68,121 @@ final class HmacJwtAuthenticator(secret: Array[Byte], audience: String,
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  def authenticate(h: Option[String]): Either[String, Principal] = {
-    val token = h match {
-      case Some(v) if v.startsWith("Bearer ") => v.substring(7).trim
-      case _ => return Left("Missing bearer token")
+  def authenticate(h: Option[String]): Either[String, Principal] =
+    JwtClaims.bearer(h).flatMap { token =>
+      token.split('.') match {
+        case Array(h64, p64, s64) =>
+          val mac = Mac.getInstance("HmacSHA256")
+          mac.init(new SecretKeySpec(secret, "HmacSHA256"))
+          val expected = Base64.getUrlEncoder.withoutPadding.encodeToString(
+            mac.doFinal(s"$h64.$p64".getBytes(StandardCharsets.US_ASCII)))
+          if (!java.security.MessageDigest.isEqual(
+            expected.getBytes, s64.getBytes))
+            return Left("Invalid token signature")
+          val header = mapper.readTree(Base64.getUrlDecoder.decode(h64))
+          if (header.path("alg").asText() != "HS256")
+            return Left("Unsupported algorithm")
+          val claims = mapper.readTree(Base64.getUrlDecoder.decode(p64))
+          JwtClaims.validate(claims, audience, issuer, clock())
+        case _ => Left("Malformed token")
+      }
     }
-    token.split('.') match {
-      case Array(h64, p64, s64) =>
-        val mac = Mac.getInstance("HmacSHA256")
-        mac.init(new SecretKeySpec(secret, "HmacSHA256"))
-        val expected = Base64.getUrlEncoder.withoutPadding.encodeToString(
-          mac.doFinal(s"$h64.$p64".getBytes(StandardCharsets.US_ASCII)))
-        if (!java.security.MessageDigest.isEqual(
-          expected.getBytes, s64.getBytes))
-          return Left("Invalid token signature")
-        val header = mapper.readTree(Base64.getUrlDecoder.decode(h64))
-        if (header.path("alg").asText() != "HS256")
-          return Left("Unsupported algorithm")
-        val claims = mapper.readTree(Base64.getUrlDecoder.decode(p64))
-        if (claims.has("exp") && claims.get("exp").asLong() < clock())
-          return Left("Token expired")
-        if (claims.path("aud").asText() != audience)
-          return Left("Invalid audience")
-        if (claims.path("iss").asText() != issuer)
-          return Left("Invalid issuer")
-        val scopes = claims.path("scope").asText("")
-          .split(' ').filter(_.nonEmpty).toSet
-        Right(Principal(claims.path("sub").asText("unknown"), scopes))
-      case _ => Left("Malformed token")
+}
+
+/** RS256 JWT verification against a STATIC JWKS document — the
+  * reference's Auth0 contract (api-service/src/auth.py:17-100: fetch
+  * JWKS, look the token's `kid` up in `keys`, pin the algorithm to
+  * RS256, then verify exp/aud/iss) with the outbound fetch replaced by
+  * an operator-supplied JWKS JSON string, so the asymmetric path works
+  * with zero egress. Key confusion is rejected twice: the header `alg`
+  * must be RS256 (never read from attacker input beyond the
+  * comparison), and only RSA keys are loaded from the JWKS.
+  */
+final class RsaJwksAuthenticator(jwksJson: String, audience: String,
+                                 issuer: String,
+                                 clock: () => Long = () => System.currentTimeMillis() / 1000)
+    extends Authenticator {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** kid → RSA public key, from JWKS `keys[]` entries (kty=RSA, n, e). */
+  private val keys: Map[String, java.security.PublicKey] = {
+    val root = mapper.readTree(jwksJson)
+    val kf = java.security.KeyFactory.getInstance("RSA")
+    val it = root.path("keys").elements()
+    val b = Map.newBuilder[String, java.security.PublicKey]
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.path("kty").asText() == "RSA" && k.has("kid")) {
+        val n = new java.math.BigInteger(1,
+          Base64.getUrlDecoder.decode(k.get("n").asText()))
+        val e = new java.math.BigInteger(1,
+          Base64.getUrlDecoder.decode(k.get("e").asText()))
+        b += k.get("kid").asText() -> kf.generatePublic(
+          new java.security.spec.RSAPublicKeySpec(n, e))
+      }
     }
+    b.result()
+  }
+
+  def authenticate(h: Option[String]): Either[String, Principal] =
+    JwtClaims.bearer(h).flatMap { token =>
+      token.split('.') match {
+        case Array(h64, p64, s64) =>
+          val header = try mapper.readTree(Base64.getUrlDecoder.decode(h64))
+          catch { case _: Exception => return Left("Malformed token") }
+          // alg pin BEFORE key lookup: an HS256 token must never reach
+          // a code path holding key material (alg-confusion downgrade)
+          if (header.path("alg").asText() != "RS256")
+            return Left("Unsupported algorithm")
+          val kid = header.path("kid").asText("")
+          val key = keys.getOrElse(kid, return Left("Unknown key id"))
+          val sig = try Base64.getUrlDecoder.decode(s64)
+          catch { case _: Exception => return Left("Malformed token") }
+          val verifier = java.security.Signature.getInstance("SHA256withRSA")
+          verifier.initVerify(key)
+          verifier.update(s"$h64.$p64".getBytes(StandardCharsets.US_ASCII))
+          if (!(try verifier.verify(sig)
+          catch { case _: Exception => false }))
+            return Left("Invalid token signature")
+          val claims = try mapper.readTree(Base64.getUrlDecoder.decode(p64))
+          catch { case _: Exception => return Left("Malformed token") }
+          JwtClaims.validate(claims, audience, issuer, clock())
+        case _ => Left("Malformed token")
+      }
+    }
+}
+
+object RsaJwksAuthenticator {
+  import java.security.interfaces.RSAPublicKey
+
+  /** JWKS JSON for a set of (kid, publicKey) — test/tooling helper. */
+  def jwks(entries: Seq[(String, RSAPublicKey)]): String = {
+    val enc = Base64.getUrlEncoder.withoutPadding
+    def b64(i: java.math.BigInteger) = enc.encodeToString(i.toByteArray match {
+      case a if a.length > 1 && a(0) == 0 => a.drop(1) // strip sign byte
+      case a => a
+    })
+    entries.map { case (kid, k) =>
+      s"""{"kty":"RSA","use":"sig","alg":"RS256","kid":"$kid",""" +
+        s""""n":"${b64(k.getModulus)}","e":"${b64(k.getPublicExponent)}"}"""
+    }.mkString("""{"keys":[""", ",", "]}")
+  }
+
+  /** RS256 token minting for tests (not a serving concern). */
+  def mint(priv: java.security.PrivateKey, kid: String, audience: String,
+           issuer: String, subject: String, scopes: Seq[String],
+           expEpochS: Long): String = {
+    val enc = Base64.getUrlEncoder.withoutPadding
+    def b64(s: String) = enc.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+    val header = b64(s"""{"alg":"RS256","typ":"JWT","kid":"$kid"}""")
+    val payload = b64(
+      s"""{"sub":"$subject","aud":"$audience","iss":"$issuer",""" +
+        s""""scope":"${scopes.mkString(" ")}","exp":$expEpochS}""")
+    val signer = java.security.Signature.getInstance("SHA256withRSA")
+    signer.initSign(priv)
+    signer.update(s"$header.$payload".getBytes(StandardCharsets.US_ASCII))
+    s"$header.$payload.${enc.encodeToString(signer.sign())}"
   }
 }
 

@@ -37,6 +37,10 @@ class TextFunctionsSpec extends SparkSpec {
       "el perro y la gata están en la casa de los abuelos con una flor" -> "es",
       "le chien et la chatte sont dans les jardins pour une promenade" -> "fr",
       "你好世界这是一个测试文档" -> "zh",
+      // Japanese: kanji with kana particles/okurigana interleaved
+      "これはテストです。日本語の文書を確認しています" -> "ja",
+      // Korean: hangul syllable blocks
+      "안녕하세요 이것은 한국어 테스트 문서입니다" -> "ko",
       "qwzx vbnm asdf ghjk tyui" -> "und")
     cases.foreach { case (text, expected) =>
       assert(one(TextFunctions.langId($"t"), text) == expected,

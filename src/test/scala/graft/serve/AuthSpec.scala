@@ -1,0 +1,77 @@
+package graft.serve
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RS256/JWKS verification — the reference's Auth0 contract
+  * (api-service/src/auth.py:17-100): kid lookup in the JWKS, algorithm
+  * pinned to RS256, exp/aud/iss claim checks.
+  */
+class AuthSpec extends AnyFunSuite {
+
+  private val (kp, kp2) = {
+    val gen = java.security.KeyPairGenerator.getInstance("RSA")
+    gen.initialize(2048)
+    (gen.generateKeyPair(), gen.generateKeyPair())
+  }
+  private def pub(k: java.security.KeyPair) =
+    k.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+
+  private val jwks = RsaJwksAuthenticator.jwks(Seq("key-1" -> pub(kp)))
+  private val now = 1700000000L
+  private val auth = new RsaJwksAuthenticator(jwks, "aud-x", "iss-y",
+    clock = () => now)
+
+  private def token(kid: String = "key-1", aud: String = "aud-x",
+                    iss: String = "iss-y", exp: Long = now + 600,
+                    priv: java.security.PrivateKey = kp.getPrivate) =
+    RsaJwksAuthenticator.mint(priv, kid, aud, iss, "alice",
+      Seq("read:analytics", "read:schema"), exp)
+
+  test("valid RS256 token → principal with scopes") {
+    val r = auth.authenticate(Some(s"Bearer ${token()}"))
+    assert(r == Right(Principal("alice", Set("read:analytics", "read:schema"))))
+  }
+
+  test("wrong kid is rejected before any verification") {
+    assert(auth.authenticate(Some(s"Bearer ${token(kid = "key-9")}"))
+      == Left("Unknown key id"))
+  }
+
+  test("signature from a different key is rejected") {
+    // kid says key-1 but the signature came from another keypair
+    assert(auth.authenticate(
+      Some(s"Bearer ${token(priv = kp2.getPrivate)}"))
+      == Left("Invalid token signature"))
+  }
+
+  test("alg confusion: an HS256 token never reaches RSA verification") {
+    val hs = HmacJwtAuthenticator.mint("secret".getBytes, "aud-x", "iss-y",
+      "mallory", Seq("read:analytics"), now + 600)
+    assert(auth.authenticate(Some(s"Bearer $hs"))
+      == Left("Unsupported algorithm"))
+  }
+
+  test("expired / wrong audience / wrong issuer / missing header") {
+    assert(auth.authenticate(Some(s"Bearer ${token(exp = now - 1)}"))
+      == Left("Token expired"))
+    assert(auth.authenticate(Some(s"Bearer ${token(aud = "other")}"))
+      == Left("Invalid audience"))
+    assert(auth.authenticate(Some(s"Bearer ${token(iss = "other")}"))
+      == Left("Invalid issuer"))
+    assert(auth.authenticate(None) == Left("Missing bearer token"))
+    assert(auth.authenticate(Some("Bearer not.a.jwt")).isLeft)
+    assert(auth.authenticate(Some("Bearer abc")).isLeft)
+  }
+
+  test("HS256 authenticator still verifies its own tokens (regression)") {
+    val secret = "top-secret".getBytes
+    val a = new HmacJwtAuthenticator(secret, "aud-x", "iss-y",
+      clock = () => now)
+    val t = HmacJwtAuthenticator.mint(secret, "aud-x", "iss-y", "bob",
+      Seq("read:schema"), now + 600)
+    assert(a.authenticate(Some(s"Bearer $t"))
+      == Right(Principal("bob", Set("read:schema"))))
+    // RS256 token against the HMAC verifier fails on the MAC, not parse
+    assert(a.authenticate(Some(s"Bearer ${token()}")).isLeft)
+  }
+}

@@ -207,6 +207,17 @@ class SnapshotSyncSpec extends SparkSpec {
     assert(orcR.manifest.get.tables("ledger") == 2L)
   }
 
+  test("source describe exposes (name, type, nullable) for file sources") {
+    val (srcDir, _) = env
+    val cols = new ParquetSource(srcDir, Seq("inventory"))
+      .describe(spark, "inventory")
+    assert(cols.map(_.name) ==
+      Seq("id", "name", "quantity", "price", "updated_at"))
+    assert(cols.forall(_.dataType.nonEmpty))
+    // parquet columns written from nullable frames stay nullable
+    assert(cols.head.nullable)
+  }
+
   test("failure is soft (T7)") {
     val (_, snapDir) = env
     val store = new SnapshotStore(spark, snapDir)
