@@ -382,4 +382,9 @@ object TextSketches {
   def minKSketch(text: Column, k: Int = 8, m: Int = 8,
                  maxChars: Int = 512): Column =
     column(MinKSketch64(expression(text), k, m, maxChars))
+
+  /** The minhash mixer constants (a_i odd, b_i), for external exact
+    * re-implementations of the signature family (the DuckDB oracle).
+    */
+  def minhashMixers(k: Int): (Array[Long], Array[Long]) = Sketch.mixers(k)
 }

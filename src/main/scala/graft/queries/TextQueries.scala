@@ -137,6 +137,12 @@ object TextQueries {
       (s, d) => Dedup.minhashNearDups(docs(s, d), "doc_id", "text",
         shingleWords = 3, numHashes = 32, bands = 8, threshold = 0.5)
         .orderBy("id_a", "id_b"),
+      // full differential check: the oracle re-implements the exact
+      // FNV-1a64 + affine-mixer signature family in DuckDB SQL
+      // (OracleSql.lshCtes) — candidates, est_jaccard and the exact
+      // verify are all bit-identical
+      Some(OracleSql.minhashNearDups(shingleWords = 3, numHashes = 32,
+        bands = 8, threshold = 0.5)),
       headline = true),
 
     // hamming <= 3 of 64 bits — the classic simhash near-dup radius;
@@ -146,7 +152,8 @@ object TextQueries {
     Q("d09_simhash_neardups",
       (s, d) => Dedup.simhashNearDups(docs(s, d), "doc_id", "text",
         bands = 4, maxHamming = 3)
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b"),
+      Some(OracleSql.simhashNearDups(bands = 4, maxHamming = 3))),
 
     // inverted-index term statistics: per-doc top-5 terms by term
     // frequency, with corpus document frequency (TF-IDF's exact-integer
@@ -192,6 +199,10 @@ object TextQueries {
           minQuality = 0.3, nearDupThreshold = 0.5)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id"),
+      // the whole curation pipeline re-derived in SQL: unrounded d07
+      // quality formula → min-id exact survivors → LSH sweep over the
+      // survivors with the same signature family as d08
+      Some(OracleSql.curation(minQuality = 0.3, nearDupThreshold = 0.5)),
       headline = true),
 
     // PII audit over the corpus (regex subset shared by Java regex and
