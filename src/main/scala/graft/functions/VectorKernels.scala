@@ -80,10 +80,8 @@ case class SrpBucket(child: Expression, numPlanes: Int, dim: Int, seed: Long)
 
   @transient private lazy val et =
     child.dataType.asInstanceOf[ArrayType].elementType
-  @transient private lazy val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  @transient private lazy val planes: Array[Array[Double]] =
+    VectorKernels.srpPlanes(numPlanes, dim, seed)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -108,6 +106,16 @@ case class SrpBucket(child: Expression, numPlanes: Int, dim: Int, seed: Long)
 
 object VectorKernels {
   import org.apache.spark.sql.graftshim.ColumnBridge._
+
+  /** The seeded SRP hyperplanes — single source of truth for the
+    * SrpBucket kernel AND external exact re-implementations (the
+    * DuckDB oracle inlines these as literals).
+    */
+  def srpPlanes(numPlanes: Int, dim: Int,
+                seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))

@@ -181,6 +181,257 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= $maxHamming
 ORDER BY id_a, id_b"""
   }
 
+  /** (p, plane-vector) literal rows for the seeded SRP hyperplanes.
+    * Double.toString round-trips exactly, and DuckDB parses decimal
+    * literals to the nearest double — the SQL-side planes are
+    * bit-identical to the kernel's.
+    */
+  private def planesValues(numPlanes: Int, dim: Int): String = {
+    val planes = graft.functions.VectorKernels.srpPlanes(numPlanes, dim)
+    planes.zipWithIndex.map { case (v, p) =>
+      s"($p, CAST([${v.mkString(",")}] AS DOUBLE[]))"
+    }.mkString(",")
+  }
+
+  /** SRP bucket as SQL: packed sign bits of the plane dot products.
+    * `list_dot_product` is a sequential left fold in double precision —
+    * the same accumulation order as the SrpBucket kernel.
+    */
+  private def srpBucketCte(name: String, src: String, idAlias: String,
+                           numPlanes: Int): String =
+    s"""$name AS (
+  SELECT vec_id AS $idAlias, dv,
+    CAST(SUM(CASE WHEN list_dot_product(dv, pv) > 0.0
+      THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM $src, planes GROUP BY vec_id, dv)"""
+
+  /** e02: Similarity.srpTopK(queries=vec_id<10, corpus, k, numPlanes)
+    * with 1-bit multiprobe — (query_id, neighbor_id, cosine, rank).
+    */
+  def srpTopK(k: Int, numPlanes: Int, dim: Int): String =
+    s"""WITH planes(p, pv) AS (VALUES ${planesValues(numPlanes, dim)}),
+c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+${srpBucketCte("cb", "c0", "neighbor_id", numPlanes)},
+q0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+       WHERE vec_id < 10),
+${srpBucketCte("qb", "q0", "query_id", numPlanes)},
+probes AS (
+  SELECT query_id, dv AS qv, bucket FROM qb
+  UNION ALL
+  SELECT query_id, dv, xor(bucket, CAST(1 AS BIGINT) << b.b)
+  FROM qb, unnest(range(0, $numPlanes)) AS b(b)),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id,
+    list_cosine_similarity(qv, cb.dv) AS cos_raw
+  FROM cb JOIN probes USING (bucket)
+  WHERE query_id <> neighbor_id),
+r AS (
+  SELECT query_id, neighbor_id, cos_raw,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+  CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** e04: Similarity.embeddingNearDups — same-bucket pairs with
+    * cosine >= threshold, bucket-size guard included.
+    */
+  def embeddingNearDups(threshold: Double, numPlanes: Int, dim: Int,
+                        maxBucketSize: Int = 1000): String =
+    s"""WITH planes(p, pv) AS (VALUES ${planesValues(numPlanes, dim)}),
+v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+${srpBucketCte("vb", "v0", "vec_id", numPlanes)},
+keep AS (
+  SELECT bucket FROM vb GROUP BY bucket
+  HAVING COUNT(*) > 1 AND COUNT(*) <= $maxBucketSize),
+pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+    list_cosine_similarity(a.dv, c.dv) AS cos_raw
+  FROM (SELECT * FROM vb SEMI JOIN keep USING (bucket)) a
+  JOIN (SELECT * FROM vb SEMI JOIN keep USING (bucket)) c USING (bucket)
+  WHERE a.vec_id < c.vec_id)
+SELECT DISTINCT id_a, id_b, ROUND(cos_raw, 6) AS cosine
+FROM pairs WHERE cos_raw >= $threshold
+ORDER BY id_a, id_b"""
+
+  // ── xxhash64 (Spark's hash family, fixed 8-byte input) ─────────────
+
+  /** `x * c mod 2^64` for a full 64-bit constant: decomposed into
+    * HUGEINT-safe partial products (x·cLo ≤ 2^96; the cHi product is
+    * reduced mod 2^32 before the shift).
+    */
+  private def umulSql(x: String, c: BigInt): String = {
+    val lo = c & 0xffffffffL
+    val hi = c >> 32
+    s"CAST((CAST($x AS HUGEINT) * $lo + (($x) % 4294967296) * $hi " +
+      s"% 4294967296 * 4294967296) % $P64 AS UBIGINT)"
+  }
+
+  private def rotlSql(x: String, r: Int): String =
+    s"CAST((($x) % ${BigInt(1) << (64 - r)}) * ${BigInt(1) << r} " +
+      s"+ (($x) >> ${64 - r}) AS UBIGINT)"
+
+  private val XxP1 = BigInt("9E3779B185EBCA87", 16)
+  private val XxP2 = BigInt("C2B2AE3D27D4EB4F", 16)
+  private val XxP3 = BigInt("165667B19E3779F9", 16)
+  private val XxP4 = BigInt("85EBCA77C2B2AE63", 16)
+  private val XxP5 = BigInt("27D4EB2F165667C5", 16)
+
+  /** CTE chain `x0..xh(vec_id, dv, h)`: Spark's xxhash64(vec_id)
+    * (seed 42, single 8-byte round + avalanche) as signed BIGINT,
+    * carrying the double-cast embedding alongside.
+    */
+  private def xxhash64Ctes(seed: Long): String = {
+    val init = (BigInt(seed) + XxP5 + 8) & ((BigInt(1) << 64) - 1)
+    s"""x0 AS (SELECT vec_id, CAST(CAST(vec_id AS HUGEINT) % $P64
+  + CASE WHEN vec_id < 0 THEN $P64 ELSE 0 END AS UBIGINT) AS l,
+  CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+x1 AS (SELECT vec_id, dv, ${umulSql("l", XxP2)} AS k FROM x0),
+x2 AS (SELECT vec_id, dv, ${rotlSql("k", 31)} AS k FROM x1),
+x3 AS (SELECT vec_id, dv, ${umulSql("k", XxP1)} AS k FROM x2),
+x4 AS (SELECT vec_id, dv, xor(CAST($init AS UBIGINT), k) AS h FROM x3),
+x5 AS (SELECT vec_id, dv, ${rotlSql("h", 27)} AS h FROM x4),
+x6 AS (SELECT vec_id, dv, CAST((CAST(${umulSql("h", XxP1)} AS HUGEINT) + $XxP4)
+  % $P64 AS UBIGINT) AS h FROM x5),
+x7 AS (SELECT vec_id, dv, xor(h, h >> 33) AS h FROM x6),
+x8 AS (SELECT vec_id, dv, ${umulSql("h", XxP2)} AS h FROM x7),
+x9 AS (SELECT vec_id, dv, xor(h, h >> 29) AS h FROM x8),
+xa AS (SELECT vec_id, dv, ${umulSql("h", XxP3)} AS h FROM x9),
+xh AS (SELECT vec_id, dv,
+  CASE WHEN xor(h, h >> 32) >= 9223372036854775808
+    THEN CAST(xor(h, h >> 32) - $P64 AS BIGINT)
+    ELSE CAST(xor(h, h >> 32) AS BIGINT) END AS h FROM xa)"""
+  }
+
+  /** Nearest-centroid assignment of `corpus(vec_id, dv)` against
+    * `$cents(cell_id, centroid)` — argmax cosine, ties to the smallest
+    * cell_id (IvfAnn.assign order).
+    */
+  private def assignCte(name: String, cents: String): String =
+    s"""$name AS (
+  SELECT vec_id, dv, cell_id FROM (
+    SELECT c.vec_id, c.dv, s.cell_id,
+      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        ORDER BY list_cosine_similarity(c.dv, s.centroid) DESC, s.cell_id) AS rn
+    FROM corpus c CROSS JOIN $cents s) WHERE rn = 1)"""
+
+  /** e05: IvfAnn.topK — deterministic xxhash64 seeding, `iterations`
+    * Lloyd passes with exact-decimal means, nProbe cell probing, exact
+    * cosine within probed cells.
+    */
+  def ivfTopK(k: Int, nCells: Int, nProbe: Int,
+              iterations: Int): String = {
+    val lloyd = (1 to iterations).map { it =>
+      val prev = if (it == 1) "seeds" else s"cents${it - 1}"
+      s"""${assignCte(s"assign$it", prev)},
+cents$it AS (
+  SELECT cell_id, list(m ORDER BY dim) AS centroid FROM (
+    SELECT cell_id, dim,
+      CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+    FROM (SELECT cell_id, unnest(dv) AS v,
+          unnest(range(len(dv))) AS dim FROM assign$it)
+    GROUP BY cell_id, dim)
+  GROUP BY cell_id)"""
+    }.mkString(",\n")
+    val cents = s"cents$iterations"
+    s"""WITH ${xxhash64Ctes(42L)},
+seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS INTEGER) AS cell_id,
+    dv AS centroid
+  FROM (SELECT * FROM xh ORDER BY h LIMIT $nCells)),
+corpus AS (SELECT vec_id, dv FROM xh),
+$lloyd,
+${assignCte("idxa", cents)},
+idx AS (SELECT vec_id AS neighbor_id, dv AS cv, cell_id FROM idxa),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.dv AS qv, s.cell_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.dv, s.centroid) DESC, s.cell_id) AS rn
+    FROM (SELECT * FROM corpus WHERE vec_id < 10) q CROSS JOIN $cents s)
+  WHERE rn <= $nProbe),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id,
+    list_cosine_similarity(qv, cv) AS cos_raw
+  FROM idx JOIN probes USING (cell_id)
+  WHERE query_id <> neighbor_id),
+r AS (
+  SELECT query_id, neighbor_id, cos_raw,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+  CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** d06: TextFunctions.langId over documents — CJK script split
+    * (hangul → ko, kana share → ja, han → zh), else argmax stopword-
+    * profile hit ratio with strict-greater first-wins ties (equivalent
+    * to ORDER BY score DESC, lang ASC LIMIT 1 over the sorted
+    * profiles), `und` below the floor. The profile word lists are
+    * inlined from TextFunctions.stopwordProfiles — single source.
+    */
+  def langId(floor: Double = 0.02): String = {
+    val profRows = graft.functions.TextFunctions.stopwordProfiles
+      .toSeq.sortBy(_._1).map { case (lang, words) =>
+        s"('$lang', [${words.map(w => s"'$w'").mkString(",")}])"
+      }.mkString(",")
+    s"""WITH prof(lang, words) AS (VALUES $profRows),
+base AS (
+  SELECT doc_id, lang AS labeled_lang, text,
+    ${toksExpr("text")} AS toks,
+    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}\\x{3400}-\\x{4dbf}]', '', 'g')) AS han,
+    length(regexp_replace(text, '[^\\x{3040}-\\x{30ff}]', '', 'g')) AS kana,
+    length(regexp_replace(text, '[^\\x{ac00}-\\x{d7af}\\x{1100}-\\x{11ff}]', '', 'g')) AS hangul,
+    length(text) AS n
+  FROM documents),
+scored AS (
+  SELECT b.doc_id, p.lang,
+    CASE WHEN len(b.toks) = 0 THEN 0.0
+      ELSE CAST(len(list_filter(b.toks, t -> list_contains(p.words, t))) AS DOUBLE)
+        / len(b.toks) END AS score
+  FROM base b CROSS JOIN prof p),
+best AS (
+  SELECT doc_id, lang, score FROM (
+    SELECT doc_id, lang, score,
+      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT b.doc_id, b.labeled_lang,
+  CASE
+    WHEN b.n = 0 THEN 'und'
+    WHEN (b.han + b.kana + b.hangul) > 0.2 * b.n THEN
+      CASE WHEN b.hangul > b.han AND b.hangul > b.kana THEN 'ko'
+           WHEN b.kana > 0.05 * (b.han + b.kana + b.hangul) THEN 'ja'
+           ELSE 'zh' END
+    WHEN len(b.toks) = 0 THEN 'und'
+    WHEN best.score >= $floor AND best.score > 0.0 THEN best.lang
+    ELSE 'und' END AS detected_lang
+FROM base b JOIN best USING (doc_id)
+ORDER BY doc_id"""
+  }
+
+  /** m02: Multimodal.assetsFrom(documents) → sampleFrames → per-kind
+    * frame/asset counts. The synthetic asset shape (kind cycle, utf-8
+    * payload) and the frame arithmetic are exactly re-derived.
+    */
+  def frameSample(frameBytes: Int = 64, maxFrames: Int = 16): String =
+    s"""WITH assets AS (
+  SELECT doc_id AS asset_id,
+    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+    octet_length(encode(text)) AS nb
+  FROM documents),
+frames AS (
+  SELECT asset_id, kind,
+    CASE WHEN kind = 'video'
+      THEN least(greatest(CAST(ceil(nb / $frameBytes.0) AS INTEGER), 1), $maxFrames)
+      ELSE 1 END AS nf
+  FROM assets)
+SELECT kind, CAST(SUM(nf) AS BIGINT) AS n_frames,
+  CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets
+FROM frames GROUP BY kind ORDER BY kind"""
+
   /** d12: Curation.curate(documents, minQuality, nearDupThreshold) —
     * quality gate (exact d07 score formula, unrounded) → exact-dedup
     * survivors (min doc_id per lower(text)) → minhash near-dup sweep

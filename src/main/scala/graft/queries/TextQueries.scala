@@ -86,7 +86,8 @@ object TextQueries {
       (s, d) => spread(s, d).select(
         col("doc_id"), col("lang").as("labeled_lang"),
         TextFunctions.langId(col("text")).as("detected_lang"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id"),
+      Some(OracleSql.langId())),
 
     Q("d07_quality",
       (s, d) => spread(s, d)

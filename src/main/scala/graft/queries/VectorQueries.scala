@@ -49,7 +49,10 @@ object VectorQueries {
           "vec_id", "embedding", k = 5, numPlanes = 8, dim = 64)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
-      }),
+      },
+      // exact differential check: the oracle inlines the kernel's
+      // seeded hyperplanes and rebuilds buckets + multiprobe in SQL
+      Some(OracleSql.srpTopK(k = 5, numPlanes = 8, dim = 64))),
 
     Q("e05_knn_ivf",
       (s, d) => {
@@ -59,7 +62,11 @@ object VectorQueries {
           iterations = 1)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
-      }),
+      },
+      // exact differential check incl. the xxhash64 seeding (replicated
+      // bit-for-bit in SQL) and the decimal-exact Lloyd means
+      Some(OracleSql.ivfTopK(k = 5, nCells = 16, nProbe = 3,
+        iterations = 1))),
 
     // exploded to scalar (label, dim, value) rows: the driver's pandas
     // compare cannot sort/hash array columns, and the long form is
@@ -82,7 +89,9 @@ object VectorQueries {
       (s, d) => Similarity.embeddingNearDups(emb(s, d), "vec_id",
         "embedding", threshold = 0.2, numPlanes = 6, dim = 64)
         .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b"),
+      Some(OracleSql.embeddingNearDups(threshold = 0.2, numPlanes = 6,
+        dim = 64))),
 
     Q("m01_multimodal_features",
       (s, d) => {
@@ -106,6 +115,7 @@ object VectorQueries {
           .agg(count(lit(1)).as("n_frames"),
             countDistinct(col("asset_id")).as("n_assets"))
           .orderBy("kind")
-      })
+      },
+      Some(OracleSql.frameSample()))
   )
 }
