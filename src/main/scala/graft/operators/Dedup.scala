@@ -146,7 +146,10 @@ object Dedup {
     */
   private def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism * 2
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // toRdd reads the physical partition count without inserting the
+    // row-deserializer node a `df.rdd` conversion adds
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 
   /** Full MinHash-LSH near-dup pipeline over a text column.
