@@ -30,19 +30,28 @@ object Dedup {
 
   /** Exact duplicate groups keyed on (normalized) content. Returns one
     * row per distinct content: representative id = min(id), dup_count.
+    *
+    * The group key is md5(content), not the content itself: grouping
+    * by the raw text ships every document's full body as the SHUFFLE
+    * KEY (twice its width in the exchange). A 128-bit digest has the
+    * same equality semantics (collision odds ~2^-64 at corpus scale)
+    * at 16 bytes per row.
     */
   def exact(df: DataFrame, idCol: String, textCol: String,
             normalize: Boolean = true): DataFrame = {
     val key = if (normalize) lower(col(textCol)) else col(textCol)
-    df.groupBy(key.as("content_key"))
+    df.groupBy(md5(key).as("content_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select("keep_id", "dup_count")
   }
 
-  /** Rows surviving exact dedup (keep the min-id representative). */
+  /** Rows surviving exact dedup (keep the min-id representative).
+    * Same md5 shuffle-key rationale as `exact`; the window partitions
+    * by content digest (high cardinality — no skew).
+    */
   def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(lower(col(textCol))).orderBy(col(idCol))
+    val w = Window.partitionBy(md5(lower(col(textCol)))).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

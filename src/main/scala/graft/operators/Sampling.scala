@@ -18,21 +18,45 @@ object Sampling {
   /** Hash-order position: uniform pseudo-random, engine-portable. */
   def hashOrder(key: Column): Column = md5(key.cast("string"))
 
+  /** Per-stratum hash-rank selection WITHOUT a per-stratum window: a
+    * window shuffles every row into |strata| partitions and sorts —
+    * with a handful of strata (languages, sources) those few tasks
+    * are the whole job at scale. Instead the k smallest hash keys per
+    * stratum are collected by a bounded map-side aggregate (MinKeys),
+    * broadcast back (|strata| × k keys), and each row derives its
+    * rank from `array_position` — no full-data shuffle at all.
+    * Requires distinct `keyCol` values (true for primary keys).
+    */
+  private def selectByHashRank(df: DataFrame, stratumCol: String,
+                               keyCol: String, k: Int,
+                               quota: Column): DataFrame = {
+    val keyed = df.withColumn("__k", hashOrder(col(keyCol)))
+    val keep = keyed.groupBy(stratumCol)
+      .agg(graft.functions.MinKeysAgg.minKeys(col("__k"), k).as("__keep"))
+    keyed.join(broadcast(keep), Seq(stratumCol))
+      .withColumn("__rnk", array_position(col("__keep"), col("__k")))
+      .filter(col("__rnk") > 0 && col("__rnk") <= quota)
+      .drop("__k", "__keep", "__rnk")
+  }
+
   /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
     * chosen by hash order — the deterministic form of stratified
-    * sampling. One shuffle on the stratum key.
+    * sampling.
     */
   def stratified(df: DataFrame, stratumCol: String, keyCol: String,
-                 n: Int): DataFrame = {
-    val w = Window.partitionBy(stratumCol).orderBy(hashOrder(col(keyCol)))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n).drop("__rn")
-  }
+                 n: Int): DataFrame =
+    selectByHashRank(df, stratumCol, keyCol, n, lit(n))
 
   /** Greedy token-budget selection per stratum: walk rows in hash
     * order, keep rows while the running token total stays within
     * `budget` — how per-language/per-source token quotas are filled
     * when assembling a training mix.
+    *
+    * Scale note: the running sum is an inherently sequential prefix
+    * scan per stratum, so this stays a window. At 100 TB, bound the
+    * candidate set first (e.g. `stratified` with n ≈ budget /
+    * min_doc_tokens) so the window sorts a bounded set, not the
+    * corpus.
     */
   def tokenBudget(df: DataFrame, stratumCol: String, keyCol: String,
                   tokenCol: String, budget: Long): DataFrame = {
@@ -52,11 +76,10 @@ object Sampling {
     val quotas = weights.map { case (k, v) =>
       k -> math.round(total * v / wsum).toInt
     }
-    val w = Window.partitionBy(stratumCol).orderBy(hashOrder(col(keyCol)))
     val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (k, q)) =>
       when(col(stratumCol) === k, q).otherwise(acc)
     }
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= quotaCol).drop("__rn")
+    selectByHashRank(df, stratumCol, keyCol,
+      quotas.values.max.max(1), quotaCol)
   }
 }
