@@ -432,6 +432,89 @@ SELECT kind, CAST(SUM(nf) AS BIGINT) AS n_frames,
   CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets
 FROM frames GROUP BY kind ORDER BY kind"""
 
+  /** d10: MinKSketch64 — normalize (lowercase, collapse whitespace,
+    * cap 512) → FNV-1a64 over every char-k-gram (two rounds per UTF-16
+    * code unit; `unicode()` recovers the code unit for BMP text) →
+    * the m smallest DISTINCT hashes under SIGNED order → FNV-fold of
+    * that ascending signature. All 64-bit arithmetic via the same
+    * HUGEINT mod-2^64 decomposition as the minhash oracle.
+    */
+  def minKFingerprint(k: Int = 8, m: Int = 8, maxChars: Int = 512): String = {
+    def twoRounds(h: String, c: String): String = {
+      val r1 = s"CAST(CAST(xor($h, CAST(($c) & 255 AS UBIGINT)) AS HUGEINT) " +
+        s"* $FnvPrime % $P64 AS UBIGINT)"
+      s"CAST(CAST(xor($r1, CAST((($c) >> 8) & 255 AS UBIGINT)) AS HUGEINT) " +
+        s"* $FnvPrime % $P64 AS UBIGINT)"
+    }
+    val fold = (1 to m).foldLeft(s"CAST($FnvInit AS UBIGINT)") { (acc, i) =>
+      val el = s"CAST(CAST(sig[$i] AS HUGEINT) % $P64 " +
+        s"+ CASE WHEN sig[$i] < 0 THEN $P64 ELSE 0 END AS UBIGINT)"
+      s"CASE WHEN len(sig) >= $i THEN " +
+        s"CAST(CAST(xor($acc, $el) AS HUGEINT) * $FnvPrime % $P64 AS UBIGINT) " +
+        s"ELSE $acc END"
+    }
+    val k1 = k - 1
+    s"""WITH norm AS (
+  SELECT doc_id,
+    substr(regexp_replace(regexp_replace(lower(text), '^\\s+', ''), '\\s+', ' ', 'g'), 1, $maxChars) AS s
+  FROM documents),
+nl AS (SELECT doc_id, s, length(s) AS len FROM norm),
+grams AS (
+  WITH RECURSIVE g(doc_id, pos, j, h) AS (
+    SELECT doc_id, u.pos, 0, CAST($FnvInit AS UBIGINT)
+    FROM nl, unnest(range(1, greatest(len - $k1, 1) + 1)) AS u(pos)
+    UNION ALL
+    SELECT g.doc_id, g.pos, g.j + 1,
+      ${twoRounds("g.h", "unicode(substr(n.s, CAST(g.pos + g.j AS INTEGER), 1))")}
+    FROM g JOIN nl n USING (doc_id)
+    WHERE g.j < $k AND g.pos + g.j <= n.len)
+  SELECT g.doc_id, g.pos, g.h
+  FROM g JOIN nl n USING (doc_id)
+  WHERE g.j = least($k, greatest(n.len - g.pos + 1, 0))),
+hs AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN h >= 9223372036854775808 THEN CAST(h - $P64 AS BIGINT)
+         ELSE CAST(h AS BIGINT) END AS hv
+  FROM grams),
+topm AS (
+  SELECT doc_id, list(hv ORDER BY hv) AS sig FROM (
+    SELECT doc_id, hv,
+      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv) AS rn
+    FROM hs) WHERE rn <= $m GROUP BY doc_id)
+SELECT doc_id,
+  CASE WHEN $fold >= 9223372036854775808
+    THEN CAST($fold - $P64 AS BIGINT)
+    ELSE CAST($fold AS BIGINT) END AS sketch_fp
+FROM topm ORDER BY doc_id"""
+  }
+
+  /** m01: Multimodal.extractFeatures bin counts — the 8-bin byte
+    * histogram of each asset's utf-8 payload, rebuilt from
+    * hex(encode(text)) 2-char pairs (bin = first hex digit >> 1). The
+    * Spark side projects the float features back to exact integer
+    * counts via round(v * n_bytes), so the compare is integer-exact
+    * with no float-formatting dependence.
+    */
+  def multimodalFeatures(): String =
+    """WITH assets AS (
+  SELECT doc_id AS asset_id,
+    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+    regexp_extract_all(hex(encode(text)), '..') AS pairs,
+    octet_length(encode(text)) AS nb
+  FROM documents),
+bybin AS (
+  SELECT asset_id, (strpos('0123456789ABCDEF', p[1:1]) - 1) // 2 AS dim,
+    COUNT(*) AS cnt
+  FROM assets, unnest(pairs) AS u(p)
+  GROUP BY asset_id, dim)
+SELECT a.asset_id, a.kind, CAST(a.nb AS BIGINT) AS n_bytes,
+  CAST(d.dim AS BIGINT) AS dim,
+  CAST(COALESCE(b.cnt, 0) AS BIGINT) AS bin_count
+FROM assets a
+CROSS JOIN unnest(range(0, 8)) AS d(dim)
+LEFT JOIN bybin b ON b.asset_id = a.asset_id AND b.dim = d.dim
+ORDER BY a.asset_id, d.dim"""
+
   /** d12: Curation.curate(documents, minQuality, nearDupThreshold) —
     * quality gate (exact d07 score formula, unrounded) → exact-dedup
     * survivors (min doc_id per lower(text)) → minhash near-dup sweep

@@ -268,6 +268,7 @@ object TextQueries {
     Q("d10_fingerprint_mink",
       (s, d) => spread(s, d).select(col("doc_id"),
         TextFunctions.minKFingerprint(col("text")).as("sketch_fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id"),
+      Some(OracleSql.minKFingerprint()))
   )
 }

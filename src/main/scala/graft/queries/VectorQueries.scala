@@ -98,13 +98,19 @@ object VectorQueries {
         val assets = Multimodal.assetsFrom(
           Tables.load(s, d, "documents"), "doc_id", "text")
         Multimodal.extractFeatures(s, assets)
-          // flattened to one CSV string: the driver's pandas compare
-          // cannot sort/hash array columns
-          .withColumn("features",
-            concat_ws(",", transform(col("features"),
-              v => round(v, 5).cast("string"))))
-          .orderBy("asset_id")
-      }),
+          // project the float features back to exact integer bin
+          // counts (round(v·n_bytes) recovers the histogram exactly
+          // for n_bytes < 2^23): integer-comparable scalar rows for
+          // the driver's pandas hash, no float formatting involved
+          .select(col("asset_id"), col("kind"), col("n_bytes"),
+            posexplode(col("features")).as(Seq("dim", "v")))
+          .select(col("asset_id"), col("kind"), col("n_bytes"),
+            col("dim").cast("long").as("dim"),
+            round(col("v").cast("double") * col("n_bytes"))
+              .cast("long").as("bin_count"))
+          .orderBy("asset_id", "dim")
+      },
+      Some(OracleSql.multimodalFeatures())),
 
     Q("m02_frame_sample",
       (s, d) => {
