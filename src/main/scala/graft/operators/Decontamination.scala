@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextSketches
+
+/** Train/test contamination sweep: find corpus documents that
+  * near-duplicate any document in a benchmark/eval set — the check a
+  * training pipeline runs before a corpus ships (exact-substring and
+  * n-gram-overlap contamination both surface as high shingle-Jaccard).
+  *
+  * Shape: MinHash-LSH banding on BOTH sides, but the benchmark side is
+  * small (eval sets are thousands of rows, the corpus is billions), so
+  * its banded signatures and shingle sets BROADCAST — the corpus is
+  * never shuffled at all. Corpus-side banding is guarded by the same
+  * hash-aggregated `maxBucketSize` filter as Dedup.minhashCandidates.
+  *
+  * Output: one row per (corpus doc, benchmark doc) verified pair with
+  * `est_jaccard` (signature agreement) and exact `jaccard`.
+  */
+object Decontamination {
+
+  def contaminated(corpus: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String,
+                   shingleWords: Int = 3, numHashes: Int = 32,
+                   bands: Int = 8, threshold: Double = 0.5,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+
+    def banded(df: DataFrame, as: String) = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+      }
+      df.select(col(idCol).as(as),
+        TextSketches.minhashSignature(col(textCol), shingleWords, numHashes)
+          .as("sig"))
+        .filter(element_at(col("sig"), 1) =!= Long.MaxValue) // shingle-less
+        .withColumn("__b", explode(array(bandCols: _*)))
+        .select(col(as), col("sig").as(s"sig_$as"),
+          col("__b.band").as("band"), col("__b.bh").as("bh"))
+    }
+
+    val corpusBanded = banded(corpus, "doc_id")
+    // corpus-side skew guard: a degenerate band bucket must not fan
+    // every benchmark row out against half the corpus
+    val keep = corpusBanded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") <= maxBucketSize)
+      .select("band", "bh")
+    val sized = corpusBanded.join(keep, Seq("band", "bh"))
+
+    val benchBanded = banded(benchmark, "bench_id")
+
+    val cands = sized.join(broadcast(benchBanded), Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("doc_id"), col("bench_id"),
+        (aggregate(zip_with(col("sig_doc_id"), col("sig_bench_id"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double")
+          / size(col("sig_doc_id"))).as("est_jaccard"))
+      .groupBy("doc_id", "bench_id").agg(max("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold * 0.6)
+
+    val corpusSets = corpus.select(col(idCol).as("doc_id"),
+      TextSketches.shingleHashSet(col(textCol), shingleWords).as("set_c"))
+    val benchSets = benchmark.select(col(idCol).as("bench_id"),
+      TextSketches.shingleHashSet(col(textCol), shingleWords).as("set_b"))
+
+    cands.join(corpusSets, Seq("doc_id"))
+      .join(broadcast(benchSets), Seq("bench_id"))
+      .withColumn("jaccard",
+        when(size(array_union(col("set_c"), col("set_b"))) === 0, 0.0)
+          .otherwise(
+            size(array_intersect(col("set_c"), col("set_b"))).cast("double") /
+              size(array_union(col("set_c"), col("set_b")))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "bench_id", "est_jaccard", "jaccard")
+  }
+
+  /** The corpus with contaminated documents removed (the shipping
+    * filter): left-anti join on the verified pair set.
+    */
+  def clean(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+            textCol: String, threshold: Double = 0.5): DataFrame =
+    corpus.join(
+      contaminated(corpus, benchmark, idCol, textCol,
+        threshold = threshold)
+        .select(col("doc_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+}

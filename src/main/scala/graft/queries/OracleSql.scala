@@ -432,6 +432,35 @@ SELECT kind, CAST(SUM(nf) AS BIGINT) AS n_frames,
   CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets
 FROM frames GROUP BY kind ORDER BY kind"""
 
+  /** d17: Decontamination.contaminated(documents, documents where
+    * doc_id % 50 = 0) — cross-set LSH candidates (corpus-side bucket
+    * guard WITHOUT the >1 filter: a singleton corpus bucket can still
+    * pair with a benchmark row), est prefilter, exact-Jaccard verify.
+    */
+  def decontamination(threshold: Double, benchMod: Int = 50): String = {
+    val pre = threshold * 0.6
+    s"""WITH toksrc(doc_id, t) AS (
+  SELECT doc_id, ${toksExpr("text")} FROM documents),
+${lshCtes("toksrc", 3, 32, 8, 1000)},
+ckeep AS (
+  SELECT band, bh FROM banded GROUP BY band, bh HAVING COUNT(*) <= 1000),
+csized AS (SELECT * FROM banded SEMI JOIN ckeep USING (band, bh)),
+bband AS (SELECT * FROM banded WHERE doc_id % $benchMod = 0),
+dcand AS (
+  SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id,
+    c.sig AS sig_a, b.sig AS sig_b
+  FROM csized c JOIN bband b USING (band, bh)
+  WHERE c.doc_id <> b.doc_id),
+dpre AS (
+  SELECT doc_id, bench_id, $estExpr AS est_jaccard
+  FROM dcand WHERE $estExpr >= $pre)
+SELECT dpre.doc_id, dpre.bench_id, est_jaccard, $jaccardExpr AS jaccard
+FROM dpre JOIN sets sa ON dpre.doc_id = sa.doc_id
+          JOIN sets sb ON dpre.bench_id = sb.doc_id
+WHERE $jaccardExpr >= $threshold
+ORDER BY dpre.doc_id, dpre.bench_id"""
+  }
+
   /** d10: MinKSketch64 — normalize (lowercase, collapse whitespace,
     * cap 512) → FNV-1a64 over every char-k-gram (two rounds per UTF-16
     * code unit; `unicode()` recovers the code unit for BMP text) →

@@ -265,6 +265,16 @@ object TextQueries {
                 FROM documents) WHERE running <= 5000
               ORDER BY doc_id""")),
 
+    // train/test contamination sweep: every 50th document stands in as
+    // the benchmark set; a corpus doc near-duplicating any benchmark
+    // doc is flagged (the pre-shipping decontamination check)
+    Q("d17_decontamination",
+      (s, d) => graft.operators.Decontamination.contaminated(
+        spread(s, d), docs(s, d).filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_id", "bench_id"),
+      Some(OracleSql.decontamination(threshold = 0.5))),
+
     Q("d10_fingerprint_mink",
       (s, d) => spread(s, d).select(col("doc_id"),
         TextFunctions.minKFingerprint(col("text")).as("sketch_fp"))

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val bench = Seq(
+    (100L, "What is the capital of France Paris is the capital and largest city"),
+    (101L, "Photosynthesis converts light energy into chemical energy in plants"))
+    .toDF("doc_id", "text")
+
+  private lazy val corpus = Seq(
+    (1L, "What is the capital of France Paris is the capital and largest city"), // verbatim leak
+    (2L, "What is the capital of France Paris is the capital and largest town"), // near leak
+    (3L, "Completely unrelated prose about distributed query engine design"),
+    (4L, "the and of to in is that it was for with as his on be"))
+    .toDF("doc_id", "text")
+
+  test("verbatim and near leaks are flagged; unrelated text is not") {
+    val hits = Decontamination.contaminated(corpus, bench, "doc_id", "text",
+      threshold = 0.5)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(hits.contains((1L, 100L)), s"verbatim leak missed: $hits")
+    assert(hits.contains((2L, 100L)), s"near leak missed: $hits")
+    assert(!hits.exists(_._1 == 3L), s"false positive: $hits")
+  }
+
+  test("clean() drops exactly the contaminated documents") {
+    val kept = Decontamination.clean(corpus, bench, "doc_id", "text",
+      threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L), s"kept: $kept")
+  }
+
+  test("corpus never pairs against an empty-shingle benchmark row") {
+    val emptyBench = Seq((200L, "")).toDF("doc_id", "text")
+    assert(Decontamination.contaminated(corpus, emptyBench,
+      "doc_id", "text", threshold = 0.1).count() == 0L)
+  }
+}
