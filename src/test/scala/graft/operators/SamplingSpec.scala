@@ -10,6 +10,18 @@ class SamplingSpec extends SparkSpec {
       (i % 10 + 1) * 100))
     .toDF("doc_id", "lang", "n_tokens")
 
+  test("stratified plan has no per-stratum window") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 50).map(i => (s"s${i % 3}", i.toLong)).toDF("lang", "id")
+    val plan = Sampling.stratified(df, "lang", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"stratified still shuffles everything into |strata| window partitions:\n$plan")
+    assert(plan.contains("min_keys"), "expected the bounded-keys aggregate")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      "the per-stratum keep-list must broadcast, not shuffle the data")
+  }
+
   test("stratified: exact n per stratum, deterministic, capped by size") {
     val s1 = Sampling.stratified(docs, "lang", "doc_id", 15)
     val counts = s1.groupBy("lang").count().collect()
