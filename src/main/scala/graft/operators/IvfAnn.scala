@@ -78,6 +78,56 @@ object IvfAnn {
         (-col("__best.negcell")).cast("int").as("cell_id"))
   }
 
+  /** Build and persist the IVF index: the assigned corpus written
+    * partitioned by `cell_id` (one directory per Voronoi cell) plus
+    * the centroid table. This is the 100 TB serving layout: a probe
+    * touches only its cells' directories, so the scan I/O is
+    * `nProbe/nCells` of the corpus — enforced by partition pruning at
+    * planning time, not by a filter over a full scan.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 path: String, nCells: Int = 16,
+                 iterations: Int = 2): Unit = {
+    val cents = centroids(corpus, idCol, vecCol, nCells, iterations)
+    assign(corpus, idCol, vecCol, cents)
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$path/index")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a persisted index: rank centroids per query, read ONLY the
+    * probed cells (static partition pruning via the collected cell-id
+    * set — metadata-scale: |queries| × nProbe ints), exact cosine
+    * within them. Queries are small by contract (they broadcast).
+    */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int = 3): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__sim").desc, col("cell_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__sim",
+        VectorKernels.cosineSim(col("qv"), col("centroid")))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "qv", "cell_id")
+
+    val cellIds = probes.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(s"$path/index")
+      .filter(col("cell_id").isin(cellIds: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("cell_id"))
+
+    val scored = index.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorKernels.cosineSim(col("qv"), col("cv")))
+    Similarity.rankTopK(scored, k)
+  }
+
   /** Approximate top-k: probe the `nProbe` closest cells per query,
     * exact cosine within the probed cells only.
     */

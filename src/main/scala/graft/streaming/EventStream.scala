@@ -54,6 +54,18 @@ object EventStream {
         col("n"), col("v"))
   }
 
+  /** Streaming dedup on a key within the watermark horizon — the
+    * continuous-ingest counterpart of Dedup.exact for a pipeline that
+    * receives documents/events as a stream. State is bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`), so this runs forever
+    * on unbounded input; an exact all-time dedup would grow state
+    * without bound and belongs in the batch layer.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Session windows (gap-based) per user — built-in `session_window`
     * rather than hand-rolled state (compose-existing-ops preference).
     */

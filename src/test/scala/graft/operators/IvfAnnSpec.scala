@@ -42,4 +42,23 @@ class IvfAnnSpec extends SparkSpec {
     // the nearest in-cluster vector is recalled
     assert(neighbors.contains(1L), s"missed nearest: $neighbors")
   }
+
+  test("persisted index: pruned probe matches the in-memory search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfAnn.buildIndex(vecs, "vec_id", "embedding", dir,
+      nCells = 4, iterations = 2)
+    val q = vecs.filter($"vec_id" === 0)
+    val fromIndex = IvfAnn.topKFromIndex(spark, dir, q,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    val inMemory = IvfAnn.topK(q, vecs, "vec_id", "embedding",
+      k = 5, nCells = 4, nProbe = 2, iterations = 2)
+    assert(fromIndex.orderBy("query_id", "rank").collect().toSeq ==
+      inMemory.orderBy("query_id", "rank").collect().toSeq)
+
+    // the probe scan must PRUNE partitions at planning time, not
+    // filter a full scan: nProbe of nCells directories read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+      s"probed read must partition-prune on cell_id:\n$plan")
+  }
 }

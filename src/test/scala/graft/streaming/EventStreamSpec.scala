@@ -84,6 +84,30 @@ class EventStreamSpec extends SparkSpec {
     assert(snap.count() == m.get.tables("events"))
   }
 
+  test("streaming dedup drops watermark-horizon duplicates") {
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    // duplicate event_ids arriving close together (within the horizon)
+    Seq(
+      (1L, "2024-01-01 08:00:00", 1L, "view", 1.0, "{}"),
+      (1L, "2024-01-01 08:10:00", 1L, "view", 1.0, "{}"), // dup id
+      (2L, "2024-01-01 08:20:00", 2L, "click", 2.0, "{}"),
+      (2L, "2024-01-01 08:21:00", 2L, "click", 2.0, "{}"), // dup id
+      (3L, "2024-01-01 09:00:00", 1L, "view", 3.0, "{}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", (unix_timestamp(col("tss")) * 1000L * 1000L * 1000L))
+      .drop("tss")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+
+    EventStream.runToMemory(
+      EventStream.dedupStream(
+        EventStream.readEvents(spark, dir), Seq("event_id"), "1 hour"),
+      "dedup_out")
+    val ids = spark.table("dedup_out")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"dedup kept: $ids")
+  }
+
   test("replay guard sees batch ids buried under later publishes") {
     import graft.snapshot.{SnapshotStore, SnapshotWriter}
     val snapDir = Files.createTempDirectory("graft-replay").toString
