@@ -112,6 +112,27 @@ object VectorQueries {
       },
       Some(OracleSql.multimodalFeatures())),
 
+    // resize plumbing: target dims land in the typed metadata and the
+    // payload scales by the pixel ratio — all scalar/integer, so the
+    // whole contract is oracle-checkable
+    Q("m03_resize",
+      (s, d) => {
+        val assets = Multimodal.assetsFrom(
+          Tables.load(s, d, "documents"), "doc_id", "text")
+        Multimodal.resize(assets, targetW = 160, targetH = 120)
+          .select(col("asset_id"), col("kind"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            col("meta.n_bytes").as("n_bytes"))
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+                ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                160 AS width, 120 AS height,
+                CAST(greatest(CAST(trunc(octet_length(encode(text))
+                  * least(19200.0 / (((doc_id % 640) + 32) * ((doc_id % 480) + 32)), 1.0))
+                  AS INTEGER), 1) AS BIGINT) AS n_bytes
+              FROM documents ORDER BY asset_id""")),
+
     Q("m02_frame_sample",
       (s, d) => {
         val assets = Multimodal.assetsFrom(
