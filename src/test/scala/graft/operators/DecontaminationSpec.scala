@@ -33,6 +33,13 @@ class DecontaminationSpec extends SparkSpec {
     assert(kept == Seq(3L, 4L), s"kept: $kept")
   }
 
+  test("benchmark side broadcasts; corpus is never shuffled for the join") {
+    val plan = Decontamination.contaminated(corpus, bench, "doc_id", "text",
+      threshold = 0.5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+
   test("corpus never pairs against an empty-shingle benchmark row") {
     val emptyBench = Seq((200L, "")).toDF("doc_id", "text")
     assert(Decontamination.contaminated(corpus, emptyBench,
