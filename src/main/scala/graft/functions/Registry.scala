@@ -46,5 +46,19 @@ object Registry {
       exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("srp_bucket",
       exprs => SrpBucket(exprs.head, 8, 64, 42L), "scala_udf")
+
+    // aggregates: k arrives as a foldable literal argument
+    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case o => throw new IllegalArgumentException(s"k must be an int literal, got $o")
+      }
+    reg.createOrReplaceTempFunction("top_k_by_score",
+      exprs => TopKByScore(exprs(0), exprs(1), litInt(exprs(2)))
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("min_keys",
+      exprs => MinKeys(exprs(0), litInt(exprs(1)))
+        .toAggregateExpression(), "scala_udf")
   }
 }

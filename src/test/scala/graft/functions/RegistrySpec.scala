@@ -22,6 +22,21 @@ class RegistrySpec extends SparkSpec {
     assert(row.getString(row.fieldIndex("lang")) == "en")
   }
 
+  test("heap aggregates callable from SQL") {
+    Registry.registerAll(spark)
+    Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7), (2L, 13L, 0.5))
+      .toDF("q", "n", "c").createOrReplaceTempView("reg_agg")
+    val top = spark.sql(
+      """SELECT q, top_k_by_score(c, n, 2) AS top FROM reg_agg GROUP BY q
+        |ORDER BY q""".stripMargin).collect()
+    assert(top(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))
+      == Seq(10L, 11L))
+    val keys = spark.sql(
+      """SELECT min_keys(CAST(n AS STRING), 2) AS ks FROM reg_agg"""
+    ).first().getSeq[String](0)
+    assert(keys == Seq("10", "11"))
+  }
+
   test("composed column functions callable from SQL") {
     Registry.registerAll(spark)
     Seq((1L, "email me at a@b.co about the quick brown fox"))
