@@ -45,7 +45,8 @@ object Sampling {
     */
   def stratified(df: DataFrame, stratumCol: String, keyCol: String,
                  n: Int): DataFrame =
-    selectByHashRank(df, stratumCol, keyCol, n, lit(n))
+    if (n <= 0) df.limit(0)
+    else selectByHashRank(df, stratumCol, keyCol, n, lit(n))
 
   /** Greedy token-budget selection per stratum: walk rows in hash
     * order, keep rows while the running token total stays within
@@ -76,10 +77,11 @@ object Sampling {
     val quotas = weights.map { case (k, v) =>
       k -> math.round(total * v / wsum).toInt
     }
+    val maxQuota = quotas.values.foldLeft(0)(_ max _)
+    if (maxQuota <= 0) return df.limit(0) // empty/zero weights select nothing
     val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (k, q)) =>
       when(col(stratumCol) === k, q).otherwise(acc)
     }
-    selectByHashRank(df, stratumCol, keyCol,
-      quotas.values.max.max(1), quotaCol)
+    selectByHashRank(df, stratumCol, keyCol, maxQuota, quotaCol)
   }
 }

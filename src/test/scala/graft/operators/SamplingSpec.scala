@@ -10,6 +10,13 @@ class SamplingSpec extends SparkSpec {
       (i % 10 + 1) * 100))
     .toDF("doc_id", "lang", "n_tokens")
 
+  test("degenerate parameters select nothing instead of throwing") {
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("lang", "id")
+    assert(Sampling.stratified(df, "lang", "id", 0).count() == 0L)
+    assert(Sampling.mixture(df, "lang", "id", Map.empty, 10).count() == 0L)
+    assert(Sampling.mixture(df, "lang", "id", Map("a" -> 0.0), 10).count() == 0L)
+  }
+
   test("stratified plan has no per-stratum window") {
     import org.apache.spark.sql.functions.col
     val df = (1 to 50).map(i => (s"s${i % 3}", i.toLong)).toDF("lang", "id")
