@@ -1,7 +1,6 @@
 package graft.functions
 
 import java.nio.ByteBuffer
-import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -12,10 +11,12 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Bounded order-statistic accumulator: the k LEXICOGRAPHICALLY
-  * SMALLEST string keys seen, duplicates kept (so
+/** Bounded order-statistic accumulator: the k SMALLEST string keys
+  * seen under UTF8String order (Spark's own binary/code-point string
+  * order — NOT java.lang.String's UTF-16 order, which disagrees for
+  * supplementary-plane characters), duplicates kept, so
   * `array_position(result, key)` reproduces `row_number()` rank over
-  * the key order for distinct keys).
+  * the key order for distinct keys.
   *
   * This replaces the `row_number().over(Window.partitionBy(stratum))`
   * idiom in deterministic sampling: a window shuffles the ENTIRE
@@ -27,18 +28,23 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class MinKeysBuffer(val k: Int) {
   // head = LARGEST kept key, so eviction is O(log k)
-  private[functions] val heap = new java.util.PriorityQueue[String](
-    math.max(k, 1), java.util.Collections.reverseOrder[String]())
+  private[functions] val heap = new java.util.PriorityQueue[UTF8String](
+    math.max(k, 1), java.util.Collections.reverseOrder[UTF8String]())
 
-  def insert(key: String): Unit = {
-    if (heap.size < k) heap.add(key)
-    else if (key.compareTo(heap.peek()) < 0) { heap.poll(); heap.add(key) }
+  /** Insert a key; the value is cloned (eval results may alias reused
+    * row buffers).
+    */
+  def insert(key: UTF8String): Unit = {
+    if (heap.size < k) heap.add(key.clone())
+    else if (key.compareTo(heap.peek()) < 0) {
+      heap.poll(); heap.add(key.clone())
+    }
   }
 
   /** Kept keys, ascending. */
-  def sorted: Array[String] = {
-    val arr = heap.toArray(new Array[String](heap.size))
-    scala.util.Sorting.quickSort(arr)
+  def sorted: Array[UTF8String] = {
+    val arr = heap.toArray(new Array[UTF8String](heap.size))
+    java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[UTF8String]())
     arr
   }
 }
@@ -66,7 +72,7 @@ case class MinKeys(
 
   override def update(buffer: MinKeysBuffer, input: InternalRow): MinKeysBuffer = {
     val v = keyExpr.eval(input)
-    if (v != null) buffer.insert(v.asInstanceOf[UTF8String].toString)
+    if (v != null) buffer.insert(v.asInstanceOf[UTF8String])
     buffer
   }
 
@@ -77,11 +83,10 @@ case class MinKeys(
   }
 
   override def eval(buffer: MinKeysBuffer): Any =
-    new GenericArrayData(
-      buffer.sorted.map(s => UTF8String.fromString(s): Any))
+    new GenericArrayData(buffer.sorted.map(s => s: Any))
 
   override def serialize(buffer: MinKeysBuffer): Array[Byte] = {
-    val keys = buffer.sorted.map(_.getBytes(StandardCharsets.UTF_8))
+    val keys = buffer.sorted.map(_.getBytes)
     val bb = ByteBuffer.allocate(4 + keys.map(_.length + 4).sum)
     bb.putInt(keys.length)
     keys.foreach { b => bb.putInt(b.length); bb.put(b) }
@@ -97,7 +102,7 @@ case class MinKeys(
       val len = bb.getInt
       val b = new Array[Byte](len)
       bb.get(b)
-      buf.insert(new String(b, StandardCharsets.UTF_8))
+      buf.insert(UTF8String.fromBytes(b))
       i += 1
     }
     buf

@@ -247,21 +247,26 @@ case class LangIdExpr(child: Expression, floor: Double)
     if (s.isEmpty) return und
     // script split inside the CJK block: hangul → ko; any meaningful
     // kana share → ja (Japanese prose mixes kana between kanji, while
-    // Chinese text contains none); han-only → zh
-    var han = 0; var kana = 0; var hangul = 0
+    // Chinese text contains none); han-only → zh. Counts are per CODE
+    // POINT and thresholds are exact integer comparisons (cjk·5 > n ⟺
+    // cjk/n > 0.2) so an external SQL re-implementation — which counts
+    // code points, not UTF-16 units — agrees bit-for-bit.
+    var han = 0; var kana = 0; var hangul = 0; var n = 0
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if ((c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3400 && c <= 0x4dbf)) han += 1
-      else if (c >= 0x3040 && c <= 0x30ff) kana += 1
-      else if ((c >= 0xac00 && c <= 0xd7af) || (c >= 0x1100 && c <= 0x11ff))
+      val cp = s.codePointAt(i)
+      if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf))
+        han += 1
+      else if (cp >= 0x3040 && cp <= 0x30ff) kana += 1
+      else if ((cp >= 0xac00 && cp <= 0xd7af) || (cp >= 0x1100 && cp <= 0x11ff))
         hangul += 1
-      i += 1
+      n += 1
+      i += Character.charCount(cp)
     }
     val cjk = han + kana + hangul
-    if (cjk.toDouble / s.length > 0.2) {
+    if (cjk * 5 > n) {
       if (hangul > han && hangul > kana) return ko
-      if (kana.toDouble / cjk > 0.05) return ja
+      if (kana * 20 > cjk) return ja
       return zh
     }
     val toks = Sketch.tokenize(s)

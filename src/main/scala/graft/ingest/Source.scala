@@ -131,21 +131,31 @@ final class JdbcSource(url: String, tables: Seq[String],
     r
   }
 
+  // bounds probed once per table per source instance — metadata
+  // consumers (describe, schema resolution) and repeated sync cycles
+  // must not re-run the MIN/MAX aggregate on every read()
+  private val boundsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[(String, String)]]
+
   /** MIN/MAX of the partition column, as strings Spark's JDBC bounds
     * parser accepts (numeric, date, or timestamp columns).
     */
   private def probeBounds(spark: SparkSession, table: String,
-                          c: String): Option[(String, String)] = {
-    val row = withProps(spark.read.format("jdbc").option("url", url)
-      .option("query", s"SELECT MIN($c) AS lo, MAX($c) AS hi FROM $table"))
-      .load().first()
-    if (row.isNullAt(0) || row.isNullAt(1)) None
-    else Some((row.get(0).toString, row.get(1).toString))
-  }
+                          c: String): Option[(String, String)] =
+    boundsCache.getOrElseUpdate(table, {
+      val row = withProps(spark.read.format("jdbc").option("url", url)
+        .option("query", s"SELECT MIN($c) AS lo, MAX($c) AS hi FROM $table"))
+        .load().first()
+      if (row.isNullAt(0) || row.isNullAt(1)) None
+      else Some((row.get(0).toString, row.get(1).toString))
+    })
+
+  private def unpartitionedRead(spark: SparkSession, table: String) =
+    withProps(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table))
 
   def read(spark: SparkSession, table: String): DataFrame = {
-    val base = withProps(spark.read.format("jdbc")
-      .option("url", url).option("dbtable", table))
+    val base = unpartitionedRead(spark, table)
     val bounded = partitionCol.flatMap { c =>
       scala.util.Try(probeBounds(spark, table, c)).toOption.flatten
         .map { case (lo, hi) =>
@@ -157,4 +167,11 @@ final class JdbcSource(url: String, tables: Seq[String],
     }
     bounded.getOrElse(base).load()
   }
+
+  /** Schema only — resolved via the driver's metadata query (`WHERE
+    * 1=0` probe), never the MIN/MAX bounds aggregate.
+    */
+  override def describe(spark: SparkSession, table: String): Seq[ColumnInfo] =
+    unpartitionedRead(spark, table).load().schema.fields.toSeq
+      .map(f => ColumnInfo(f.name, f.dataType.sql, f.nullable))
 }

@@ -28,7 +28,24 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.5,
              keepLangs: Option[Set[String]] = None,
-             nearDupThreshold: Double = 0.7): DataFrame = {
+             nearDupThreshold: Double = 0.7): DataFrame =
+    curateManaged(docs, idCol, textCol, minQuality, keepLangs,
+      nearDupThreshold)._1
+
+  /** `curate` plus a cleanup handle that releases the cached survivors
+    * frame. The survivors feed three consumers (signatures, verify
+    * sets, final anti-join); a lazy `persist` computes them once and —
+    * unlike a lineage-truncating checkpoint — recovers lost blocks by
+    * recomputation when an executor dies mid-job. Each call owns its
+    * own cached frame (no JVM-global state: concurrent pipelines can't
+    * evict each other); long-lived services should invoke the cleanup
+    * after consuming the result, or the cached blocks live until the
+    * session ends.
+    */
+  def curateManaged(docs: DataFrame, idCol: String, textCol: String,
+                    minQuality: Double = 0.5,
+                    keepLangs: Option[Set[String]] = None,
+                    nearDupThreshold: Double = 0.7): (DataFrame, () => Unit) = {
     val gated = docs
       .withColumn("__q", TextFunctions.qualityScore(col(textCol)))
       .filter(col("__q") >= minQuality)
@@ -38,20 +55,13 @@ object Curation {
         .filter(col("__lang").isin(ls.toSeq: _*)).drop("__lang")
       case None => gated
     }
-    // the survivors frame feeds three consumers (signatures, verify
-    // sets, final anti-join); without materialization the quality gate
-    // and the dedup window recompute once per consumer. localCheckpoint
-    // (eager) materializes once and truncates lineage — each curate()
-    // call owns its own checkpointed blocks (concurrent pipelines in
-    // the multi-threaded serving layer can't evict each other, unlike
-    // a JVM-global persist ref), and the ContextCleaner frees them
-    // when the returned frame is dropped.
     val exact = Dedup.exactSurvivors(langed.drop("__q"), idCol, textCol)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupIds = Dedup.minhashNearDups(exact, idCol, textCol,
       threshold = nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct() // keep the lower id
-    exact.join(dupIds, Seq(idCol), "left_anti")
+    val result = exact.join(dupIds, Seq(idCol), "left_anti")
+    (result, () => { exact.unpersist(blocking = false); () })
   }
 
   /** Stage-by-stage survivor counts (one action per stage — use for

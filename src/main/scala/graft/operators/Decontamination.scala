@@ -43,15 +43,21 @@ object Decontamination {
     }
 
     val corpusBanded = banded(corpus, "doc_id")
-    // corpus-side skew guard: a degenerate band bucket must not fan
-    // every benchmark row out against half the corpus
-    val keep = corpusBanded.groupBy("band", "bh")
+    val benchBanded = banded(benchmark, "bench_id")
+
+    // only benchmark-touched buckets can ever produce candidates, so
+    // restrict the corpus to that sliver FIRST with a broadcast semi
+    // join — the corpus is never shuffled, and the skew guard (a
+    // degenerate bucket must not fan every benchmark row out against
+    // half the corpus) aggregates the sliver, not the corpus
+    val benchBuckets = benchBanded.select("band", "bh").distinct()
+    val touched = corpusBanded
+      .join(broadcast(benchBuckets), Seq("band", "bh"), "left_semi")
+    val keep = touched.groupBy("band", "bh")
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") <= maxBucketSize)
       .select("band", "bh")
-    val sized = corpusBanded.join(keep, Seq("band", "bh"))
-
-    val benchBanded = banded(benchmark, "bench_id")
+    val sized = touched.join(broadcast(keep), Seq("band", "bh"))
 
     val cands = sized.join(broadcast(benchBanded), Seq("band", "bh"))
       .filter(col("doc_id") =!= col("bench_id"))

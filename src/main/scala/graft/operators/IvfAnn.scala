@@ -26,18 +26,30 @@ import graft.functions.VectorKernels
   */
 object IvfAnn {
 
+  /** A centroid frame is nCells rows of metadata — collect it and
+    * re-create a LocalRelation so every downstream use (each Lloyd
+    * iteration references the previous one; topK/buildIndex reference
+    * the final one twice) reads nCells in-memory rows instead of
+    * re-executing the corpus-scanning chain that produced them. Same
+    * metadata-scale rationale as a broadcast hint.
+    */
+  private def localized(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
   /** Deterministic k-means centroids as a (cell_id, centroid) frame. */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
                 nCells: Int, iterations: Int = 2): DataFrame = {
-    val seeds = corpus
+    val seeds = localized(corpus
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy("__h").limit(nCells)
       .withColumn("cell_id",
         (row_number().over(Window.orderBy("__h")) - 1).cast("int"))
-      .select(col("cell_id"), col(vecCol).cast("array<double>").as("centroid"))
+      .select(col("cell_id"), col(vecCol).cast("array<double>").as("centroid")))
 
     (1 to iterations).foldLeft(seeds) { (cents, _) =>
-      assign(corpus, idCol, vecCol, cents)
+      localized(assign(corpus, idCol, vecCol, cents)
         .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy("cell_id", "dim")
         // exact decimal mean: double SUM is partition-order-dependent,
@@ -48,7 +60,7 @@ object IvfAnn {
         .groupBy("cell_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("__p"))
         .withColumn("centroid", transform(col("__p"), p => p.getField("m")))
-        .select("cell_id", "centroid")
+        .select("cell_id", "centroid"))
     }
   }
 

@@ -31,12 +31,15 @@ object Sampling {
                                keyCol: String, k: Int,
                                quota: Column): DataFrame = {
     val keyed = df.withColumn("__k", hashOrder(col(keyCol)))
-    val keep = keyed.groupBy(stratumCol)
+    // null-safe join key: groupBy keeps a NULL stratum group, and a
+    // plain equi-join would silently drop those rows from the sample
+    // (the window formulation ranked the NULL partition like any other)
+    val keep = keyed.groupBy(col(stratumCol).as("__strat"))
       .agg(graft.functions.MinKeysAgg.minKeys(col("__k"), k).as("__keep"))
-    keyed.join(broadcast(keep), Seq(stratumCol))
+    keyed.join(broadcast(keep), col(stratumCol) <=> col("__strat"))
       .withColumn("__rnk", array_position(col("__keep"), col("__k")))
       .filter(col("__rnk") > 0 && col("__rnk") <= quota)
-      .drop("__k", "__keep", "__rnk")
+      .drop("__k", "__keep", "__rnk", "__strat")
   }
 
   /** Exactly `n` rows per stratum (fewer if the stratum is smaller),

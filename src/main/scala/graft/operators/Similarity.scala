@@ -36,7 +36,10 @@ object Similarity {
     */
   private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
-      .agg(TopKAgg.topKByScore(col("cosine"), col("neighbor_id"), k)
+      // widen to the aggregate's (double, bigint) signature so int ids
+      // / float scores keep working like they did under the window rank
+      .agg(TopKAgg.topKByScore(col("cosine").cast("double"),
+        col("neighbor_id").cast("long"), k)
         .as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__c")))
       .select(col("query_id"),

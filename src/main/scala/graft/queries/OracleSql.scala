@@ -401,9 +401,9 @@ best AS (
 SELECT b.doc_id, b.labeled_lang,
   CASE
     WHEN b.n = 0 THEN 'und'
-    WHEN (b.han + b.kana + b.hangul) > 0.2 * b.n THEN
+    WHEN (b.han + b.kana + b.hangul) * 5 > b.n THEN
       CASE WHEN b.hangul > b.han AND b.hangul > b.kana THEN 'ko'
-           WHEN b.kana > 0.05 * (b.han + b.kana + b.hangul) THEN 'ja'
+           WHEN b.kana * 20 > (b.han + b.kana + b.hangul) THEN 'ja'
            ELSE 'zh' END
     WHEN len(b.toks) = 0 THEN 'und'
     WHEN best.score >= $floor AND best.score > 0.0 THEN best.lang

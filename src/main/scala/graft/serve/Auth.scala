@@ -41,7 +41,17 @@ private[serve] object JwtClaims {
                nowEpochS: Long): Either[String, Principal] = {
     if (claims.has("exp") && claims.get("exp").asLong() < nowEpochS)
       return Left("Token expired")
-    if (claims.path("aud").asText() != audience)
+    // aud may be a string OR an array (Auth0 issues both — e.g. the API
+    // audience plus /userinfo); either form must accept when it
+    // contains the expected audience
+    val audOk = claims.path("aud") match {
+      case a if a.isArray =>
+        var found = false
+        a.forEach(n => if (n.asText() == audience) found = true)
+        found
+      case a => a.asText() == audience
+    }
+    if (!audOk)
       return Left("Invalid audience")
     if (claims.path("iss").asText() != issuer)
       return Left("Invalid issuer")

@@ -47,6 +47,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curateManaged cleanup releases the cached survivors") {
+    import org.apache.spark.sql.functions.lit
+    val (out, cleanup) = Curation.curateManaged(docs, "doc_id", "text",
+      minQuality = 0.5, nearDupThreshold = 0.45)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // a FRESH query execution resolves against the cache manager at
+    // plan time — before cleanup it reads the in-memory relation,
+    // after cleanup the entry is gone and the plan recomputes
+    def usesCache: Boolean = out.where(lit(true))
+      .queryExecution.executedPlan.toString.contains("InMemoryTableScan")
+    assert(usesCache, "survivors frame should be cached after the action")
+    cleanup()
+    val deadline = System.currentTimeMillis() + 30000
+    while (usesCache && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(!usesCache, "cleanup must release the cache entry")
+    // and the result stays computable (lineage intact, just uncached)
+    assert(out.where(lit(true)).count() == 2L)
+  }
+
   test("language gate") {
     val mixed = Seq(
       (1L, "the cat sat on the mat and it was happy with the sun in the sky"),

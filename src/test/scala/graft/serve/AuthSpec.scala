@@ -51,6 +51,30 @@ class AuthSpec extends AnyFunSuite {
       == Left("Unsupported algorithm"))
   }
 
+  test("array-valued aud accepts when it contains the audience") {
+    // Auth0 issues aud as an array (API audience + /userinfo)
+    def rawMint(payload: String): String = {
+      val enc = java.util.Base64.getUrlEncoder.withoutPadding
+      def b64(s: String) = enc.encodeToString(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = b64("""{"alg":"RS256","typ":"JWT","kid":"key-1"}""")
+      val p = b64(payload)
+      val signer = java.security.Signature.getInstance("SHA256withRSA")
+      signer.initSign(kp.getPrivate)
+      signer.update(s"$h.$p".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      s"$h.$p.${enc.encodeToString(signer.sign())}"
+    }
+    val good = rawMint(
+      s"""{"sub":"alice","aud":["aud-x","https://other/userinfo"],""" +
+        s""""iss":"iss-y","scope":"read:schema","exp":${now + 600}}""")
+    assert(auth.authenticate(Some(s"Bearer $good"))
+      == Right(Principal("alice", Set("read:schema"))))
+    val bad = rawMint(
+      s"""{"sub":"alice","aud":["other-1","other-2"],""" +
+        s""""iss":"iss-y","scope":"read:schema","exp":${now + 600}}""")
+    assert(auth.authenticate(Some(s"Bearer $bad")) == Left("Invalid audience"))
+  }
+
   test("expired / wrong audience / wrong issuer / missing header") {
     assert(auth.authenticate(Some(s"Bearer ${token(exp = now - 1)}"))
       == Left("Token expired"))
