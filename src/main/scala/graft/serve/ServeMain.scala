@@ -38,17 +38,23 @@ object ServeMain {
     val reader = new SnapshotReader(store,
       java.time.Duration.ofSeconds(cfg.refreshTtlSeconds))
     val engine = new QueryEngine(spark, reader)
-    // JWT auth activates when a secret is configured (AUTH_SECRET +
-    // AUTH_AUDIENCE/AUTH_ISSUER); otherwise the service runs open and
+    // JWT auth activates when configured — AUTH_JWKS_FILE selects the
+    // RS256/JWKS verifier (the reference's Auth0 contract, with the
+    // JWKS supplied as a file instead of an outbound fetch);
+    // AUTH_SECRET selects HS256. Otherwise the service runs open and
     // says so loudly — never silently.
-    val auth = sys.env.get("AUTH_SECRET") match {
-      case Some(secret) => new HmacJwtAuthenticator(
+    val audience = sys.env.getOrElse("AUTH_AUDIENCE", "graft-api")
+    val issuer = sys.env.getOrElse("AUTH_ISSUER", "graft")
+    val auth = (sys.env.get("AUTH_JWKS_FILE"), sys.env.get("AUTH_SECRET")) match {
+      case (Some(jwksPath), _) => new RsaJwksAuthenticator(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(jwksPath)),
+        audience, issuer)
+      case (None, Some(secret)) => new HmacJwtAuthenticator(
         secret.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        audience = sys.env.getOrElse("AUTH_AUDIENCE", "graft-api"),
-        issuer = sys.env.getOrElse("AUTH_ISSUER", "graft"))
-      case None =>
+        audience, issuer)
+      case _ =>
         System.err.println(
-          "[serve] WARNING: AUTH_SECRET not set — serving UNAUTHENTICATED")
+          "[serve] WARNING: no AUTH_JWKS_FILE/AUTH_SECRET — serving UNAUTHENTICATED")
         new NoAuth()
     }
     val api = new HttpApi(engine,
