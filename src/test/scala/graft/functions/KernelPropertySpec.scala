@@ -93,7 +93,55 @@ class KernelPropertySpec extends AnyFunSuite {
       li.nullSafeEval(UTF8String.fromString(s)).toString
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val a = id(s); a == id(s) &&
-        (a == "und" || a == "zh" || TextFunctions.stopwordProfiles.contains(a))
+        (a == "und" || a == "zh" || a == "ja" || a == "ko" ||
+          TextFunctions.stopwordProfiles.contains(a))
+    })
+  }
+
+  test("top-k buffer: any insert/merge split == sorted reference") {
+    val entry = for {
+      score <- Gen.chooseNum(-1.0, 1.0)
+      id <- Gen.chooseNum(0L, 40L) // small range → frequent dup ids
+    } yield (score, id)
+    val gen = for {
+      xs <- Gen.listOf(entry)
+      k <- Gen.choose(1, 12)
+      cut <- Gen.choose(0, xs.length)
+    } yield (xs, k, cut)
+    check(Prop.forAll(gen) { case (xs, k, cut) =>
+      val (l, r) = xs.splitAt(cut)
+      val a = new TopKBuffer(k); l.foreach { case (s, i) => a.insert(s, i) }
+      val b = new TopKBuffer(k); r.foreach { case (s, i) => b.insert(s, i) }
+      // exercise serialize → deserialize on one side before merging
+      val agg = TopKByScore(Literal(0.0), Literal(0L), k)
+      val merged = agg.merge(a, agg.deserialize(agg.serialize(b)))
+      val got = merged.sorted.map(c => (c.score, c.id)).toSeq
+      // reference: best score per id, ranked (score desc, id asc), take k
+      // (.toSeq BEFORE map — mapping the Map would re-key by score and
+      // collapse ties)
+      val ref = xs.groupBy(_._2).toSeq
+        .map { case (id, es) => (es.map(_._1).max, id) }
+        .sortBy { case (s, i) => (-s, i) }.take(k)
+      got == ref
+    })
+  }
+
+  test("min-keys buffer: any insert/merge split == sorted reference") {
+    val gen = for {
+      xs <- Gen.listOf(Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString))
+      k <- Gen.choose(1, 10)
+      cut <- Gen.choose(0, xs.length)
+    } yield (xs, k, cut)
+    check(Prop.forAll(gen) { case (xs, k, cut) =>
+      val (l, r) = xs.splitAt(cut)
+      val a = new MinKeysBuffer(k)
+      l.foreach(s => a.insert(UTF8String.fromString(s)))
+      val b = new MinKeysBuffer(k)
+      r.foreach(s => b.insert(UTF8String.fromString(s)))
+      val agg = MinKeys(Literal(""), k)
+      val merged = agg.merge(a, agg.deserialize(agg.serialize(b)))
+      val got = merged.sorted.map(_.toString).toSeq
+      got == xs.sorted.take(k) // ascii → String order == UTF8String order
     })
   }
 }
