@@ -1,5 +1,7 @@
 package graft
 
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the query catalog against
@@ -10,15 +12,27 @@ import org.apache.spark.sql.SparkSession
   * sink — `count()` would let Catalyst collapse scan-only plans to
   * parquet-footer metadata and under-report real work.
   *
-  * Measurement is steady-state: each query runs once untimed (codegen
-  * compilation, classloading, JIT) and the SECOND run is reported —
-  * the throughput a long-running service (the reference's deployment
-  * shape) actually delivers, rather than JVM warm-up artifacts.
+  * Measurement is steady-state and noise-resistant: each query runs
+  * once untimed (codegen compilation, classloading, JIT) and the
+  * MEDIAN of three timed runs is reported — the throughput a
+  * long-running service (the reference's deployment shape) actually
+  * delivers, with single-run jitter (GC pause, page-cache miss)
+  * filtered out.
+  *
+  * The driver parses the tail of the captured output, so the emitted
+  * line must (a) be the true last line — logs are switched off and the
+  * session stopped before printing — and (b) fit the tail window:
+  * per-query seconds are rounded to 3 decimals (~40% shorter than
+  * full-precision doubles). Full-precision per-run timings go to
+  * SPARK_GRAFT_BENCH_FILE (default target/bench_full.json) instead.
   */
 object Bench {
+  private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,19 +53,38 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = graft.queries.Catalog.all.map { q =>
+    val detail = graft.queries.Catalog.all.map { q =>
       exec(q.name) // warm: codegen + JIT + page cache
-      q.name -> exec(q.name)
+      val runs = Seq.fill(timedRuns)(exec(q.name))
+      q.name -> runs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = detail.map { case (n, runs) =>
+      n -> runs.sorted.apply(runs.length / 2) // median
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // the driver parses the tail of captured output — silence shutdown
-    // logging and re-print the JSON as the true last line so it cannot
-    // be truncated out of the tail window
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // full-precision per-run detail for offline analysis (not part of
+    // the driver contract)
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "target/bench_full.json")
+    try {
+      val d = detail.map { case (k, runs) =>
+        "\"" + k + "\":[" + runs.map(_.toString).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val p = java.nio.file.Paths.get(benchFile)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        s"""{"total":$total,"sf":"$sfDir","runs":$d}""".getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+
+    // the driver parses the tail of captured output: stop everything
+    // that could log first, then print the JSON exactly once as the
+    // true last line (sbt's [success] footer is disabled in build.sbt)
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(json)
