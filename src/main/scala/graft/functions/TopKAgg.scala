@@ -111,11 +111,35 @@ case class TopKByScore(
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
+  // TypedImperativeAggregate runs in ObjectHashAggregateExec outside
+  // whole-stage codegen, so update() is the per-candidate hot path.
+  // After the planner binds this function to its input schema the
+  // children are plain BoundReferences; read them with primitive row
+  // accessors instead of eval() (which allocates a boxed Double/Long
+  // per row and dispatches through the interpreted-expression path).
+  // Callers keep the fast path by projecting casts BEFORE the groupBy
+  // (see Similarity.rankTopK).
+  @transient private lazy val fastOrdinals: Option[(Int, Int)] =
+    (scoreExpr, idExpr) match {
+      case (s: org.apache.spark.sql.catalyst.expressions.BoundReference,
+            i: org.apache.spark.sql.catalyst.expressions.BoundReference)
+          if s.dataType == DoubleType && i.dataType == LongType =>
+        Some((s.ordinal, i.ordinal))
+      case _ => None
+    }
+
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
-    val s = scoreExpr.eval(input)
-    val id = idExpr.eval(input)
-    if (s != null && id != null) {
-      buffer.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    fastOrdinals match {
+      case Some((so, io)) =>
+        if (!input.isNullAt(so) && !input.isNullAt(io)) {
+          buffer.insert(input.getDouble(so), input.getLong(io))
+        }
+      case None =>
+        val s = scoreExpr.eval(input)
+        val id = idExpr.eval(input)
+        if (s != null && id != null) {
+          buffer.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+        }
     }
     buffer
   }

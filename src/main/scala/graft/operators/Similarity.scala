@@ -34,18 +34,48 @@ object Similarity {
     * Duplicate neighbor ids (multiprobe bucket overlap) collapse
     * inside the heap, so no `distinct()` pre-pass is needed either.
     */
-  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("query_id")
-      // widen to the aggregate's (double, bigint) signature so int ids
-      // / float scores keep working like they did under the window rank
-      .agg(TopKAgg.topKByScore(col("cosine").cast("double"),
-        col("neighbor_id").cast("long"), k)
-        .as("__top"))
-      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__c")))
-      .select(col("query_id"),
-        col("__c.id").as("neighbor_id"),
-        col("__c.score").as("cosine"),
-        (col("__pos") + 1).as("rank"))
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integralId = scored.schema("neighbor_id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId) {
+      // The casts are projected BEFORE the groupBy (codegen'd stage) so
+      // the aggregate's children bind to plain attribute references —
+      // update() then reads primitives straight off the row instead of
+      // interpreting a Cast per candidate (TopKByScore.fastOrdinals).
+      // Integral ids widen to bigint in the output.
+      scored.select(col("query_id"),
+        col("cosine").cast("double").as("__score"),
+        col("neighbor_id").cast("long").as("__nid"))
+        .groupBy("query_id")
+        .agg(TopKAgg.topKByScore(col("__score"), col("__nid"), k).as("__top"))
+        .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__c")))
+        .select(col("query_id"),
+          col("__c.id").as("neighbor_id"),
+          col("__c.score").as("cosine"),
+          (col("__pos") + 1).as("rank"))
+    } else {
+      // Non-integral ids (string/UUID/...) cannot ride the (double,
+      // bigint) heap aggregate without changing tie-break semantics —
+      // fall back to the window rank, which is correct for any
+      // orderable id type and preserves its type. Scale caveat: the
+      // window shuffles every scored candidate into |queries|
+      // partitions; prefer integral ids on large corpora.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored
+        // multiprobe dedup: the heap collapses duplicate neighbors at
+        // insert; the window path needs the explicit best-score pass
+        .groupBy("query_id", "neighbor_id")
+        .agg(max(col("cosine")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    }
+  }
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide).
