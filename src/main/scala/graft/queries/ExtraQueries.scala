@@ -54,12 +54,39 @@ object ExtraQueries {
                 COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
               FROM lineitem""")),
 
-    // HLL sketches are engine-specific → rows-only; the exact distinct
-    // above is the oracle-checked twin.
+    // HLL sketches are engine-specific (Spark's HLL++ vs DuckDB's HLL
+    // never agree bit-for-bit), so the oracle is an ε-bound instead:
+    // each engine asserts ITS approx lands within 5% of the exact
+    // count. Spark runs at rsd=0.01 (1% std error), making the 5%
+    // bound a ~5σ certainty; the exact counts pin the rest of the row.
     Q("q35_approx_distinct",
-      (s, d) => t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+      (s, d) => {
+        // exact and approx in SEPARATE one-row aggregations: mixing
+        // countDistinct (planned via Expand, partials grouped by every
+        // distinct key) with a low-rsd HLL would carry a ~16 KB sketch
+        // buffer PER distinct-key group through the partial aggregate —
+        // measured 12 s at sf0.1 vs <1 s split like this
+        val li = t(s, d, "lineitem")
+        val exact = li.agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        val approx = li.agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("__ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("__ao"))
+        exact.crossJoin(approx)
+          .select(col("exact_parts"), col("exact_orders"),
+            (abs(col("__ap") - col("exact_parts")).cast("double")
+              <= lit(0.05) * col("exact_parts")).as("parts_within_5pct"),
+            (abs(col("__ao") - col("exact_orders")).cast("double")
+              <= lit(0.05) * col("exact_orders")).as("orders_within_5pct"))
+      },
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+                COUNT(DISTINCT l_orderkey) AS exact_orders,
+                CAST(abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+                  AS DOUBLE) <= 0.05 * COUNT(DISTINCT l_partkey) AS parts_within_5pct,
+                CAST(abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+                  AS DOUBLE) <= 0.05 * COUNT(DISTINCT l_orderkey) AS orders_within_5pct
+              FROM lineitem""")),
 
     // Batch sessionization: session_window ≡ the gaps-and-islands SQL
     // (new session when the gap since the previous event >= 30 min).

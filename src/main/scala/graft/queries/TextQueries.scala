@@ -166,8 +166,14 @@ object TextQueries {
           explode(TextFunctions.tokens(col("text"))).as("term"))
         val tf = tok.groupBy("doc_id", "term")
           .agg(count(lit(1)).as("tf"))
-        val df_ = tok.groupBy("term")
-          .agg(countDistinct(col("doc_id")).as("df"))
+        // document frequency derived FROM tf: each (doc_id, term) pair
+        // appears exactly once there, so a plain count per term equals
+        // count_distinct(doc_id) over tok — without re-running the
+        // tokenizer kernel for a second explode (tf's exchange is
+        // reused across both consumers) and without the two-phase
+        // distinct-aggregate expansion
+        val df_ = tf.groupBy("term")
+          .agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("tf").desc, col("term"))
         tf.join(df_, "term")
