@@ -11,6 +11,9 @@ import graft.operators.{Multimodal, Similarity}
   */
 object VectorQueries {
 
+  /** Paths already published by e06 in this JVM (build-once memo). */
+  private val built = scala.collection.mutable.Set.empty[String]
+
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "embeddings")
       // single-file source → spread before per-row vector math
@@ -65,6 +68,38 @@ object VectorQueries {
       },
       // exact differential check incl. the xxhash64 seeding (replicated
       // bit-for-bit in SQL) and the decimal-exact Lloyd means
+      Some(OracleSql.ivfTopK(k = 5, nCells = 16, nProbe = 3,
+        iterations = 1))),
+
+    // the 100 TB SERVING layout end-to-end: publish the index
+    // partitioned by cell_id, then answer queries through the
+    // partition-pruned read path (a probe's scan touches only
+    // nProbe/nCells of the corpus directories — IvfAnnSpec asserts the
+    // PartitionFilters). Results are identical to the in-query e05
+    // build, so the same bit-exact oracle applies.
+    Q("e06_knn_ivf_index",
+      (s, d) => {
+        val e = emb(s, d)
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_ivf_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+        // publish once per JVM, query many — the serving pattern this
+        // entry exists to measure (e05 times the in-query build); the
+        // index is deterministic, so re-publishing would write
+        // identical files
+        built.synchronized {
+          if (!built.contains(path)) {
+            graft.operators.IvfAnn.buildIndex(e, "vec_id", "embedding",
+              path, nCells = 16, iterations = 1)
+            built += path
+          }
+        }
+        graft.operators.IvfAnn.topKFromIndex(s, path,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nProbe = 3)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
       Some(OracleSql.ivfTopK(k = 5, nCells = 16, nProbe = 3,
         iterations = 1))),
 
