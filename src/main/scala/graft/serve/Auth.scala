@@ -99,24 +99,40 @@ final class HmacJwtAuthenticator(secret: Array[Byte], audience: String,
     }
 }
 
-/** RS256 JWT verification against a STATIC JWKS document — the
-  * reference's Auth0 contract (api-service/src/auth.py:17-100: fetch
-  * JWKS, look the token's `kid` up in `keys`, pin the algorithm to
-  * RS256, then verify exp/aud/iss) with the outbound fetch replaced by
-  * an operator-supplied JWKS JSON string, so the asymmetric path works
-  * with zero egress. Key confusion is rejected twice: the header `alg`
-  * must be RS256 (never read from attacker input beyond the
-  * comparison), and only RSA keys are loaded from the JWKS.
+/** RS256 JWT verification against a JWKS document — the reference's
+  * Auth0 contract (api-service/src/auth.py:17-100: fetch JWKS on first
+  * use, cache it, look the token's `kid` up in `keys`, pin the
+  * algorithm to RS256, then verify exp/aud/iss) with the outbound
+  * HTTPS fetch generalized to an operator-supplied `jwksSource`
+  * thunk — a file read in the zero-egress deployment — so the
+  * asymmetric path needs no network. The cache-and-refresh shape is
+  * preserved: the source is read once up front, and an unknown `kid`
+  * triggers a re-read (key rotation) throttled by `reloadCooldownS`
+  * so a flood of bad-kid tokens cannot hammer the source. A failed or
+  * unparsable reload keeps the previous key set. Key confusion is
+  * rejected twice: the header `alg` must be RS256 (never read from
+  * attacker input beyond the comparison), and only RSA keys are
+  * loaded from the JWKS.
   */
-final class RsaJwksAuthenticator(jwksJson: String, audience: String,
+final class RsaJwksAuthenticator(jwksSource: () => String, audience: String,
                                  issuer: String,
-                                 clock: () => Long = () => System.currentTimeMillis() / 1000)
+                                 clock: () => Long = () => System.currentTimeMillis() / 1000,
+                                 reloadCooldownS: Long = 60)
     extends Authenticator {
+
+  /** Static-document form (no rotation possible — reload is a no-op
+    * re-parse of the same string, so unknown kids just stay unknown).
+    */
+  def this(jwksJson: String, audience: String, issuer: String,
+           clock: () => Long) =
+    this(() => jwksJson, audience, issuer, clock)
+  def this(jwksJson: String, audience: String, issuer: String) =
+    this(() => jwksJson, audience, issuer)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** kid → RSA public key, from JWKS `keys[]` entries (kty=RSA, n, e). */
-  private val keys: Map[String, java.security.PublicKey] = {
+  private def parseKeys(jwksJson: String): Map[String, java.security.PublicKey] = {
     val root = mapper.readTree(jwksJson)
     val kf = java.security.KeyFactory.getInstance("RSA")
     val it = root.path("keys").elements()
@@ -135,6 +151,27 @@ final class RsaJwksAuthenticator(jwksJson: String, audience: String,
     b.result()
   }
 
+  @volatile private var keys: Map[String, java.security.PublicKey] =
+    parseKeys(jwksSource())
+  private var lastReloadS: Option[Long] = None
+
+  /** Cached lookup; on miss, re-reads the JWKS source (rotation) at
+    * most once per cooldown window. Synchronized so concurrent misses
+    * collapse into one source read.
+    */
+  private def keyFor(kid: String): Option[java.security.PublicKey] =
+    keys.get(kid).orElse(synchronized {
+      keys.get(kid).orElse {
+        val now = clock()
+        if (lastReloadS.forall(t => now - t >= reloadCooldownS)) {
+          lastReloadS = Some(now)
+          try keys = parseKeys(jwksSource())
+          catch { case _: Exception => () } // keep the previous key set
+        }
+        keys.get(kid)
+      }
+    })
+
   def authenticate(h: Option[String]): Either[String, Principal] =
     JwtClaims.bearer(h).flatMap { token =>
       token.split('.') match {
@@ -146,7 +183,7 @@ final class RsaJwksAuthenticator(jwksJson: String, audience: String,
           if (header.path("alg").asText() != "RS256")
             return Left("Unsupported algorithm")
           val kid = header.path("kid").asText("")
-          val key = keys.getOrElse(kid, return Left("Unknown key id"))
+          val key = keyFor(kid).getOrElse(return Left("Unknown key id"))
           val sig = try Base64.getUrlDecoder.decode(s64)
           catch { case _: Exception => return Left("Malformed token") }
           val verifier = java.security.Signature.getInstance("SHA256withRSA")

@@ -46,8 +46,10 @@ object ServeMain {
     val audience = sys.env.getOrElse("AUTH_AUDIENCE", "graft-api")
     val issuer = sys.env.getOrElse("AUTH_ISSUER", "graft")
     val auth = (sys.env.get("AUTH_JWKS_FILE"), sys.env.get("AUTH_SECRET")) match {
+      // passed as a thunk: an unknown kid re-reads the file (throttled),
+      // so rotating keys = rewriting the JWKS file, no restart needed
       case (Some(jwksPath), _) => new RsaJwksAuthenticator(
-        java.nio.file.Files.readString(java.nio.file.Paths.get(jwksPath)),
+        () => java.nio.file.Files.readString(java.nio.file.Paths.get(jwksPath)),
         audience, issuer)
       case (None, Some(secret)) => new HmacJwtAuthenticator(
         secret.getBytes(java.nio.charset.StandardCharsets.UTF_8),

@@ -87,6 +87,53 @@ class AuthSpec extends AnyFunSuite {
     assert(auth.authenticate(Some("Bearer abc")).isLeft)
   }
 
+  test("key rotation: unknown kid triggers a throttled JWKS reload") {
+    // fetch-and-cache contract (reference auth.py:27-33) without egress:
+    // the source is a thunk; rotation = the thunk returning a new doc
+    var doc = RsaJwksAuthenticator.jwks(Seq("key-1" -> pub(kp)))
+    var reads = 0
+    var t = now
+    val a = new RsaJwksAuthenticator(() => { reads += 1; doc },
+      "aud-x", "iss-y", clock = () => t, reloadCooldownS = 60)
+    assert(reads == 1) // initial load
+    val rotated = token(kid = "key-2", priv = kp2.getPrivate)
+
+    // unknown kid while the doc hasn't rotated: reload happens, still 401
+    assert(a.authenticate(Some(s"Bearer $rotated")) == Left("Unknown key id"))
+    assert(reads == 2)
+
+    // doc rotates, but inside the cooldown window: NO reload, still 401
+    doc = RsaJwksAuthenticator.jwks(
+      Seq("key-1" -> pub(kp), "key-2" -> pub(kp2)))
+    t += 30
+    assert(a.authenticate(Some(s"Bearer $rotated")) == Left("Unknown key id"))
+    assert(reads == 2)
+
+    // past the cooldown: reload picks up the rotated doc, token verifies
+    t += 31
+    assert(a.authenticate(Some(s"Bearer $rotated"))
+      == Right(Principal("alice", Set("read:analytics", "read:schema"))))
+    assert(reads == 3)
+
+    // cached known kids never touch the source
+    assert(a.authenticate(Some(s"Bearer ${token()}")).isRight)
+    assert(reads == 3)
+  }
+
+  test("a failed JWKS reload keeps the previous key set") {
+    var broken = false
+    val good = RsaJwksAuthenticator.jwks(Seq("key-1" -> pub(kp)))
+    var t = now
+    val a = new RsaJwksAuthenticator(
+      () => if (broken) sys.error("source down") else good,
+      "aud-x", "iss-y", clock = () => t, reloadCooldownS = 60)
+    broken = true
+    // unknown kid → reload attempt fails → still serving with old keys
+    assert(a.authenticate(Some(s"Bearer ${token(kid = "key-9")}"))
+      == Left("Unknown key id"))
+    assert(a.authenticate(Some(s"Bearer ${token()}")).isRight)
+  }
+
   test("HS256 authenticator still verifies its own tokens (regression)") {
     val secret = "top-secret".getBytes
     val a = new HmacJwtAuthenticator(secret, "aud-x", "iss-y",
