@@ -69,12 +69,24 @@ object Decontamination {
       .groupBy("doc_id", "bench_id").agg(max("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold * 0.6)
 
-    val corpusSets = corpus.select(col(idCol).as("doc_id"),
-      TextSketches.shingleHashSet(col(textCol), shingleWords).as("set_c"))
+    // the verify stage only needs shingle sets for CANDIDATE corpus
+    // docs — restrict the corpus to that (candidate-scale) id set with
+    // a broadcast semi join BEFORE computing sets, so the full corpus
+    // is never shuffled here either and the per-row shingle kernel
+    // runs only on candidates. Both broadcasts below build on cands'
+    // single aggregation exchange (reused within the plan, computed
+    // once).
+    val candIds = cands.select("doc_id").distinct()
+    val corpusSets = corpus.select(col(idCol).as("doc_id"), col(textCol))
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextSketches.shingleHashSet(col(textCol), shingleWords).as("set_c"))
     val benchSets = benchmark.select(col(idCol).as("bench_id"),
       TextSketches.shingleHashSet(col(textCol), shingleWords).as("set_b"))
 
-    cands.join(corpusSets, Seq("doc_id"))
+    // broadcast the pair list (ids + two doubles) rather than the
+    // set-carrying side
+    corpusSets.join(broadcast(cands), Seq("doc_id"))
       .join(broadcast(benchSets), Seq("bench_id"))
       .withColumn("jaccard",
         when(size(array_union(col("set_c"), col("set_b"))) === 0, 0.0)

@@ -38,6 +38,11 @@ class DecontaminationSpec extends SparkSpec {
       threshold = 0.5).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"),
       s"benchmark side must broadcast:\n$plan")
+    // every join in the operator (banding, guard, verify) must be a
+    // broadcast join — a SortMergeJoin would mean corpus-scale rows
+    // (or corpus shingle sets) got shuffled
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side rows must never shuffle through a join:\n$plan")
   }
 
   test("corpus never pairs against an empty-shingle benchmark row") {
