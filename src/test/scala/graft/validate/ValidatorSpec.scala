@@ -111,4 +111,68 @@ class ValidatorSpec extends AnyFunSuite {
         q.toUpperCase.matches(s".*\\b$k\\b.*"))
     })
   }
+
+  // ── CTE / set-op / comment permutations (reference re.match
+  //    semantics: ^-anchored prefix + blocked-token search) ───────────
+  private val wordBlocked =
+    QueryValidator.blockedKeywords.filter(_.forall(_.isLetter)).map(_.toUpperCase).toSet
+  private val ident: Gen[String] = Gen.identifier
+    .map(_.take(8)).suchThat(s => s.nonEmpty && !wordBlocked(s.toUpperCase))
+  private val simpleSelect: Gen[String] = for {
+    proj <- Gen.oneOf(ident, Gen.const("*"))
+    t <- ident
+  } yield s"SELECT $proj FROM $t"
+
+  test("property: every WITH/CTE form fails all ^SELECT anchors") {
+    // Python re.match anchors at the start; `WITH name AS (...)` can
+    // never satisfy a ^SELECT pattern regardless of the inner query
+    val cte = for {
+      n <- ident; inner <- simpleSelect
+      outer <- Gen.oneOf(s"SELECT * FROM $n", s"SELECT COUNT(*) FROM $n")
+      ws <- Gen.oneOf("", "  ", "\n")
+    } yield s"${ws}WITH $n AS ($inner) $outer"
+    check(Prop.forAll(cte) { q =>
+      val r = QueryValidator.validate(q)
+      !r.valid && r.error.contains("Query does not match any allowed pattern")
+    })
+  }
+
+  test("property: INTERSECT/EXCEPT keep the left side's pattern; UNION is blocked") {
+    val combined = for {
+      l <- simpleSelect; r <- simpleSelect
+      op <- Gen.oneOf("INTERSECT", "EXCEPT", "UNION",
+        "intersect", "except", "union")
+    } yield (l, op, s"$l ${op} $r")
+    check(Prop.forAll(combined) { case (l, op, q) =>
+      val r = QueryValidator.validate(q)
+      if (op.equalsIgnoreCase("UNION"))
+        // blocked-token search fires anywhere, case-insensitive
+        !r.valid && r.error.contains("Query contains blocked keywords or patterns")
+      else
+        // prefix match: the whole set-op query is attributed to the
+        // pattern the LEFT branch alone matches (first hit wins)
+        r.valid && r.pattern == QueryValidator.validate(l).pattern
+    })
+  }
+
+  test("property: comments sanitize away and cannot change the verdict") {
+    val junk = Gen.alphaNumStr.map(_.take(20))
+    val commented = for {
+      q <- simpleSelect
+      j <- junk
+      style <- Gen.oneOf(0, 1, 2)
+    } yield {
+      val parts = q.split(' ')
+      style match {
+        case 0 => // block comment at a random-ish token boundary
+          (q, (parts.init :+ s"/* $j */" :+ parts.last).mkString(" "))
+        case 1 => (q, s"$q -- $j")       // trailing line comment
+        case 2 => (q, s"/* $j\n$j */ $q") // leading multi-line block
+      }
+    }
+    check(Prop.forAll(commented) { case (clean, dirty) =>
+      val s = QuerySanitizer.sanitize(dirty)
+      s == clean && QueryValidator.validate(s) == QueryValidator.validate(clean)
+    })
+  }
 }
