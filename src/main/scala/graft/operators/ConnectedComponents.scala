@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the clustering
+  * step that turns pairwise near-duplicate evidence into dedup groups.
+  *
+  * Pair-based survivor rules (drop the higher id of every pair) are the
+  * usual LSH shortcut, but they mis-handle transitive chains: with
+  * A~B and B~C but not A~C, dropping per-pair removes C on B's
+  * authority even though B itself is removed. Principled fuzzy dedup
+  * clusters first (one component per chain) and keeps one
+  * representative per component.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labeled with its own id; each round, every node takes the minimum
+  * label among itself and its neighbors; at fixpoint the label is the
+  * minimum id reachable in the component — a unique, deterministic
+  * representative independent of execution order. Rounds needed =
+  * graph diameter, which for near-dup graphs is small (clusters are
+  * dense: variants of one underlying document). Each round is one
+  * shuffle-join plus one min-aggregation — no collect, no driver-side
+  * graph.
+  *
+  * Each round ends in an EAGER `localCheckpoint`: the round's plan
+  * references the previous round twice (join input and union input),
+  * so without truncation the logical plan doubles per round —
+  * exponential planning cost long before any data moves. Checkpointing
+  * keeps every round's plan constant-size, and dropped generations are
+  * freed by the context cleaner once unreferenced. The trade — a lost
+  * executor's checkpoint blocks cannot be recomputed from lineage — is
+  * the accepted cost of iterative plans (a lineage chain over N rounds
+  * is equally unrecoverable in practice); at 1000-executor scale, rerun
+  * the clustering job on failure rather than replicating blocks.
+  */
+object ConnectedComponents {
+
+  /** (id, component) for every node appearing in `edges`, where
+    * `component` = min node id in the connected component.
+    *
+    * `maxIterations` bounds the worst case (a path graph of length n
+    * needs n rounds); if the bound is hit before fixpoint the labels
+    * of the still-converging components are upper bounds, so size it
+    * above the plausible diameter — dedup graphs converge in a
+    * handful of rounds.
+    */
+  def components(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxIterations: Int = 30): DataFrame = {
+    // both directions, deduplicated: propagation below is one-hop along
+    // directed edges, so symmetry makes it undirected
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"),
+        col(srcCol).cast("long").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // static across rounds
+
+    try {
+      var labels = e.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("component"))
+        .localCheckpoint(true)
+
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIterations) {
+        // neighbor labels flow along edges; the union with the node's
+        // own label makes min() monotone non-increasing, so the
+        // fixpoint is exactly min-reachable-id
+        val msgs = e.join(labels, e("a") === labels("id"))
+          .select(e("b").as("id"), labels("component"))
+        val next = msgs.union(labels)
+          .groupBy("id").agg(min("component").as("component"))
+          .localCheckpoint(true) // materializes; truncates the plan
+        val changed = next
+          .join(labels.select(col("id"), col("component").as("__prev")), "id")
+          .filter(col("component") < col("__prev"))
+          .count()
+        labels = next // the dropped generation is context-cleaned
+        converged = changed == 0
+        iter += 1
+      }
+      labels
+    } finally { e.unpersist(blocking = false); () }
+  }
+
+  /** Cluster members with sizes: (id, component, component_size).
+    * Components of size 1 cannot occur (a node only enters via an
+    * edge, so every component has >= 2 members).
+    */
+  def clusters(edges: DataFrame, srcCol: String, dstCol: String,
+               maxIterations: Int = 30): DataFrame = {
+    val labels = components(edges, srcCol, dstCol, maxIterations)
+    val sizes = labels.groupBy("component")
+      .agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, "component")
+      .select("id", "component", "component_size")
+  }
+
+  /** `docs` minus every non-representative member of each near-dup
+    * component (the min-id member survives). The component result is
+    * node-scale (only docs that appeared in a pair), typically a small
+    * fraction of the corpus, and lands on a left-anti join against the
+    * full corpus — docs itself never shuffles when the non-survivor
+    * side stays under the broadcast threshold (AQE picks the strategy
+    * from the measured size).
+    */
+  def dedupSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String,
+                     srcCol: String = "id_a", dstCol: String = "id_b",
+                     maxIterations: Int = 30): DataFrame = {
+    val drop = components(pairs, srcCol, dstCol, maxIterations)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+}

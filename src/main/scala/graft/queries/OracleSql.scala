@@ -130,6 +130,42 @@ WHERE $jaccardExpr >= $threshold
 ORDER BY id_a, id_b"""
   }
 
+  /** d18: ConnectedComponents.clusters over Dedup.minhashNearDups
+    * pairs — (doc_id, cluster_id, cluster_size). The pair generation is
+    * the same bit-exact signature family as d08; clustering is
+    * transitive closure via a recursive CTE (min reachable id = the
+    * fixpoint the Spark-side label propagation converges to).
+    */
+  def nearDupClusters(shingleWords: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.7,
+                      maxBucketSize: Int = 1000): String = {
+    val pre = threshold * 0.6
+    s"""WITH toksrc(doc_id, t) AS (
+  SELECT doc_id, ${toksExpr("text")} FROM documents),
+${lshCtes("toksrc", shingleWords, numHashes, bands, maxBucketSize)},
+est AS (
+  SELECT id_a, id_b, $estExpr AS est_jaccard FROM cand),
+pre AS (SELECT * FROM est WHERE est_jaccard >= $pre),
+pairs AS (
+  SELECT id_a, id_b
+  FROM pre JOIN sets sa ON pre.id_a = sa.doc_id
+           JOIN sets sb ON pre.id_b = sb.doc_id
+  WHERE $jaccardExpr >= $threshold),
+comp AS (
+  WITH RECURSIVE
+  nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+  edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+  reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.b, reach.r FROM edges e JOIN reach ON reach.id = e.a)
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT id AS doc_id, component AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM comp ORDER BY doc_id"""
+  }
+
   /** d09: Dedup.simhashNearDups(documents) — (id_a, id_b, hamming).
     * Token hash is ONE FNV round per (ASCII) byte; the fingerprint is
     * the bit-vote sign vector; banding joins on 16-bit chunks.

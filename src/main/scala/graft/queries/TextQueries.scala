@@ -150,6 +150,22 @@ object TextQueries {
     // on this corpus that is the planted-duplicate regime (17 pairs at
     // sf0.01) while <= 12 floods with 100k+ shared-vocabulary noise
     // pairs
+    // transitive clustering of the d08 pair evidence: A~B, B~C chains
+    // collapse to one component with the min id as representative —
+    // the principled form of fuzzy dedup (pair-based dropping
+    // mis-handles chains). Same bit-exact pair family as d08; the
+    // oracle clusters with a recursive CTE.
+    Q("d18_neardup_clusters",
+      (s, d) => graft.operators.ConnectedComponents.clusters(
+        Dedup.minhashNearDups(docs(s, d), "doc_id", "text",
+          shingleWords = 3, numHashes = 32, bands = 8, threshold = 0.5),
+        "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          col("component_size").as("cluster_size"))
+        .orderBy("doc_id"),
+      Some(OracleSql.nearDupClusters(shingleWords = 3, numHashes = 32,
+        bands = 8, threshold = 0.5))),
+
     Q("d09_simhash_neardups",
       (s, d) => Dedup.simhashNearDups(docs(s, d), "doc_id", "text",
         bands = 4, maxHamming = 3)
