@@ -130,6 +130,62 @@ WHERE $jaccardExpr >= $threshold
 ORDER BY id_a, id_b"""
   }
 
+  /** d19: GopherStats counters + derived fractions + threshold verdict
+    * — (doc_id, word_count, stopword_hits, 7 rounded fractions,
+    * gopher_pass). The counters are integers on both sides, so the
+    * fractions (single division + round(…,4)) are bit-comparable.
+    */
+  def gopherStats(): String = {
+    val bigrams = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
+    s"""WITH f AS (
+  SELECT doc_id, ${toksExpr("text")} AS t,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+      x -> len(x) > 0) AS ll
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    len(t) AS word_count,
+    COALESCE(CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT), 0) AS token_chars,
+    len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      sw -> list_contains(t, sw))) AS BIGINT) AS stopword_hits,
+    COALESCE(list_max(list_transform(list_distinct($bigrams),
+      b -> CAST(len(list_filter($bigrams, x -> x = b)) * (len(b) - 1) AS BIGINT))),
+      0) AS top_bigram_chars,
+    len(ll) AS n_lines,
+    len(list_filter(ll, x -> x[1] IN ('-', '*'))) AS bullet_lines,
+    len(list_filter(ll, x -> ends_with(x, '...'))) AS ellipsis_lines,
+    len(list_distinct(ll)) AS distinct_lines,
+    COALESCE(CAST(list_sum(list_transform(ll, x -> len(x))) AS BIGINT), 0) AS line_chars,
+    COALESCE(CAST(list_sum(list_transform(ll, x -> len(x))) AS BIGINT), 0)
+      - COALESCE(CAST(list_sum(list_transform(list_distinct(ll), x -> len(x))) AS BIGINT),
+        0) AS dup_line_chars
+  FROM f),
+m AS (
+  SELECT doc_id, word_count, stopword_hits,
+    CASE WHEN word_count = 0 THEN 0.0
+      ELSE round(CAST(token_chars AS DOUBLE) / word_count, 4) END AS mean_word_len,
+    CASE WHEN word_count = 0 THEN 0.0
+      ELSE round(CAST(alpha_words AS DOUBLE) / word_count, 4) END AS alpha_frac,
+    CASE WHEN token_chars = 0 THEN 0.0
+      ELSE round(CAST(top_bigram_chars AS DOUBLE) / token_chars, 4) END AS top_bigram_frac,
+    CASE WHEN n_lines = 0 THEN 0.0
+      ELSE round(1.0 - CAST(distinct_lines AS DOUBLE) / n_lines, 4) END AS dup_line_frac,
+    CASE WHEN line_chars = 0 THEN 0.0
+      ELSE round(CAST(dup_line_chars AS DOUBLE) / line_chars, 4) END AS dup_line_char_frac,
+    CASE WHEN n_lines = 0 THEN 0.0
+      ELSE round(CAST(bullet_lines AS DOUBLE) / n_lines, 4) END AS bullet_frac,
+    CASE WHEN n_lines = 0 THEN 0.0
+      ELSE round(CAST(ellipsis_lines AS DOUBLE) / n_lines, 4) END AS ellipsis_frac
+  FROM g)
+SELECT *,
+  (word_count BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+    AND alpha_frac >= 0.8 AND stopword_hits >= 2 AND top_bigram_frac <= 0.2
+    AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2
+    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AS gopher_pass
+FROM m ORDER BY doc_id"""
+  }
+
   /** d18: ConnectedComponents.clusters over Dedup.minhashNearDups
     * pairs — (doc_id, cluster_id, cluster_size). The pair generation is
     * the same bit-exact signature family as d08; clustering is

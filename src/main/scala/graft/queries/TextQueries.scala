@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
@@ -150,6 +151,39 @@ object TextQueries {
     // on this corpus that is the planted-duplicate regime (17 pairs at
     // sf0.01) while <= 12 floods with 100k+ shared-vocabulary noise
     // pairs
+    // Gopher-style repetition/structure filters (Rae et al. 2021,
+    // §A1.1): one single-pass integer-counter kernel per document,
+    // fractions and the threshold verdict derived in the query. Purely
+    // map-side — at 100 TB this runs at scan speed, no shuffle.
+    Q("d19_gopher_quality",
+      (s, d) => {
+        val f = graft.functions.GopherStats.gopherStats(col("text"))
+        def frac(num: Column, den: Column): Column =
+          when(den === 0, 0.0).otherwise(round(num.cast("double") / den, 4))
+        val m = docs(s, d).select(col("doc_id"), f.as("f")).select(
+          col("doc_id"),
+          col("f.word_count").as("word_count"),
+          col("f.stopword_hits").as("stopword_hits"),
+          frac(col("f.token_chars"), col("f.word_count")).as("mean_word_len"),
+          frac(col("f.alpha_words"), col("f.word_count")).as("alpha_frac"),
+          frac(col("f.top_bigram_chars"), col("f.token_chars")).as("top_bigram_frac"),
+          when(col("f.n_lines") === 0, 0.0).otherwise(round(lit(1.0)
+            - col("f.distinct_lines").cast("double") / col("f.n_lines"), 4))
+            .as("dup_line_frac"),
+          frac(col("f.dup_line_chars"), col("f.line_chars")).as("dup_line_char_frac"),
+          frac(col("f.bullet_lines"), col("f.n_lines")).as("bullet_frac"),
+          frac(col("f.ellipsis_lines"), col("f.n_lines")).as("ellipsis_frac"))
+        m.withColumn("gopher_pass",
+          col("word_count").between(50, 100000)
+            && col("mean_word_len").between(3, 10)
+            && col("alpha_frac") >= 0.8 && col("stopword_hits") >= 2
+            && col("top_bigram_frac") <= 0.2 && col("dup_line_frac") <= 0.3
+            && col("dup_line_char_frac") <= 0.2 && col("bullet_frac") <= 0.9
+            && col("ellipsis_frac") <= 0.3)
+          .orderBy("doc_id")
+      },
+      Some(OracleSql.gopherStats())),
+
     // transitive clustering of the d08 pair evidence: A~B, B~C chains
     // collapse to one component with the min id as representative —
     // the principled form of fuzzy dedup (pair-based dropping
