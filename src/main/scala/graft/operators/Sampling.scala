@@ -70,6 +70,36 @@ object Sampling {
       .filter(col("__running") <= budget).drop("__running")
   }
 
+  /** Concat-and-chunk sequence packing — the standard pretraining
+    * layout: documents are (conceptually) concatenated in a
+    * deterministic hash-shuffled order and the stream is cut every
+    * `seqLen` tokens, so documents may straddle sequence boundaries.
+    * Emits, per document: its shard, the first/last sequence index it
+    * lands in, and its offset within the first sequence.
+    *
+    * Packing needs a total order, but a single global window is one
+    * task at corpus scale — so the order is per-shard (`pmod(id,
+    * nShards)`), giving nShards independent, deterministic packing
+    * streams that parallelize. Real pipelines pack per output shard
+    * anyway; sequence ids are (shard, seq) pairs.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    seqLen: Long, nShards: Int = 64): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy("shard").orderBy(hashOrder(col(idCol)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
+      .withColumn("__end", sum(col(tokenCol).cast("long")).over(w))
+      .withColumn("__start", col("__end") - col(tokenCol))
+      .select(col(idCol),
+        col("shard"),
+        floor(col("__start") / seqLen).as("seq_first"),
+        // empty docs occupy no tokens: they "land" where they start
+        when(col(tokenCol) <= 0, floor(col("__start") / seqLen))
+          .otherwise(floor((col("__end") - 1) / seqLen)).as("seq_last"),
+        pmod(col("__start"), lit(seqLen)).as("seq_offset"))
+  }
+
   /** Weighted source mixture: `weights` gives each stratum a row
     * quota out of `total` (largest-remainder rounding), then the
     * stratified selection fills it.

@@ -151,6 +151,30 @@ object TextQueries {
     // on this corpus that is the planted-duplicate regime (17 pairs at
     // sf0.01) while <= 12 floods with 100k+ shared-vocabulary noise
     // pairs
+    // concat-and-chunk sequence packing (the pretraining layout): docs
+    // are concatenated in deterministic md5-shuffled order per shard
+    // and cut every 2048 tokens; docs straddle sequence boundaries.
+    // Per-shard windows parallelize — no global sort.
+    Q("d20_sequence_packing",
+      (s, d) => graft.operators.Sampling.packSequences(
+        docs(s, d), "doc_id", "n_chars", seqLen = 2048, nShards = 8)
+        .select("doc_id", "shard", "seq_first", "seq_last", "seq_offset")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+                SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, n_chars,
+                       SUM(n_chars) OVER (PARTITION BY doc_id % 8
+                         ORDER BY md5(CAST(doc_id AS VARCHAR))
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+                FROM documents)
+              SELECT doc_id, shard,
+                     CAST(FLOOR((e - n_chars) / 2048.0) AS BIGINT) AS seq_first,
+                     CASE WHEN n_chars <= 0
+                       THEN CAST(FLOOR((e - n_chars) / 2048.0) AS BIGINT)
+                       ELSE CAST(FLOOR((e - 1) / 2048.0) AS BIGINT)
+                     END AS seq_last,
+                     CAST((e - n_chars) % 2048 AS BIGINT) AS seq_offset
+              FROM w ORDER BY doc_id""")),
+
     // Gopher-style repetition/structure filters (Rae et al. 2021,
     // §A1.1): one single-pass integer-counter kernel per document,
     // fractions and the threshold verdict derived in the query. Purely

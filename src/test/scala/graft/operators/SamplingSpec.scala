@@ -51,6 +51,47 @@ class SamplingSpec extends SparkSpec {
     assert(sums.values.forall(_ >= 2000L - 1100L), sums)
   }
 
+  test("sequence packing matches a local concat-and-chunk reference") {
+    val seqLen = 1000L
+    val out = Sampling.packSequences(docs, "doc_id", "n_tokens",
+      seqLen, nShards = 4)
+      .select("doc_id", "shard", "seq_first", "seq_last", "seq_offset")
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // reference: per shard, order by md5(id) hex, walk the token stream
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val rows = (1L to 100L).map(i => (i, (i % 10 + 1) * 100))
+    rows.groupBy(_._1 % 4).foreach { case (shard, members) =>
+      var pos = 0L
+      members.sortBy(m => md5hex(m._1.toString)).foreach { case (id, n) =>
+        val (f, l, o) = (pos / seqLen,
+          if (n <= 0) pos / seqLen else (pos + n - 1) / seqLen,
+          pos % seqLen)
+        assert(out(id) == ((id, shard.toInt, f, l, o)),
+          s"id=$id expected ($f,$l,$o) got ${out(id)}")
+        pos += n
+      }
+    }
+    // documents longer than the remaining space straddle boundaries
+    assert(out.values.exists(r => r._4 > r._3), "no straddling doc in fixture")
+  }
+
+  test("empty documents occupy no tokens but keep a position") {
+    val d = Seq((1L, 500L), (2L, 0L), (3L, 700L)).toDF("doc_id", "n")
+    val r = Sampling.packSequences(d, "doc_id", "n", seqLen = 600,
+      nShards = 1)
+      .select("doc_id", "seq_first", "seq_last", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    // md5 order of ("1","2","3") is 1 < 2 < 3 (c4ca.. < c81e.. < eccb..)
+    // → stream: doc1 [0,500), doc2 at 500 (empty), doc3 [500,1200)
+    assert(r(1L) == ((1L, 0L, 0L, 0L)))
+    assert(r(2L) == ((2L, 0L, 0L, 500L)))
+    assert(r(3L) == ((3L, 0L, 1L, 500L)))
+  }
+
   test("mixture: weighted quotas with deterministic fill") {
     val out = Sampling.mixture(docs, "lang", "doc_id",
       Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), total = 20)
