@@ -57,4 +57,47 @@ class GopherStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("distinct_lines") == 2L)
     assert(r.getAs[Long]("dup_line_chars") == 0L)
   }
+
+  test("property: kernel counters match a naive collections reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def naive(s: String): Seq[Long] = {
+      val toks = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2)
+        .map(p => p.head + " " + p(1)).toSeq
+      val topBigram =
+        if (bigrams.isEmpty) 0L
+        else bigrams.groupBy(identity)
+          .map { case (b, o) => o.size.toLong * (b.length - 1) }.max
+      val lines = s.split("\n", -1).toSeq
+        .map(_.replaceAll("^ +| +$", "")).filter(_.nonEmpty)
+      Seq(
+        toks.size.toLong,
+        toks.map(_.length.toLong).sum,
+        toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong,
+        GopherStatsExpr.stopwords.count(toks.contains).toLong,
+        topBigram,
+        lines.size.toLong,
+        lines.count(l => l.head == '-' || l.head == '*').toLong,
+        lines.count(_.endsWith("...")).toLong,
+        lines.distinct.size.toLong,
+        lines.map(_.length.toLong).sum,
+        lines.map(_.length.toLong).sum - lines.distinct.map(_.length.toLong).sum)
+    }
+    val textGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.const('\n'),
+      1 -> Gen.const('\t'), 1 -> Gen.oneOf('-', '*', '.', '!'),
+      1 -> Gen.oneOf("the", "be", "to", "of", "and").flatMap(w =>
+        Gen.const(' ')).map(identity))).map(_.mkString) // spacer
+      .flatMap(base => Gen.oneOf(base, base + " the cat of and",
+        "- " + base + "\n" + base + "\n" + base))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100),
+      Prop.forAll(textGen) { s =>
+        val row = Seq(s).toDF("text")
+          .select(GopherStats.gopherStats(col("text")).as("f"))
+          .select("f.*").collect()(0)
+        (0 until 11).forall(i => row.getLong(i) == naive(s)(i))
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
