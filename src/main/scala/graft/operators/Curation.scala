@@ -40,9 +40,10 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.5,
              keepLangs: Option[Set[String]] = None,
-             nearDupThreshold: Double = 0.7): DataFrame =
+             nearDupThreshold: Double = 0.7,
+             transitive: Boolean = false): DataFrame =
     build(docs, idCol, textCol, minQuality, keepLangs, nearDupThreshold,
-      cache = false)._1
+      cache = false, transitive = transitive)._1
 
   /** `curate` plus a cleanup handle that releases the cached survivors
     * frame. A lazy `persist` computes the survivors once across all
@@ -55,14 +56,15 @@ object Curation {
   def curateManaged(docs: DataFrame, idCol: String, textCol: String,
                     minQuality: Double = 0.5,
                     keepLangs: Option[Set[String]] = None,
-                    nearDupThreshold: Double = 0.7): (DataFrame, () => Unit) =
+                    nearDupThreshold: Double = 0.7,
+                    transitive: Boolean = false): (DataFrame, () => Unit) =
     build(docs, idCol, textCol, minQuality, keepLangs, nearDupThreshold,
-      cache = true)
+      cache = true, transitive = transitive)
 
   private def build(docs: DataFrame, idCol: String, textCol: String,
                     minQuality: Double, keepLangs: Option[Set[String]],
                     nearDupThreshold: Double,
-                    cache: Boolean): (DataFrame, () => Unit) = {
+                    cache: Boolean, transitive: Boolean): (DataFrame, () => Unit) = {
     val gated = docs
       .withColumn("__q", TextFunctions.qualityScore(col(textCol)))
       .filter(col("__q") >= minQuality)
@@ -78,10 +80,19 @@ object Curation {
         val p = exactBase.persist(StorageLevel.MEMORY_AND_DISK)
         (p, () => { p.unpersist(blocking = false); () })
       } else (exactBase, () => ())
-    val dupIds = Dedup.minhashNearDups(exact, idCol, textCol,
+    val pairs = Dedup.minhashNearDups(exact, idCol, textCol,
       threshold = nearDupThreshold)
-      .select(col("id_b").as(idCol)).distinct() // keep the lower id
-    val result = exact.join(dupIds, Seq(idCol), "left_anti")
+    val result =
+      if (transitive)
+        // cluster the pair graph and keep one representative per
+        // component — handles A~B~C chains the pair rule gets wrong
+        // (see ConnectedComponents), at the cost of the iterative
+        // propagation rounds
+        ConnectedComponents.dedupSurvivors(exact, pairs, idCol)
+      else
+        // pair rule: drop the higher id of every verified pair
+        exact.join(pairs.select(col("id_b").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
     (result, release)
   }
 

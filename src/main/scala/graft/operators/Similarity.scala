@@ -173,4 +173,25 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine").distinct()
   }
+
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the tuning loop for `srpTopK`/`IvfAnn` parameters (planes,
+    * probes, cells). Both inputs are (query_id, neighbor_id[, ...])
+    * frames, e.g. `srpTopK(...)` vs `bruteTopK(...)`. Per query:
+    * |approx ∩ exact| / |exact|; overall = mean over queries. The
+    * semi join keys on (query_id, neighbor_id) — result-set-scale
+    * frames (|queries| × k rows), so cost is negligible next to
+    * either search.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
+    val x = exact.select(col("query_id"), col("neighbor_id")).distinct()
+    val hits = x.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+    x.groupBy("query_id").agg(count(lit(1)).as("__total"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        (coalesce(col("__hits"), lit(0L)).cast("double") / col("__total"))
+          .as("recall"))
+  }
 }

@@ -67,6 +67,32 @@ class CurationSpec extends SparkSpec {
     assert(out.where(lit(true)).count() == 2L)
   }
 
+  test("transitive mode keeps one representative per similarity cluster") {
+    // V shape: docs 1 and 2 each overlap doc 3 heavily but barely
+    // overlap each other. The pair rule only ever drops the HIGHER id
+    // of a pair — pairs (1,3) and (2,3) both drop 3, keeping 1 AND 2.
+    // Transitive clustering sees one component {1,2,3} and keeps 1.
+    // fixture chosen so the FIXED banding family detects exactly the
+    // pairs (1,3) and (2,3) — minhash collision is deterministic per
+    // content, so this is stable, but edit the words only with care
+    val head = (1 to 30).map(i => s"alpha1x$i").mkString(" ")
+    val ub = (1 to 12).map(i => s"beta1x$i").mkString(" ")
+    val vb = (1 to 12).map(i => s"gamma1x$i").mkString(" ")
+    val d1 = (1 to 12).map(i => s"delta1x$i").mkString(" ")
+    val d2 = (1 to 12).map(i => s"epsil1x$i").mkString(" ")
+    val v = Seq(
+      (1L, s"$head $ub $d1"),
+      (2L, s"$head $vb $d2"),
+      (3L, s"$head $ub $vb"))
+      .toDF("doc_id", "text")
+    def run(transitive: Boolean) =
+      Curation.curate(v, "doc_id", "text", minQuality = 0.0,
+        nearDupThreshold = 0.4, transitive = transitive)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(run(transitive = false) == Seq(1L, 2L))
+    assert(run(transitive = true) == Seq(1L))
+  }
+
   test("language gate") {
     val mixed = Seq(
       (1L, "the cat sat on the mat and it was happy with the sun in the sky"),

@@ -83,4 +83,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 5L)), s"missing dup pair: $pairs")
     assert(!pairs.contains((0L, 4L)), "opposite vectors must not pair")
   }
+
+  test("recallAtK: per-query overlap against the exact result") {
+    val exact = Seq((0L, 1L), (0L, 5L), (2L, 3L), (2L, 1L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((0L, 1L), (0L, 5L), (2L, 4L)) // query 2: 0 of 2 hit
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(approx, exact)
+      .as[(Long, Double)].collect().toMap
+    assert(r == Map(0L -> 1.0, 2L -> 0.0), r)
+    // self-recall is exactly 1 everywhere
+    val self = Similarity.recallAtK(exact, exact)
+      .as[(Long, Double)].collect().toMap
+    assert(self.values.forall(_ == 1.0), self)
+  }
 }
