@@ -16,6 +16,10 @@ run / fork := true
 // and eat into the driver's tail window.
 showSuccess := false
 Global / excludeLintKeys += showSuccess
+// Forked run output goes straight to stdout, without sbt's "[info] "
+// line prefix — the driver's tail parser must see the bench JSON as a
+// bare line, and every prefix byte eats into its tail window.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -61,8 +61,14 @@ object Bench {
     val results = detail.map { case (n, runs) =>
       n -> runs.sorted.apply(runs.length / 2) // median
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // short keys (the driver-contract example's "q1":sec shape): the
+    // catalog id before the first underscore is unique per entry, and
+    // the full-name map at ~27 chars/entry × 79 entries overflows the
+    // driver's output-tail window (~2 KB — BENCH_r01/r02 were both
+    // truncated to parsed:null). Full names live in the detail file.
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
