@@ -58,8 +58,11 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK) // static across rounds
 
     try {
-      var labels = e.select(col("a").as("id")).distinct()
-        .select(col("id"), col("id").as("component"))
+      // seed with round 1's result directly: min over self and direct
+      // neighbors is one aggregation over the edge list (no join), so
+      // the loop starts one propagation round ahead
+      var labels = e.groupBy("a").agg(min("b").as("__mn"))
+        .select(col("a").as("id"), least(col("a"), col("__mn")).as("component"))
         .localCheckpoint(true)
 
       var iter = 0
