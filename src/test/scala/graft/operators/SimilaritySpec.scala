@@ -40,6 +40,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("brute top-k with string ids: window fallback, ids preserved") {
+    // non-integral ids can't ride the (double, bigint) heap aggregate —
+    // the window path must kick in, keep the id type, and agree with
+    // the long-id formulation on the same data
+    val svecs = vecs.select(concat(lit("doc-"), $"vec_id").as("vec_id"),
+      $"embedding")
+    val out = Similarity.bruteTopK(
+      svecs.filter($"vec_id" === "doc-0"), svecs, "vec_id", "embedding",
+      k = 3).orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("neighbor_id")).toSeq ==
+      Seq("doc-5", "doc-1", "doc-2"))
+    assert(out.head.getAs[Double]("cosine") == 1.0)
+  }
+
   test("srp top-k recalls the duplicate and near vector") {
     val out = Similarity.srpTopK(
       vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding",
