@@ -70,23 +70,22 @@ object Decontamination {
       .filter(col("est_jaccard") >= threshold * 0.6)
 
     // the verify stage only needs shingle sets for CANDIDATE corpus
-    // docs — restrict the corpus to that (candidate-scale) id set with
-    // a broadcast semi join BEFORE computing sets, so the full corpus
-    // is never shuffled here either and the per-row shingle kernel
-    // runs only on candidates. Both broadcasts below build on cands'
-    // single aggregation exchange (reused within the plan, computed
-    // once).
-    val candIds = cands.select("doc_id").distinct()
-    val corpusSets = corpus.select(col(idCol).as("doc_id"), col(textCol))
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        TextSketches.shingleHashSet(col(textCol), shingleWords).as("set_c"))
+    // docs. The pair list is broadcast ONCE and the corpus probes it
+    // with an inner broadcast join — the corpus is never shuffled here
+    // either, and `cands` (whose subtree includes a corpus banding
+    // scan) is referenced exactly once: a second reference (e.g. a
+    // candidate-id semi join to pre-restrict the corpus) is NOT
+    // exchange-deduplicated and would execute that scan twice. The
+    // shingle kernel runs after the join, i.e. once per surviving
+    // (doc, pair) row — pair-scale work, duplicated only for docs in
+    // several pairs.
     val benchSets = benchmark.select(col(idCol).as("bench_id"),
       TextSketches.shingleHashSet(col(textCol), shingleWords).as("set_b"))
 
-    // broadcast the pair list (ids + two doubles) rather than the
-    // set-carrying side
-    corpusSets.join(broadcast(cands), Seq("doc_id"))
+    corpus.select(col(idCol).as("doc_id"), col(textCol))
+      .join(broadcast(cands), Seq("doc_id"))
+      .withColumn("set_c",
+        TextSketches.shingleHashSet(col(textCol), shingleWords))
       .join(broadcast(benchSets), Seq("bench_id"))
       .withColumn("jaccard",
         when(size(array_union(col("set_c"), col("set_b"))) === 0, 0.0)
