@@ -26,16 +26,20 @@ object Curation {
       input: Long, afterQuality: Long, afterLang: Long,
       afterExact: Long, afterNearDup: Long)
 
-  /** Leak-free convenience form: NO caching. The survivors frame feeds
-    * three consumers, but its expensive prefix (per-row gate kernels +
-    * the dedup shuffle) sits below one hash Exchange that Spark's
-    * ReuseExchange computes once per action; only the post-shuffle
-    * sort/filter re-runs per consumer. A persist here with no release
-    * path would park a copy of the corpus in the block manager until
-    * session end — one leaked copy PER CALL in a long-lived service
-    * (measured: 3× on the d12 bench entry, plus memory pressure on
-    * everything scheduled after it). Callers that will act on the
-    * result several times should use [[curateManaged]] and release.
+  /** Leak-free convenience form: NO caching. The exact-survivors frame
+    * feeds two consumers (the near-dup pair mining and the final
+    * anti-join base), and those branches prune different column sets —
+    * so their exchanges canonicalize differently and Spark's
+    * ReuseExchange does NOT dedupe them: the gate kernels and dedup
+    * shuffle run roughly twice per action (measured: 7 parquet scans
+    * in the executed plan). That is the deliberate price of having no
+    * release obligation — a persist here with no release path would
+    * park a copy of the corpus in the block manager until session end,
+    * one leaked copy PER CALL in a long-lived service (measured: 3× on
+    * the d12 bench entry plus memory pressure on everything scheduled
+    * after it, when this API used to leak). Callers that want the
+    * prefix computed once — or will act on the result several times —
+    * should use [[curateManaged]] and release after consuming.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.5,
