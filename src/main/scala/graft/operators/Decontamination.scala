@@ -106,4 +106,21 @@ object Decontamination {
         threshold = threshold)
         .select(col("doc_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Ingest-time incremental dedup: the delta batch with every document
+    * near-duplicating the EXISTING corpus removed (then dedup the delta
+    * against itself separately with Dedup.minhashNearDups — cross-set
+    * and within-set duplicates are different checks). Same asymmetric
+    * LSH as decontamination with the roles swapped: the DELTA is the
+    * small broadcast side, the historical corpus is only scanned —
+    * which is exactly the shape an append-only 100 TB ingest needs,
+    * every batch, forever.
+    */
+  def dedupAgainst(delta: DataFrame, corpus: DataFrame, idCol: String,
+                   textCol: String, threshold: Double = 0.7): DataFrame =
+    delta.join(
+      contaminated(corpus, delta, idCol, textCol, threshold = threshold)
+        // `bench_id` is the delta-side id in the swapped orientation
+        .select(col("bench_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

@@ -45,6 +45,17 @@ class DecontaminationSpec extends SparkSpec {
       s"corpus-side rows must never shuffle through a join:\n$plan")
   }
 
+  test("dedupAgainst drops delta docs already present in the corpus") {
+    val delta = Seq(
+      (200L, "What is the capital of France Paris is the capital and largest city"), // dup of corpus 1
+      (201L, "Entirely novel content about bounded heap aggregates in map side combine"))
+      .toDF("doc_id", "text")
+    val kept = Decontamination.dedupAgainst(delta, corpus, "doc_id", "text",
+      threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(201L), s"kept: $kept")
+  }
+
   test("corpus never pairs against an empty-shingle benchmark row") {
     val emptyBench = Seq((200L, "")).toDF("doc_id", "text")
     assert(Decontamination.contaminated(corpus, emptyBench,
