@@ -41,12 +41,27 @@ object IvfAnn {
   /** Deterministic k-means centroids as a (cell_id, centroid) frame. */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
                 nCells: Int, iterations: Int = 2): DataFrame = {
-    val seeds = localized(corpus
+    // cell ids are assigned driver-side: the seed frame is nCells
+    // metadata rows (already collected by `localized`), and a global
+    // row_number window over it would plan a single-partition
+    // WindowExec that re-evaluates on every Lloyd-iteration reference
+    val spark = corpus.sparkSession
+    val seedRows = corpus
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy("__h").limit(nCells)
-      .withColumn("cell_id",
-        (row_number().over(Window.orderBy("__h")) - 1).cast("int"))
-      .select(col("cell_id"), col(vecCol).cast("array<double>").as("centroid")))
+      .select(col("__h"), col(vecCol).cast("array<double>").as("centroid"))
+      .collect().sortBy(_.getLong(0))
+    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = true)))
+    import scala.jdk.CollectionConverters._
+    val seeds = spark.createDataFrame(
+      seedRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.get(1))
+      }.toSeq.asJava, seedSchema)
 
     (1 to iterations).foldLeft(seeds) { (cents, _) =>
       localized(assign(corpus, idCol, vecCol, cents)
