@@ -355,6 +355,42 @@ object TextQueries {
         .orderBy("doc_id", "bench_id"),
       Some(OracleSql.decontamination(threshold = 0.5))),
 
+    // corpus-level boilerplate removal (C4 repeated-span rule over
+    // 5-token chunks): a chunk seen in >2 distinct docs is dropped
+    // everywhere; docs reassemble from surviving chunks in order
+    Q("d21_boilerplate_chunks",
+      (s, d) => graft.operators.Boilerplate.dropRepeatedChunks(
+        spread(s, d), "doc_id", "text", chunkTokens = 5, maxDocs = 2)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> len(x) > 0) AS toks
+                FROM documents),
+              base AS (
+                SELECT doc_id, CAST(ceil(len(toks)/5.0) AS BIGINT) AS n_chunks
+                FROM t),
+              c AS (
+                SELECT doc_id, cidx,
+                  array_to_string(toks[cidx*5+1 : cidx*5+5], ' ') AS chunk
+                FROM t, unnest(range(0, CAST(ceil(len(toks)/5.0) AS BIGINT))) AS u(cidx)
+                WHERE len(toks) > 0),
+              boiler AS (
+                SELECT ck FROM (
+                  SELECT md5(chunk) AS ck, COUNT(DISTINCT doc_id) AS nd
+                  FROM c GROUP BY md5(chunk))
+                WHERE nd > 2),
+              kept AS (
+                SELECT doc_id, COUNT(*) AS kept_chunks,
+                  md5(array_to_string(list(chunk ORDER BY cidx), ' ')) AS clean_fp
+                FROM c WHERE md5(chunk) NOT IN (SELECT ck FROM boiler)
+                GROUP BY doc_id)
+              SELECT b.doc_id, b.n_chunks,
+                COALESCE(k.kept_chunks, 0) AS kept_chunks,
+                COALESCE(k.clean_fp, md5('')) AS clean_fp
+              FROM base b LEFT JOIN kept k USING (doc_id)
+              ORDER BY b.doc_id""")),
+
     Q("d10_fingerprint_mink",
       (s, d) => spread(s, d).select(col("doc_id"),
         TextFunctions.minKFingerprint(col("text")).as("sketch_fp"))
