@@ -636,6 +636,38 @@ CROSS JOIN unnest(range(0, 8)) AS d(dim)
 LEFT JOIN bybin b ON b.asset_id = a.asset_id AND b.dim = d.dim
 ORDER BY a.asset_id, d.dim"""
 
+  /** d24: QuantileGate.keepAbove(quality, lang, q) — the rounded d07
+    * quality score per document, per-language quantile_cont threshold
+    * (interpolated exact percentile — the same composition q33 proves
+    * equal to Spark's `percentile`), keep score >= threshold.
+    */
+  def qualityQuantileGate(q: Double): String =
+    s"""WITH f AS (
+  SELECT doc_id, lang,
+    CAST(len(${toksExpr("text")}) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^!-~]|[0-9A-Za-z]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS punct_ratio,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS digit_ratio,
+    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS upper_ratio,
+    CAST(len(list_distinct(${toksExpr("text")})) AS DOUBLE)
+      / greatest(len(${toksExpr("text")}), 1) AS distinct_token_ratio
+  FROM documents),
+qf AS (
+  SELECT doc_id, lang,
+    round((((
+      (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+      + (1.0 - least(punct_ratio * 3.0, 1.0)) * 0.2)
+      + (1.0 - least(digit_ratio * 3.0, 1.0)) * 0.15)
+      + (1.0 - least(upper_ratio * 4.0, 1.0)) * 0.15)
+      + least(distinct_token_ratio * 2.0, 1.0) * 0.2, 4) AS quality
+  FROM f),
+thr AS (SELECT lang, quantile_cont(quality, $q) AS thr FROM qf GROUP BY lang)
+SELECT doc_id, lang, quality
+FROM qf JOIN thr USING (lang) WHERE quality >= thr
+ORDER BY doc_id"""
+
   /** d12: Curation.curate(documents, minQuality, nearDupThreshold) —
     * quality gate (exact d07 score formula, unrounded) → exact-dedup
     * survivors (min doc_id per lower(text)) → minhash near-dup sweep

@@ -391,6 +391,35 @@ object TextQueries {
               FROM base b LEFT JOIN kept k USING (doc_id)
               ORDER BY b.doc_id""")),
 
+    // one-pass column profiler (nulls / distinct / min / max per
+    // column) — the first query a pipeline runs against a new drop
+    Q("d23_column_profile",
+      (s, d) => graft.operators.Profile.columnProfile(docs(s, d))
+        .orderBy("column_name"),
+      Some {
+        val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+        cols.map { c =>
+          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+                CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                COUNT(DISTINCT $c) AS n_distinct,
+                CAST(MIN($c) AS VARCHAR) AS min_value,
+                CAST(MAX($c) AS VARCHAR) AS max_value
+              FROM documents"""
+        }.mkString("", " UNION ALL ", " ORDER BY column_name")
+      }),
+
+    // quantile-relative quality gate: drop each language's worst
+    // quartile — the threshold adapts per group instead of one global
+    // cutoff over-pruning some languages
+    Q("d24_quality_quantile_gate",
+      (s, d) => graft.operators.QuantileGate.keepAbove(
+        spread(s, d).withColumn("quality",
+          TextFunctions.qualityScore(col("text"))),
+        "lang", "quality", quantile = 0.25)
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id"),
+      Some(OracleSql.qualityQuantileGate(0.25))),
+
     Q("d10_fingerprint_mink",
       (s, d) => spread(s, d).select(col("doc_id"),
         TextFunctions.minKFingerprint(col("text")).as("sketch_fp"))
