@@ -56,6 +56,46 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental-ingest dedup via a broadcast Bloom filter: per delta
+    * document, did its (normalized) content already exist in the
+    * corpus?  Returns (idCol, bloom_hit, is_dup).
+    *
+    * The scale shape this replaces is `delta ANTI JOIN corpus` — a
+    * shuffle of the full 100 TB corpus' digests on every ingest tick.
+    * Here the corpus is scanned once into an `numBits`-bit bitmap via
+    * a partially-aggregated Bloom aggregate (numPartitions × numBits/8
+    * bytes cross the wire, no keys), the bitmap broadcasts to the
+    * delta, and only the bloom HITS — true dups plus the filter's
+    * false-positive rate of the delta — are verified exactly, with
+    * the candidate key set broadcast so the corpus-side semi join
+    * never shuffles the corpus either. No false negatives: a miss is
+    * proof the document is new.
+    */
+  def bloomNewDocs(corpus: DataFrame, delta: DataFrame, idCol: String,
+                   textCol: String, numBits: Int = 1 << 16,
+                   numHashes: Int = 6): DataFrame = {
+    import graft.functions.Bloom
+    val bloom = corpus
+      .select(Bloom.positions(lower(col(textCol)), numHashes, numBits)
+        .as("__pos"))
+      .agg(Bloom.filterAgg(col("__pos"), numBits).as("__bm"))
+    val probed = delta
+      .select(col(idCol), lower(col(textCol)).as("__key"),
+        Bloom.positions(lower(col(textCol)), numHashes, numBits).as("__pos"))
+      .crossJoin(broadcast(bloom))
+      .withColumn("bloom_hit",
+        coalesce(Bloom.mightContain(col("__bm"), col("__pos")), lit(false)))
+      .select(col(idCol), col("__key"), col("bloom_hit"))
+    val candKeys = probed.filter(col("bloom_hit")).select("__key").distinct()
+    val matched = corpus.select(lower(col(textCol)).as("__key"))
+      .join(broadcast(candKeys), Seq("__key"), "left_semi")
+      .distinct()
+      .withColumn("__dup", lit(true))
+    probed.join(broadcast(matched), Seq("__key"), "left_outer")
+      .select(col(idCol), col("bloom_hit"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
   // ── MinHash + LSH ───────────────────────────────────────────────────
 
   /** Per-document MinHash signatures as one `array<long>` column `sig`.

@@ -636,6 +636,67 @@ CROSS JOIN unnest(range(0, 8)) AS d(dim)
 LEFT JOIN bybin b ON b.asset_id = a.asset_id AND b.dim = d.dim
 ORDER BY a.asset_id, d.dim"""
 
+  /** d22: Dedup.bloomNewDocs(corpus = doc_id%2=0, delta = doc_id%3=0)
+    * — the Bloom double-hash family re-derived exactly: h1 =
+    * FNV-1a64(lower(text)) with TWO rounds per UTF-16 code unit
+    * (Sketch.fnv1a64; `unicode()` recovers code units for BMP text),
+    * h2 = (h1·A + B) | 1 via the HUGEINT-decomposed 64-bit multiply,
+    * position_i = low bits of (h1 + i·h2) — numBits is a power of two,
+    * so the JVM's wrapped sum and the HUGEINT true sum share them.
+    * bloom_hit = all k delta positions present in the corpus position
+    * set; is_dup = exact key membership.
+    */
+  def bloomDedup(numHashes: Int = 6, numBits: Int = 65536): String = {
+    val (a, b) = graft.functions.Bloom.h2Mixer
+    val m64 = (BigInt(1) << 64) - 1
+    val au = BigInt(a) & m64
+    val bu = BigInt(b) & m64
+    val (ahi, alo) = (au >> 32, au & 0xffffffffL)
+    def twoRounds(h: String, c: String): String = {
+      val r1 = s"CAST(CAST(xor($h, CAST(($c) & 255 AS UBIGINT)) AS HUGEINT) " +
+        s"* $FnvPrime % $P64 AS UBIGINT)"
+      s"CAST(CAST(xor($r1, CAST((($c) >> 8) & 255 AS UBIGINT)) AS HUGEINT) " +
+        s"* $FnvPrime % $P64 AS UBIGINT)"
+    }
+    s"""WITH keys AS (
+  SELECT doc_id, lower(text) AS key,
+    doc_id % 3 = 0 AS is_delta, doc_id % 2 = 0 AS is_corpus
+  FROM documents WHERE doc_id % 3 = 0 OR doc_id % 2 = 0),
+kl AS (SELECT doc_id, key, length(key) AS len FROM keys),
+fnv AS (
+  WITH RECURSIVE f(doc_id, pos, h) AS (
+    SELECT doc_id, 0, CAST($FnvInit AS UBIGINT) FROM kl
+    UNION ALL
+    SELECT f.doc_id, f.pos + 1,
+      ${twoRounds("f.h", "unicode(substr(k.key, CAST(f.pos + 1 AS INTEGER), 1))")}
+    FROM f JOIN kl k USING (doc_id) WHERE f.pos < k.len)
+  SELECT f.doc_id, f.h AS h1 FROM f JOIN kl k USING (doc_id)
+  WHERE f.pos = k.len),
+h2c AS (
+  SELECT doc_id, h1,
+    (CAST(h1 AS HUGEINT) * $alo
+      + (h1 % 4294967296) * $ahi % 4294967296 * 4294967296
+      + $bu) % $P64 AS mv
+  FROM fnv),
+hh AS (SELECT doc_id, h1, mv - (mv % 2) + 1 AS h2 FROM h2c),
+pos AS (
+  SELECT doc_id,
+    CAST((CAST(h1 AS HUGEINT) + u.i * h2) % $numBits AS INTEGER) AS p
+  FROM hh, unnest(range(0, $numHashes)) AS u(i)),
+cpos AS (
+  SELECT DISTINCT p FROM pos JOIN keys USING (doc_id) WHERE is_corpus),
+dhit AS (
+  SELECT dp.doc_id, bool_and(c.p IS NOT NULL) AS bloom_hit
+  FROM (SELECT pos.doc_id, pos.p FROM pos JOIN keys USING (doc_id)
+        WHERE is_delta) dp
+  LEFT JOIN cpos c ON c.p = dp.p
+  GROUP BY dp.doc_id)
+SELECT k.doc_id, dh.bloom_hit,
+  k.key IN (SELECT key FROM keys WHERE is_corpus) AS is_dup
+FROM keys k JOIN dhit dh USING (doc_id)
+WHERE k.is_delta ORDER BY k.doc_id"""
+  }
+
   /** d24: QuantileGate.keepAbove(quality, lang, q) — the rounded d07
     * quality score per document, per-language quantile_cont threshold
     * (interpolated exact percentile — the same composition q33 proves

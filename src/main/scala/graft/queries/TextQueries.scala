@@ -391,6 +391,21 @@ object TextQueries {
               FROM base b LEFT JOIN kept k USING (doc_id)
               ORDER BY b.doc_id""")),
 
+    // incremental-ingest dedup: a broadcast Bloom filter of the corpus
+    // keys prefilters the delta; only bloom hits are exactly verified.
+    // Corpus and delta deliberately overlap (ids % 6 == 0) so both the
+    // true-dup and the genuinely-new paths are exercised.
+    Q("d22_bloom_incremental_dedup",
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.bloomNewDocs(
+          all.filter(col("doc_id") % 2 === 0),
+          all.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", numBits = 65536, numHashes = 6)
+          .orderBy("doc_id")
+      },
+      Some(OracleSql.bloomDedup(numHashes = 6, numBits = 65536))),
+
     // one-pass column profiler (nulls / distinct / min / max per
     // column) — the first query a pipeline runs against a new drop
     Q("d23_column_profile",
