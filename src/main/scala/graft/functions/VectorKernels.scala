@@ -68,6 +68,44 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** dot_product(a, b) → double: sequential left fold in double
+  * precision (the same accumulation order as DuckDB's
+  * list_dot_product — bit-identical results, see OracleSql).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecEval.checkArray(left.dataType, "left") match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        VecEval.checkArray(right.dataType, "right")
+      case f => f
+    }
+
+  @transient private lazy val lt =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val rt =
+    right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += VecEval.toD(x, i, lt) * VecEval.toD(y, i, rt)
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
 /** srp_bucket(v) → long: packed sign bits of v·h over fixed seeded
   * hyperplanes (signed random projection LSH).
   */
@@ -119,6 +157,9 @@ object VectorKernels {
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
 
   def srpBucket(v: Column, numPlanes: Int, dim: Int,
                 seed: Long = 42L): Column =

@@ -33,7 +33,7 @@ object IvfAnn {
     * re-executing the corpus-scanning chain that produced them. Same
     * metadata-scale rationale as a broadcast hint.
     */
-  private def localized(df: DataFrame): DataFrame = {
+  private[operators] def localized(df: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
   }

@@ -458,6 +458,74 @@ SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
 FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** e07: PqAnn.topK — product quantization with the same xxhash64
+    * seeding family as IVF (the ksub seed VECTORS, sliced per
+    * subspace), per-subspace Lloyd with exact-decimal means, squared-
+    * L2 assignment in the literal `dot(s,s)+dot(c,c)-2·dot(s,c)` form
+    * (sequential-fold dots — list_dot_product order), and ADC scoring
+    * whose per-subspace parts sum in m-order via a dot against a ones
+    * vector (a sequential fold, matching the kernel's accumulation).
+    */
+  def pqTopK(k: Int, numSub: Int, subDim: Int, ksub: Int,
+             iterations: Int): String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+  SELECT vec_id, m, sub, cell_id FROM (
+    SELECT s.vec_id, s.m, s.sub, c.cell_id,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+        ORDER BY list_dot_product(s.sub, s.sub)
+          + list_dot_product(c.centroid, c.centroid)
+          - 2 * list_dot_product(s.sub, c.centroid) ASC, c.cell_id) AS rn
+    FROM subs s JOIN $cents c USING (m)) WHERE rn = 1)"""
+    val lloyd = (1 to iterations).map { it =>
+      val prev = if (it == 1) "seeds" else s"cents${it - 1}"
+      s"""${assignCte(s"passign$it", prev)},
+cents$it AS (
+  SELECT m, cell_id, list(mm ORDER BY dim) AS centroid FROM (
+    SELECT m, cell_id, dim,
+      CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mm
+    FROM (SELECT m, cell_id, unnest(sub) AS v,
+          unnest(range(len(sub))) AS dim FROM passign$it)
+    GROUP BY m, cell_id, dim)
+  GROUP BY m, cell_id)"""
+    }.mkString(",\n")
+    val cents = s"cents$iterations"
+    val ones = Seq.fill(numSub)("1.0").mkString(",")
+    s"""WITH ${xxhash64Ctes(42L)},
+seeds0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS INTEGER) AS cell_id, dv
+  FROM (SELECT * FROM xh ORDER BY h LIMIT $ksub)),
+seeds AS (
+  SELECT u.m, cell_id,
+    dv[u.m*$subDim+1 : u.m*$subDim+$subDim] AS centroid
+  FROM seeds0, unnest(range(0, $numSub)) AS u(m)),
+subs AS (
+  SELECT vec_id, u.m, dv[u.m*$subDim+1 : u.m*$subDim+$subDim] AS sub
+  FROM xh, unnest(range(0, $numSub)) AS u(m)),
+$lloyd,
+${assignCte("codes", cents)},
+q AS (SELECT vec_id AS query_id, dv FROM xh WHERE vec_id < 10),
+lut AS (
+  SELECT query_id, c.m, c.cell_id,
+    list_dot_product(q.dv[c.m*$subDim+1 : c.m*$subDim+$subDim], c.centroid)
+      AS part
+  FROM q, $cents c),
+scored AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+    list_dot_product(list(l.part ORDER BY l.m), [$ones]) AS score
+  FROM codes cd JOIN lut l ON l.m = cd.m AND l.cell_id = cd.cell_id
+  WHERE l.query_id <> cd.vec_id
+  GROUP BY l.query_id, cd.vec_id),
+r AS (
+  SELECT query_id, neighbor_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, ROUND(score, 6) AS score,
+  CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** d06: TextFunctions.langId over documents — CJK script split
     * (hangul → ko, kana share → ja, han → zh), else argmax stopword-
     * profile hit ratio with strict-greater first-wins ties (equivalent

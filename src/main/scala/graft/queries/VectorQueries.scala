@@ -103,6 +103,21 @@ object VectorQueries {
       Some(OracleSql.ivfTopK(k = 5, nCells = 16, nProbe = 3,
         iterations = 1))),
 
+    // product quantization: the corpus compresses to numSub byte codes
+    // per vector and queries score via broadcast ADC lookup tables —
+    // encode and scoring are in-row kernels, the corpus never shuffles
+    Q("e07_knn_pq",
+      (s, d) => {
+        val e = emb(s, d)
+        graft.operators.PqAnn.topK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 5, numSub = 8, subDim = 8,
+          ksub = 16, iterations = 2)
+          .withColumn("score", round(col("score"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some(OracleSql.pqTopK(k = 5, numSub = 8, subDim = 8, ksub = 16,
+        iterations = 2))),
+
     // exploded to scalar (label, dim, value) rows: the driver's pandas
     // compare cannot sort/hash array columns, and the long form is
     // DuckDB-oracle-checkable (exact decimal mean on both sides)
