@@ -391,6 +391,29 @@ object TextQueries {
               FROM base b LEFT JOIN kept k USING (doc_id)
               ORDER BY b.doc_id""")),
 
+    // retrieval/pretraining chunking: overlapping 64-token windows
+    // every 48 tokens — map-side posexplode, no shuffle; chunk payload
+    // as fixed-width md5 + offsets
+    Q("d27_chunk_windows",
+      (s, d) => graft.operators.Chunking.slidingWindows(
+        spread(s, d), "doc_id", "text", windowTokens = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> len(x) > 0) AS toks
+                FROM documents),
+              c AS (
+                SELECT doc_id, cidx,
+                  CAST(cidx * 48 AS BIGINT) AS start_tok,
+                  CAST(least(64, len(toks) - cidx * 48) AS BIGINT) AS n_tokens,
+                  md5(array_to_string(toks[cidx*48+1 : cidx*48+64], ' ')) AS chunk_fp
+                FROM t, unnest(range(0, CAST(ceil(len(toks)/48.0) AS BIGINT))) AS u(cidx)
+                WHERE len(toks) > 0)
+              SELECT doc_id, CAST(cidx AS BIGINT) AS chunk_idx, start_tok,
+                     n_tokens, chunk_fp
+              FROM c ORDER BY doc_id, chunk_idx""")),
+
     // incremental-ingest dedup: a broadcast Bloom filter of the corpus
     // keys prefilters the delta; only bloom hits are exactly verified.
     // Corpus and delta deliberately overlap (ids % 6 == 0) so both the
