@@ -154,6 +154,29 @@ case class ShingleHashSet(child: Expression, shingleWords: Int)
   override def prettyName: String = "shingle_hash_set"
 }
 
+/** fnv64(s) → the FNV-1a64 hash of a string (the exact per-char
+  * two-round variant `Sketch.fnv1a64` that minhash shingles use) —
+  * the shared primitive for hashed-feature operators (DSIR bucket
+  * hashing) so the DuckDB oracle can re-derive buckets bit-exactly
+  * with the same recursive-CTE chain as the minhash family.
+  */
+case class Fnv64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"expected string, got $o")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Sketch.fnv1a64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "fnv64"
+}
+
 /** mink_sketch(text) → 64-bit min-k document sketch over char k-grams
   * of the first `maxChars` chars (see TextFunctions.minKFingerprint for
   * semantics; this is the one-pass kernel with a bounded insertion
@@ -387,6 +410,9 @@ object TextSketches {
   def minKSketch(text: Column, k: Int = 8, m: Int = 8,
                  maxChars: Int = 512): Column =
     column(MinKSketch64(expression(text), k, m, maxChars))
+
+  def fnv64(s: Column): Column =
+    column(Fnv64Expr(expression(s)))
 
   /** The minhash mixer constants (a_i odd, b_i), for external exact
     * re-implementations of the signature family (the DuckDB oracle).

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{TextFunctions, TextSketches}
+
+/** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): score every raw document by how target-like its
+  * hashed-n-gram distribution is, `log p_target(doc) − log p_raw(doc)`
+  * under bag-of-hashed-unigram language models with Laplace smoothing.
+  * High scores mark documents worth up-sampling when assembling a
+  * training mix from a large crawl against a small quality target
+  * (e.g. a curated reference corpus).
+  *
+  * Scale shape — why this is a two-scan-plus-map operator, not a
+  * model-inference job:
+  *  - features are token FNV-1a64 hashes folded into `numBuckets`
+  *    (power of two, low-bits mask), so both language models are
+  *    fixed-size count tables regardless of corpus size;
+  *  - the bucket tables aggregate with map-side combine (≤ numBuckets
+  *    rows per task reach the shuffle) and the finished weight table —
+  *    numBuckets rows — is BROADCAST back; scoring is then a map-side
+  *    join + per-doc aggregation that runs at scan speed;
+  *  - per-doc totals group on the document id: high cardinality, no
+  *    skew.
+  *
+  * Determinism: bucket log-weights are snapped to a 9-dp grid and the
+  * per-doc sum runs in exact DECIMAL, so the score is reproducible
+  * across partitionings and engines (the repo's standard
+  * order-independent-sum discipline). The published pipeline follows
+  * scoring with Gumbel-noise resampling; that draw is left to the
+  * caller (pair the score with `Sampling.hashOrder` for a
+  * deterministic analog).
+  */
+object Dsir {
+
+  /** (idCol, bucket) per token occurrence; bucket = low bits of the
+    * token's FNV-1a64 (numBuckets must be a power of two so the mask
+    * equals unsigned mod — the oracle-parity contract).
+    */
+  private def tokenBuckets(docs: DataFrame, idCol: String, textCol: String,
+                           numBuckets: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("__term"))
+      .select(col(idCol),
+        TextSketches.fnv64(col("__term"))
+          .bitwiseAND(lit(numBuckets - 1L)).cast("int").as("bucket"))
+
+  /** The importance-weight table: one row per bucket observed in the
+    * raw corpus — `w = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))` with
+    * t/r the target/raw occurrence counts and T/R their totals
+    * (add-one smoothing over B buckets). Buckets the raw corpus never
+    * emits are never looked up, so they need no row.
+    */
+  def bucketWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                    textCol: String, numBuckets: Int = 4096): DataFrame = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two: $numBuckets")
+    val rb = tokenBuckets(raw, idCol, textCol, numBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("__r"))
+    val tb = tokenBuckets(target, idCol, textCol, numBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("__t"))
+    val totals = rb.agg(sum(col("__r")).as("__rtot"))
+      .crossJoin(tb.agg(coalesce(sum(col("__t")), lit(0L)).as("__ttot")))
+    rb.join(tb, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("__t"), lit(0L)) + 1).cast("double")
+            / (col("__ttot") + numBuckets).cast("double"))
+          - log((col("__r") + 1).cast("double")
+            / (col("__rtot") + numBuckets).cast("double"))).as("weight"))
+  }
+
+  /** Per-document DSIR score over the raw corpus: (idCol, n_toks,
+    * dsir_score). Documents with no tokens score 0.
+    */
+  def score(raw: DataFrame, target: DataFrame, idCol: String,
+            textCol: String, numBuckets: Int = 4096): DataFrame = {
+    val w = bucketWeights(raw, target, idCol, textCol, numBuckets)
+      // 9-dp grid → exact decimal: the per-doc sum must not depend on
+      // the order bucket contributions arrive in
+      .select(col("bucket"),
+        round(col("weight"), 9).cast(DecimalType(18, 9)).as("__w"))
+    val perDoc = tokenBuckets(raw, idCol, textCol, numBuckets)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__n"))
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("__ntoks"),
+        round(sum(col("__n") * col("__w")).cast("double"), 4).as("__score"))
+    raw.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__ntoks"), lit(0L)).as("n_toks"),
+        coalesce(col("__score"), lit(0.0)).as("dsir_score"))
+  }
+}

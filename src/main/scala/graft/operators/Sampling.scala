@@ -100,6 +100,45 @@ object Sampling {
         pmod(col("__start"), lit(seqLen)).as("seq_offset"))
   }
 
+  /** Temperature-scaled mixture: quotas derive from the DATA — each
+    * stratum gets `total · c_s^alpha / Σ c^alpha` rows (floored),
+    * then hash-rank selection fills them. `alpha < 1` is the standard
+    * training-mix rebalance (GPT-3/LLaMA-style alpha-sampling): big
+    * sources are down-weighted sub-linearly so small
+    * languages/domains keep representation.
+    *
+    * Fully in-plan: per-stratum counts are a map-side-combined
+    * aggregate (|strata| rows), the quota table broadcasts back, and
+    * selection is the same bounded MinKeys aggregate as `stratified`
+    * — the corpus itself never shuffles.
+    *
+    * Determinism: alpha = 0.5 (the default) uses `sqrt`, which IEEE
+    * requires correctly rounded, and weights snap to a 6-dp grid
+    * before the exact-DECIMAL denominator sum — quotas are therefore
+    * bit-reproducible across engines. Other alphas go through `pow`,
+    * whose last-ulp behavior is libm-specific; fine operationally,
+    * but only 0.5 carries the cross-engine-exactness guarantee.
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String, keyCol: String,
+                         total: Int, alpha: Double = 0.5): DataFrame = {
+    if (total <= 0) return df.limit(0)
+    val counts = df.groupBy(col(stratumCol).as("__strat2"))
+      .agg(count(lit(1)).as("__c"))
+    val w = counts.withColumn("__w",
+      if (alpha == 0.5) round(sqrt(col("__c").cast("double")), 6)
+      else round(pow(col("__c").cast("double"), alpha), 6))
+    val wsum = w.agg(
+      sum(col("__w").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double").as("__wsum"))
+    val quotas = w.crossJoin(broadcast(wsum))
+      .select(col("__strat2"),
+        floor((lit(total.toDouble) * col("__w")) / col("__wsum")).as("__quota"))
+    val dfq = df.join(broadcast(quotas), col(stratumCol) <=> col("__strat2"))
+      .drop("__strat2")
+    selectByHashRank(dfq, stratumCol, keyCol, total, col("__quota"))
+      .drop("__quota")
+  }
+
   /** Weighted source mixture: `weights` gives each stratum a row
     * quota out of `total` (largest-remainder rounding), then the
     * stratified selection fills it.

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorKernels
+
+/** SemDeDup — semantic deduplication in embedding space (Abbas et al.
+  * 2023, arXiv:2303.09540): k-means-cluster the corpus embeddings,
+  * then within each cluster drop every document whose cosine to
+  * another cluster member with a smaller id clears the threshold
+  * (one survivor per semantic duplicate group, min-id rule — the
+  * same survivor discipline as the text-dedup family).
+  *
+  * This completes the dedup ladder: exact (d01) → MinHash/SimHash
+  * lexical (d08/d09) → embedding-pair SRP (e04) → semantic-cluster
+  * (this): SRP buckets catch near-identical vectors; k-means cells
+  * catch *semantically* redundant documents whose wording differs.
+  *
+  * Scale shape: clustering reuses IvfAnn's deterministic Lloyd build
+  * (broadcast centroid argmin — the corpus never shuffles for
+  * assignment), and the quadratic pair scan is per-cell. The paper
+  * sizes k ∝ corpus so expected cell population stays bounded; the
+  * `maxCellSize` guard is the backstop that keeps one degenerate cell
+  * (e.g. the zero-vector sink) from becoming an O(N²) job, identical
+  * in spirit to the LSH bucket guards. Oversized or singleton cells
+  * pair nothing — their members are all kept.
+  */
+object SemDedup {
+
+  /** Per-document verdicts: (idCol, cell_id, kept). */
+  def verdicts(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nCells: Int = 16, iterations: Int = 1,
+               maxCellSize: Int = 100000): DataFrame = {
+    val cents = IvfAnn.centroids(corpus, idCol, vecCol, nCells, iterations)
+    val cells = IvfAnn.assign(corpus, idCol, vecCol, cents)
+
+    val pairable = cells.groupBy("cell_id")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1 && col("__cnt") <= maxCellSize)
+      .select("cell_id")
+    val sized = cells.join(pairable, Seq("cell_id"))
+    val a = sized.select(col("cell_id"), col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = sized.select(col("cell_id"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("cell_id"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(VectorKernels.cosineSim(col("__va"), col("__vb")) >= threshold)
+      .select(col("__idb")).distinct()
+
+    cells.select(col(idCol), col("cell_id"))
+      .join(dropped, col(idCol) === col("__idb"), "left_outer")
+      .select(col(idCol), col("cell_id"), col("__idb").isNull.as("kept"))
+  }
+
+  /** Only the surviving documents (the frame a pipeline feeds on). */
+  def survivors(corpus: DataFrame, idCol: String, vecCol: String,
+                threshold: Double, nCells: Int = 16, iterations: Int = 1,
+                maxCellSize: Int = 100000): DataFrame =
+    corpus.join(
+      verdicts(corpus, idCol, vecCol, threshold, nCells, iterations,
+        maxCellSize).filter(col("kept")).select(idCol),
+      Seq(idCol), "left_semi")
+}

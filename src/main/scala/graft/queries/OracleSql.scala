@@ -135,6 +135,90 @@ ORDER BY id_a, id_b"""
     * gopher_pass). The counters are integers on both sides, so the
     * fractions (single division + round(…,4)) are bit-comparable.
     */
+  /** d25: Dsir.score(documents, documents WHERE lang = targetLang) —
+    * hashed-unigram importance weights. The token FNV-1a64 (the
+    * two-round-per-char `Sketch.fnv1a64` family, same chain as the
+    * minhash shingle oracle) is computed once per DISTINCT token and
+    * joined back; buckets are the hash's low bits (numBuckets is a
+    * power of two, so unsigned `% numBuckets` equals the kernel's
+    * signed `& (numBuckets-1)`). Log-weights snap to a 9-dp grid and
+    * per-doc sums run in exact DECIMAL — order-independent on both
+    * engines.
+    */
+  def dsirScore(numBuckets: Int = 4096, targetLang: String = "en"): String = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0)
+    s"""WITH toksrc AS (
+  SELECT doc_id, lang, ${toksExpr("text")} AS t FROM documents),
+tok AS (SELECT doc_id, lang, u.tok FROM toksrc, unnest(t) AS u(tok)),
+toku AS (SELECT DISTINCT tok FROM tok),
+fnv AS (
+  WITH RECURSIVE f(tok, pos, h) AS (
+    SELECT tok, 0, CAST($FnvInit AS UBIGINT) FROM toku
+    UNION ALL
+    SELECT tok, pos + 1,
+      CAST(CAST(CAST(xor(h, CAST(ascii(tok[pos+1]) AS UBIGINT)) AS HUGEINT)
+        * $FnvPrime % $P64 AS UBIGINT) AS HUGEINT)
+        * $FnvPrime % $P64
+      FROM f WHERE pos < len(tok))
+  SELECT tok, CAST(h % $numBuckets AS BIGINT) AS bucket
+  FROM f WHERE pos = len(tok)),
+tb AS (SELECT doc_id, lang, bucket FROM tok JOIN fnv USING (tok)),
+raw AS (SELECT bucket, COUNT(*) AS r FROM tb GROUP BY bucket),
+tgt AS (SELECT bucket, COUNT(*) AS t FROM tb
+        WHERE lang = '$targetLang' GROUP BY bucket),
+tot AS (SELECT (SELECT COUNT(*) FROM tb) AS rr,
+               (SELECT COUNT(*) FROM tb WHERE lang = '$targetLang') AS tt),
+w AS (
+  SELECT bucket,
+    ln(CAST(COALESCE(t, 0) + 1 AS DOUBLE) / CAST(tt + $numBuckets AS DOUBLE))
+      - ln(CAST(r + 1 AS DOUBLE) / CAST(rr + $numBuckets AS DOUBLE)) AS weight
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+n AS (SELECT doc_id, bucket, COUNT(*) AS n FROM tb GROUP BY doc_id, bucket),
+sc AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_toks,
+    round(CAST(SUM(n * CAST(round(weight, 9) AS DECIMAL(18,9))) AS DOUBLE), 4)
+      AS dsir_score
+  FROM n JOIN w USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(sc.n_toks, 0) AS n_toks,
+  COALESCE(sc.dsir_score, 0.0) AS dsir_score
+FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""
+  }
+
+  /** d26: Bm25.search — the same integer tf/df/dl tables and the same
+    * double formula, operand-for-operand (derived constants like k1+1
+    * are interpolated via Double.toString, which round-trips exactly);
+    * per-term scores snap to a 9-dp grid and sum in DECIMAL.
+    */
+  def bm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topN: Int = 20): String = {
+    val termList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, ${toksExpr("text")} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+st AS (SELECT COUNT(*) AS nn, CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+tf AS (
+  SELECT doc_id, u.tok, COUNT(*) AS tf
+  FROM t, unnest(toks) AS u(tok)
+  WHERE u.tok IN ($termList)
+  GROUP BY doc_id, u.tok),
+dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+sc AS (
+  SELECT doc_id,
+    round(
+      ln(1.0 + (CAST(nn - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      * ((CAST(tf AS DOUBLE) * ${k1 + 1.0})
+        / (CAST(tf AS DOUBLE)
+          + $k1 * (1.0 - $b + ($b * CAST(dl AS DOUBLE))
+            / (CAST(tt AS DOUBLE) / nn)))), 9) AS ts
+  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+agg AS (
+  SELECT doc_id, COUNT(*) AS matched_terms,
+    SUM(CAST(ts AS DECIMAL(18,9))) AS s
+  FROM sc GROUP BY doc_id)
+SELECT doc_id, CAST(matched_terms AS BIGINT) AS matched_terms,
+  round(CAST(s AS DOUBLE), 4) AS score
+FROM agg ORDER BY s DESC, doc_id LIMIT $topN"""
+  }
+
   def gopherStats(): String = {
     val bigrams = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
     s"""WITH f AS (
@@ -456,6 +540,49 @@ r AS (
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
   CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** e08: SemDedup.verdicts — the same deterministic Lloyd build as
+    * e05 (xxhash64 seeding, exact-decimal means), then within-cell
+    * pairs above the cosine threshold mark the larger id dropped.
+    * The cell-size guard mirrors the kernel's: singleton and
+    * oversized cells pair nothing.
+    */
+  def semanticDedup(threshold: Double, nCells: Int, iterations: Int,
+                    maxCellSize: Int): String = {
+    val lloyd = (1 to iterations).map { it =>
+      val prev = if (it == 1) "seeds" else s"cents${it - 1}"
+      s"""${assignCte(s"assign$it", prev)},
+cents$it AS (
+  SELECT cell_id, list(m ORDER BY dim) AS centroid FROM (
+    SELECT cell_id, dim,
+      CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+    FROM (SELECT cell_id, unnest(dv) AS v,
+          unnest(range(len(dv))) AS dim FROM assign$it)
+    GROUP BY cell_id, dim)
+  GROUP BY cell_id)"""
+    }.mkString(",\n")
+    s"""WITH ${xxhash64Ctes(42L)},
+seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS INTEGER) AS cell_id,
+    dv AS centroid
+  FROM (SELECT * FROM xh ORDER BY h LIMIT $nCells)),
+corpus AS (SELECT vec_id, dv FROM xh),
+$lloyd,
+${assignCte("cells", s"cents$iterations")},
+pairable AS (
+  SELECT cell_id FROM cells GROUP BY cell_id
+  HAVING COUNT(*) > 1 AND COUNT(*) <= $maxCellSize),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS id_b
+  FROM (SELECT * FROM cells SEMI JOIN pairable USING (cell_id)) a
+  JOIN (SELECT * FROM cells SEMI JOIN pairable USING (cell_id)) b
+    USING (cell_id)
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.dv, b.dv) >= $threshold)
+SELECT c.vec_id, c.cell_id, d.id_b IS NULL AS kept
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.id_b
+ORDER BY c.vec_id"""
   }
 
   /** e07: PqAnn.topK — product quantization with the same xxhash64

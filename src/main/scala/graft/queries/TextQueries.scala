@@ -345,6 +345,27 @@ object TextQueries {
                 FROM documents) WHERE running <= 5000
               ORDER BY doc_id""")),
 
+    // temperature-scaled training mix: per-source quotas ∝ sqrt(count)
+    // (alpha-sampling, the GPT-3/LLaMA source-rebalance), filled by
+    // deterministic hash-rank selection
+    Q("d28_temperature_mix",
+      (s, d) => graft.operators.Sampling.temperatureMixture(
+        docs(s, d), "source", "doc_id", total = 100)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+              w AS (SELECT source, round(sqrt(CAST(c AS DOUBLE)), 6) AS w FROM c),
+              s AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE) AS wsum FROM w),
+              q AS (SELECT source, CAST(FLOOR((100.0 * w) / wsum) AS BIGINT) AS quota
+                    FROM w CROSS JOIN s),
+              r AS (SELECT doc_id, source, lang, n_chars,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+                    FROM documents)
+              SELECT doc_id, source, lang, n_chars
+              FROM r JOIN q USING (source) WHERE rn <= quota
+              ORDER BY doc_id""")),
+
     // train/test contamination sweep: every 50th document stands in as
     // the benchmark set; a corpus doc near-duplicating any benchmark
     // doc is flagged (the pre-shipping decontamination check)
@@ -390,6 +411,28 @@ object TextQueries {
                 COALESCE(k.clean_fp, md5('')) AS clean_fp
               FROM base b LEFT JOIN kept k USING (doc_id)
               ORDER BY b.doc_id""")),
+
+    // BM25 ranked retrieval: top-20 documents for a bag-of-terms
+    // query — tokens semi-filter to the query terms before any
+    // aggregation, so tf/df stay terms-bounded at any corpus size
+    Q("d26_bm25_search",
+      (s, d) => graft.operators.Bm25.search(spread(s, d), "doc_id", "text",
+        terms = Seq("spark", "hash", "merge", "window"), topN = 20),
+      Some(OracleSql.bm25(terms = Seq("spark", "hash", "merge", "window"),
+        topN = 20))),
+
+    // DSIR importance weights (Xie et al. 2023): every document scored
+    // by log p_target − log p_raw under hashed-unigram LMs — the
+    // English subset stands in as the quality target. Fixed-size
+    // bucket tables broadcast back; scoring is map-side.
+    Q("d25_dsir_importance",
+      (s, d) => {
+        val r = spread(s, d)
+        graft.operators.Dsir.score(r, r.filter(col("lang") === "en"),
+          "doc_id", "text", numBuckets = 4096)
+          .orderBy("doc_id")
+      },
+      Some(OracleSql.dsirScore(numBuckets = 4096, targetLang = "en"))),
 
     // retrieval/pretraining chunking: overlapping 64-token windows
     // every 48 tokens — map-side posexplode, no shuffle; chunk payload

@@ -118,6 +118,16 @@ object VectorQueries {
       Some(OracleSql.pqTopK(k = 5, numSub = 8, subDim = 8, ksub = 16,
         iterations = 2))),
 
+    // SemDeDup (Abbas et al. 2023): k-means cells + within-cell cosine
+    // pairs, min-id survivor — semantic dedup over embeddings, the
+    // cluster-bounded complement of e04's SRP-bucket pair sweep
+    Q("e08_semantic_dedup",
+      (s, d) => graft.operators.SemDedup.verdicts(emb(s, d), "vec_id",
+        "embedding", threshold = 0.3, nCells = 16, iterations = 1)
+        .orderBy("vec_id"),
+      Some(OracleSql.semanticDedup(threshold = 0.3, nCells = 16,
+        iterations = 1, maxCellSize = 100000))),
+
     // exploded to scalar (label, dim, value) rows: the driver's pandas
     // compare cannot sort/hash array columns, and the long form is
     // DuckDB-oracle-checkable (exact decimal mean on both sides)

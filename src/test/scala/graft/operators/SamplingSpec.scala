@@ -99,4 +99,35 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("en" -> 10L, "de" -> 6L, "fr" -> 4L), counts)
   }
+
+  test("temperature mixture: quotas follow sqrt of stratum size") {
+    // strata sizes 60/30/10 → sqrt ≈ 7.745967/5.477226/3.162278,
+    // wsum ≈ 16.385471 → quotas floor(100·w/wsum) = 47/33/19, then
+    // capped by what each stratum actually has (30, 10)
+    val out = Sampling.temperatureMixture(docs, "lang", "doc_id", total = 100)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 47L, "de" -> 30L, "fr" -> 10L), counts)
+  }
+
+  test("temperature mixture flattens the mix relative to raw shares") {
+    val out = Sampling.temperatureMixture(docs, "lang", "doc_id", total = 50)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // raw shares are 60/30/10%; alpha=0.5 must pull the big stratum
+    // below its raw share and the small one above
+    assert(counts("en").toDouble / 50 < 0.6)
+    assert(counts("fr").toDouble / 50 > 0.1)
+  }
+
+  test("temperature mixture is deterministic and window-free") {
+    val a = Sampling.temperatureMixture(docs, "lang", "doc_id", total = 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMixture(docs.repartition(7), "lang", "doc_id",
+      total = 30).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val plan = Sampling.temperatureMixture(docs, "lang", "doc_id", total = 30)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-stratum window leaked:\n$plan")
+  }
 }
