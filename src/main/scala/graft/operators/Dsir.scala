@@ -75,6 +75,10 @@ object Dsir {
 
   /** Per-document DSIR score over the raw corpus: (idCol, n_toks,
     * dsir_score). Documents with no tokens score 0.
+    *
+    * One scoring scan: `explode_outer` keeps a NULL-bucket row for
+    * token-less documents, so every document reaches the final
+    * aggregation without a second corpus scan + outer join back.
     */
   def score(raw: DataFrame, target: DataFrame, idCol: String,
             textCol: String, numBuckets: Int = 4096): DataFrame = {
@@ -83,16 +87,21 @@ object Dsir {
       // the order bucket contributions arrive in
       .select(col("bucket"),
         round(col("weight"), 9).cast(DecimalType(18, 9)).as("__w"))
-    val perDoc = tokenBuckets(raw, idCol, textCol, numBuckets)
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__n"))
-      .join(broadcast(w), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__n")).as("__ntoks"),
-        round(sum(col("__n") * col("__w")).cast("double"), 4).as("__score"))
-    raw.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left_outer")
+    raw.select(col(idCol),
+      explode_outer(TextFunctions.tokens(col(textCol))).as("__term"))
       .select(col(idCol),
-        coalesce(col("__ntoks"), lit(0L)).as("n_toks"),
-        coalesce(col("__score"), lit(0.0)).as("dsir_score"))
+        when(col("__term").isNotNull,
+          graft.functions.TextSketches.fnv64(col("__term"))
+            .bitwiseAND(lit(numBuckets - 1L)).cast("int")).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__n"))
+      // left join: the NULL-bucket marker rows match no weight
+      .join(broadcast(w), Seq("bucket"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("bucket").isNotNull, col("__n")).otherwise(0L))
+          .as("n_toks"),
+        coalesce(
+          round(sum(col("__n") * col("__w")).cast("double"), 4), lit(0.0))
+          .as("dsir_score"))
   }
 }

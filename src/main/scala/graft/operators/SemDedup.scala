@@ -47,8 +47,10 @@ object SemDedup {
       .filter(VectorKernels.cosineSim(col("__va"), col("__vb")) >= threshold)
       .select(col("__idb")).distinct()
 
+    // dropped is duplicate-count-bounded (tiny next to the corpus):
+    // broadcast it so the verdict join never shuffles the corpus
     cells.select(col(idCol), col("cell_id"))
-      .join(dropped, col(idCol) === col("__idb"), "left_outer")
+      .join(broadcast(dropped), col(idCol) === col("__idb"), "left_outer")
       .select(col(idCol), col("cell_id"), col("__idb").isNull.as("kept"))
   }
 
