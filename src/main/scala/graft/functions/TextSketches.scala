@@ -414,6 +414,11 @@ object TextSketches {
   def fnv64(s: Column): Column =
     column(Fnv64Expr(expression(s)))
 
+  /** JVM-side FNV-1a64 (test/reference use, same kernel the column
+    * form evaluates).
+    */
+  def fnv64Ref(s: String): Long = Sketch.fnv1a64(s)
+
   /** The minhash mixer constants (a_i odd, b_i), for external exact
     * re-implementations of the signature family (the DuckDB oracle).
     */

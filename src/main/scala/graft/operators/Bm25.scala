@@ -43,7 +43,9 @@ object Bm25 {
     val dfT = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
 
     val avgdl = col("__tt").cast("double") / col("__n")
-    val idf = log(lit(1.0) +
+    // libmLn, not functions.log: StrictMath vs libm last-ulp parity
+    // (see functions.MathKernels)
+    val idf = graft.functions.MathKernels.libmLn(lit(1.0) +
       ((col("__n") - col("__df")).cast("double") + 0.5)
         / (col("__df").cast("double") + 0.5))
     val tnorm = (col("__tf").cast("double") * lit(k1 + 1.0)) /
@@ -57,11 +59,15 @@ object Bm25 {
       .select(col(idCol),
         round(idf * tnorm, 9).cast(DecimalType(18, 9)).as("__ts"))
 
+    // the decimal sum is exact on the 9-dp grid — emit its double
+    // verbatim (identical bits on any engine); a cosmetic round(×,4)
+    // would land grid sums exactly on half-way points where engines'
+    // rounding modes disagree
     perTerm.groupBy(col(idCol))
       .agg(count(lit(1)).as("matched_terms"), sum(col("__ts")).as("__s"))
       .orderBy(col("__s").desc, col(idCol))
       .limit(topN)
       .select(col(idCol), col("matched_terms"),
-        round(col("__s").cast("double"), 4).as("score"))
+        col("__s").cast("double").as("score"))
   }
 }

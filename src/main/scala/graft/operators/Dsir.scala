@@ -64,12 +64,16 @@ object Dsir {
       .groupBy("bucket").agg(count(lit(1)).as("__t"))
     val totals = rb.agg(sum(col("__r")).as("__rtot"))
       .crossJoin(tb.agg(coalesce(sum(col("__t")), lit(0L)).as("__ttot")))
+    // libmLn, not functions.log: Spark's log() is StrictMath (fdlibm)
+    // and misses DuckDB/libm by one ulp on ~2% of inputs — enough to
+    // flip 9-dp grid points (see functions.MathKernels)
+    val ln = graft.functions.MathKernels.libmLn _
     rb.join(tb, Seq("bucket"), "left_outer")
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
-        (log((coalesce(col("__t"), lit(0L)) + 1).cast("double")
+        (ln((coalesce(col("__t"), lit(0L)) + 1).cast("double")
             / (col("__ttot") + numBuckets).cast("double"))
-          - log((col("__r") + 1).cast("double")
+          - ln((col("__r") + 1).cast("double")
             / (col("__rtot") + numBuckets).cast("double"))).as("weight"))
   }
 
@@ -100,8 +104,17 @@ object Dsir {
       .agg(
         sum(when(col("bucket").isNotNull, col("__n")).otherwise(0L))
           .as("n_toks"),
+        // the decimal sum is exact on the 9-dp grid — cast it straight
+        // to double (identical bits on any engine). A final round(×,4)
+        // would REINTRODUCE engine divergence: grid sums land exactly
+        // on .xxxx5 half-way points, where Spark's HALF_UP and
+        // DuckDB's float rounding disagree. The count is cast to
+        // DECIMAL(10,0), NOT left as long: long×DECIMAL(18,9) needs
+        // precision 39 > 38 and Catalyst silently rounds the product
+        // to scale 8, losing the grid's last digit
         coalesce(
-          round(sum(col("__n") * col("__w")).cast("double"), 4), lit(0.0))
-          .as("dsir_score"))
+          sum(col("__n").cast(DecimalType(10, 0)) * col("__w"))
+            .cast("double"),
+          lit(0.0)).as("dsir_score"))
   }
 }

@@ -14,11 +14,19 @@ import org.apache.spark.sql.functions._
   * scale pass `approxDistinct = true`, which keeps one pass with HLL
   * sketches instead (±2% by default). min/max are emitted as strings
   * so heterogeneous column types share one schema.
+  *
+  * `hashStrings` keeps distinct counts exact but counts string
+  * columns through md5: the Expand row for a document-text column
+  * then carries a 32-char digest instead of the document itself —
+  * the count is identical short of a 128-bit collision, and the
+  * distinct-aggregate shuffle stops scaling with text width. The
+  * right default for corpus-text profiling at scale.
   */
 object Profile {
 
   def columnProfile(df: DataFrame,
-                    approxDistinct: Boolean = false): DataFrame = {
+                    approxDistinct: Boolean = false,
+                    hashStrings: Boolean = false): DataFrame = {
     val names = df.schema.fields.map(_.name).toSeq
     // min/max only exist for orderable scalar types; complex columns
     // (array/map/struct/binary) still profile nulls + distincts
@@ -29,15 +37,21 @@ object Profile {
         case _ => true
       })
     }.toMap
-    def nd(c: Column): Column =
+    val isString = df.schema.fields.map { f =>
+      f.name -> (f.dataType == org.apache.spark.sql.types.StringType)
+    }.toMap
+    def nd(n: String): Column = {
+      val c =
+        if (hashStrings && isString(n)) md5(col(n)) else col(n)
       if (approxDistinct) approx_count_distinct(c) else count_distinct(c)
+    }
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: names.flatMap { n =>
       val (mn, mx) =
         if (orderable(n)) (min(col(n)).cast("string"), max(col(n)).cast("string"))
         else (lit(null).cast("string"), lit(null).cast("string"))
       Seq(
         sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nulls_$n"),
-        nd(col(n)).as(s"__nd_$n"),
+        nd(n).as(s"__nd_$n"),
         mn.as(s"__min_$n"),
         mx.as(s"__max_$n"))
     }

@@ -88,6 +88,54 @@ object ExtraQueries {
                   AS DOUBLE) <= 0.05 * COUNT(DISTINCT l_orderkey) AS orders_within_5pct
               FROM lineitem""")),
 
+    // relational pivot (long → wide): per-priority order counts split
+    // by status column — Spark's pivot with an explicit value list
+    // (no extra distinct-values job) ≡ FILTERed conditional counts
+    Q("q51_pivot",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+                COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+                COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    // approximate percentile sketch vs exact, q35-style ε-bound: the
+    // sketches (Spark's KLL-ish vs DuckDB's t-digest) never agree
+    // bit-for-bit, so each engine asserts ITS approx lands within one
+    // quantity unit of ITS exact interpolated percentile; the exact
+    // values pin the rest of the row. accuracy=1000 bounds rank error
+    // to 0.1% of rows, far inside one unit of the 1..50 grid.
+    Q("q52_approx_percentile",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val exact = li.agg(
+          expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+          expr("percentile(l_quantity, 0.9)").as("exact_p90"))
+        val approx = li.agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("__a50"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("__a90"))
+        exact.crossJoin(approx)
+          .select(col("exact_p50"), col("exact_p90"),
+            (abs(col("__a50") - col("exact_p50")) <= 1.0).as("p50_within_1"),
+            (abs(col("__a90") - col("exact_p90")) <= 1.0).as("p90_within_1"))
+      },
+      Some("""SELECT quantile_cont(l_quantity, 0.5) AS exact_p50,
+                quantile_cont(l_quantity, 0.9) AS exact_p90,
+                abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5))
+                  <= 1.0 AS p50_within_1,
+                abs(approx_quantile(l_quantity, 0.9) - quantile_cont(l_quantity, 0.9))
+                  <= 1.0 AS p90_within_1
+              FROM lineitem""")),
+
     // Batch sessionization: session_window ≡ the gaps-and-islands SQL
     // (new session when the gap since the previous event >= 30 min).
     Q("q36_sessionize",

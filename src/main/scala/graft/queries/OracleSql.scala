@@ -176,7 +176,7 @@ w AS (
 n AS (SELECT doc_id, bucket, COUNT(*) AS n FROM tb GROUP BY doc_id, bucket),
 sc AS (
   SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_toks,
-    round(CAST(SUM(n * CAST(round(weight, 9) AS DECIMAL(18,9))) AS DOUBLE), 4)
+    CAST(SUM(n * CAST(round(weight, 9) AS DECIMAL(18,9))) AS DOUBLE)
       AS dsir_score
   FROM n JOIN w USING (bucket) GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(sc.n_toks, 0) AS n_toks,
@@ -215,7 +215,7 @@ agg AS (
     SUM(CAST(ts AS DECIMAL(18,9))) AS s
   FROM sc GROUP BY doc_id)
 SELECT doc_id, CAST(matched_terms AS BIGINT) AS matched_terms,
-  round(CAST(s AS DOUBLE), 4) AS score
+  CAST(s AS DOUBLE) AS score
 FROM agg ORDER BY s DESC, doc_id LIMIT $topN"""
   }
 

@@ -474,15 +474,21 @@ object TextQueries {
 
     // one-pass column profiler (nulls / distinct / min / max per
     // column) — the first query a pipeline runs against a new drop
+    // hashStrings: the distinct-count Expand carries 32-char digests
+    // for string columns instead of whole documents — the exact count
+    // via fixed-width shuffle keys (the 100 TB default)
     Q("d23_column_profile",
-      (s, d) => graft.operators.Profile.columnProfile(docs(s, d))
+      (s, d) => graft.operators.Profile
+        .columnProfile(docs(s, d), hashStrings = true)
         .orderBy("column_name"),
       Some {
+        val strings = Set("lang", "source", "text")
         val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
         cols.map { c =>
+          val ndExpr = if (strings(c)) s"md5($c)" else c
           s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
                 CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-                COUNT(DISTINCT $c) AS n_distinct,
+                COUNT(DISTINCT $ndExpr) AS n_distinct,
                 CAST(MIN($c) AS VARCHAR) AS min_value,
                 CAST(MAX($c) AS VARCHAR) AS max_value
               FROM documents"""

@@ -48,11 +48,10 @@ class Bm25Spec extends SparkSpec {
     val n = 5.0; val df = 2.0; val tf = 2.0; val dl = 4.0; val avgdl = 18.0 / 5.0
     val k1 = 1.2; val b = 0.75
     val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-    val expected = BigDecimal(
+    val expected =
       BigDecimal(idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + (b * dl) / avgdl))))
         .setScale(9, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        .toDouble
     val got = result("apple").filter(_._1 == 1L).head._3
     assert(got == expected)
   }

@@ -69,9 +69,7 @@ class DsirSpec extends SparkSpec {
       val exp = ts.map(t => weight(buckets(t)))
         .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
         .doubleValue()
-      val expRounded = new java.math.BigDecimal(exp)
-        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-      assert(scored(id)._2 == expRounded, s"doc $id")
+      assert(scored(id)._2 == exp, s"doc $id")
     }
   }
 }

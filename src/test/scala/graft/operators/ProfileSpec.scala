@@ -42,4 +42,12 @@ class ProfileSpec extends SparkSpec {
     assert(p("id").getLong(1) == 4L && p("s").getLong(2) == 1L)
     assert(p("id").getLong(3) == 4L) // HLL is exact at this cardinality
   }
+
+  test("hashStrings counts string distincts on digests, same result") {
+    val exact = Profile.columnProfile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val hashed = Profile.columnProfile(df, hashStrings = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(exact == hashed)
+  }
 }
