@@ -77,6 +77,35 @@ object Dsir {
             / (col("__rtot") + numBuckets).cast("double"))).as("weight"))
   }
 
+  /** Gumbel top-k importance resampling — the second half of the DSIR
+    * recipe: drawing k documents with probability ∝ exp(score/τ)
+    * equals taking the top k of `score/τ + Gumbel(0,1)` (the Gumbel
+    * top-k trick). The noise here is DETERMINISTIC: each document's
+    * uniform comes from its md5 hash (the repo's engine-portable
+    * randomness primitive), so the sample is a pure function of the
+    * data — reproducible across runs, partitionings, and engines —
+    * yet distributed exactly as importance resampling demands.
+    *
+    * Scale: a map-side key computation plus one TakeOrdered top-k; no
+    * shuffle of the corpus. τ → 0 degenerates to deterministic
+    * top-by-score; τ large approaches a uniform hash sample.
+    */
+  def gumbelTopK(scored: DataFrame, idCol: String, scoreCol: String,
+                 k: Int, tau: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(tau > 0, s"tau must be positive: $tau")
+    val ln = graft.functions.MathKernels.libmLn _
+    // 13 hex digits = 52 uniform bits; (h+0.5)/2^52 keeps u in (0,1)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + 0.5) / lit(4503599627370496.0)
+    val g = -ln(-ln(u))
+    scored
+      .withColumn("gumbel_key", col(scoreCol) / lit(tau) + g)
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-document DSIR score over the raw corpus: (idCol, n_toks,
     * dsir_score). Documents with no tokens score 0.
     *

@@ -219,6 +219,33 @@ SELECT doc_id, CAST(matched_terms AS BIGINT) AS matched_terms,
 FROM agg ORDER BY s DESC, doc_id LIMIT $topN"""
   }
 
+  /** d29: Dsir.gumbelTopK over the d25 scores — the md5-derived
+    * 52-bit uniform, the double Gumbel transform (libm ln on both
+    * engines), and the top-k all re-derived in SQL. Digit folding
+    * stays exact: every partial product is an integer below 2^53.
+    */
+  def dsirResample(numBuckets: Int = 4096, targetLang: String = "en",
+                   k: Int = 100, tau: Double = 1.0): String = {
+    s"""WITH base AS (SELECT * FROM (${dsirScore(numBuckets, targetLang)})),
+hx AS (
+  SELECT doc_id, dsir_score,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS m
+  FROM base),
+hv AS (
+  SELECT doc_id, any_value(dsir_score) AS dsir_score,
+    SUM((strpos('0123456789abcdef', substr(m, CAST(i AS INTEGER) + 1, 1)) - 1)
+      * power(16, CAST(12 - i AS INTEGER))) AS h
+  FROM hx, unnest(range(13)) AS u(i)
+  GROUP BY doc_id),
+ky AS (
+  SELECT doc_id, dsir_score,
+    dsir_score / $tau + (-ln(-ln((h + 0.5) / 4503599627370496.0)))
+      AS gumbel_key
+  FROM hv)
+SELECT doc_id, dsir_score, gumbel_key FROM ky
+ORDER BY gumbel_key DESC, doc_id LIMIT $k"""
+  }
+
   def gopherStats(): String = {
     val bigrams = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
     s"""WITH f AS (

@@ -434,6 +434,22 @@ object TextQueries {
       },
       Some(OracleSql.dsirScore(numBuckets = 4096, targetLang = "en"))),
 
+    // the DSIR pipeline end-to-end: score (d25) then Gumbel top-k
+    // importance resampling — deterministic md5-derived noise makes
+    // the sample itself oracle-checkable
+    Q("d29_dsir_resample",
+      (s, d) => {
+        val r = spread(s, d)
+        graft.operators.Dsir.gumbelTopK(
+          graft.operators.Dsir.score(r, r.filter(col("lang") === "en"),
+            "doc_id", "text", numBuckets = 4096),
+          "doc_id", "dsir_score", k = 100, tau = 1.0)
+          .select("doc_id", "dsir_score", "gumbel_key")
+          .orderBy(col("gumbel_key").desc, col("doc_id"))
+      },
+      Some(OracleSql.dsirResample(numBuckets = 4096, targetLang = "en",
+        k = 100, tau = 1.0))),
+
     // retrieval/pretraining chunking: overlapping 64-token windows
     // every 48 tokens — map-side posexplode, no shuffle; chunk payload
     // as fixed-width md5 + offsets

@@ -35,6 +35,27 @@ class DsirSpec extends SparkSpec {
     assert(scored(5L) == ((0L, 0.0)))
   }
 
+  test("gumbel resampling is deterministic and bounded by k") {
+    val scoredDf = Dsir.score(docs, docs.filter($"lang" === "en"),
+      "doc_id", "text", numBuckets = 64)
+    val a = Dsir.gumbelTopK(scoredDf, "doc_id", "dsir_score", k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = Dsir.gumbelTopK(scoredDf.repartition(5), "doc_id", "dsir_score",
+      k = 3).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "hash-derived noise must not depend on partitioning")
+    assert(a.length == 3)
+  }
+
+  test("tau -> 0 degenerates to top-by-score") {
+    val scoredDf = Dsir.score(docs, docs.filter($"lang" === "en"),
+      "doc_id", "text", numBuckets = 64)
+    val byScore = scoredDf.orderBy($"dsir_score".desc, $"doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).take(2).toSeq
+    val sampled = Dsir.gumbelTopK(scoredDf, "doc_id", "dsir_score",
+      k = 2, tau = 1e-9).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(sampled.toSet == byScore.toSet)
+  }
+
   test("scores match a direct per-token computation") {
     // numBuckets = 64 and a tiny vocabulary: collisions are possible
     // but the reference below uses the same bucketing, so the check is
