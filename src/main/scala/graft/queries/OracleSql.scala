@@ -246,6 +246,98 @@ SELECT doc_id, dsir_score, gumbel_key FROM ky
 ORDER BY gumbel_key DESC, doc_id LIMIT $k"""
   }
 
+  /** d30: NgramLm.crossEntropy — bigrams re-assembled positionally,
+    * the same FNV chain over the DISTINCT bigram/unigram strings, and
+    * the same 9-dp-grid / exact-DECIMAL / libm-ln discipline as d25.
+    */
+  def bigramCrossEntropy(numBuckets: Int = 4096): String = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0)
+    s"""WITH toksrc AS (
+  SELECT doc_id, ${toksExpr("text")} AS t FROM documents),
+tok AS (SELECT doc_id, u.tok FROM toksrc, unnest(t) AS u(tok)),
+big AS (
+  SELECT doc_id, t[sid] || ' ' || t[sid+1] AS bg, t[sid] AS w1
+  FROM toksrc, unnest(range(1, len(t))) AS u(sid)
+  WHERE len(t) >= 2),
+strs AS (
+  SELECT DISTINCT s FROM (
+    SELECT bg AS s FROM big UNION ALL SELECT tok FROM tok)),
+fnv AS (
+  WITH RECURSIVE f(s, pos, h) AS (
+    SELECT s, 0, CAST($FnvInit AS UBIGINT) FROM strs
+    UNION ALL
+    SELECT s, pos + 1,
+      CAST(CAST(CAST(xor(h, CAST(ascii(s[pos+1]) AS UBIGINT)) AS HUGEINT)
+        * $FnvPrime % $P64 AS UBIGINT) AS HUGEINT)
+        * $FnvPrime % $P64
+      FROM f WHERE pos < len(s))
+  SELECT s, CAST(h % $numBuckets AS BIGINT) AS bucket
+  FROM f WHERE pos = len(s)),
+c2 AS (SELECT f.bucket AS b2, COUNT(*) AS c2
+       FROM big JOIN fnv f ON big.bg = f.s GROUP BY f.bucket),
+c1 AS (SELECT f.bucket AS b1, COUNT(*) AS c1
+       FROM tok JOIN fnv f ON tok.tok = f.s GROUP BY f.bucket),
+occ AS (
+  SELECT big.doc_id, f1.bucket AS bb, f2.bucket AS ub
+  FROM big JOIN fnv f1 ON big.bg = f1.s JOIN fnv f2 ON big.w1 = f2.s),
+n AS (SELECT doc_id, bb, ub, COUNT(*) AS n FROM occ GROUP BY doc_id, bb, ub),
+sc AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+    CAST(SUM(n * CAST(round(
+      ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + $numBuckets AS DOUBLE)), 9)
+      AS DECIMAL(18,9))) AS DOUBLE) AS s
+  FROM n JOIN c2 ON bb = b2 JOIN c1 ON ub = b1 GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+  CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN 0.0
+       ELSE -(s / sc.n_bigrams) END AS cross_entropy
+FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""
+  }
+
+  /** d31: RepeatedSpans.spans — shingle positions re-derived 1-based
+    * and emitted 0-based to match posexplode; the same FNV chain over
+    * distinct shingle strings; gaps-and-islands via the sid −
+    * row_number trick on both engines.
+    */
+  def repeatedSpans(spanTokens: Int = 8, maxDocs: Int = 1): String = {
+    val k = spanTokens
+    s"""WITH toksrc AS (
+  SELECT doc_id, ${toksExpr("text")} AS t FROM documents),
+sh AS (
+  SELECT doc_id, sid, array_to_string(t[sid:sid+${k - 1}], ' ') AS s
+  FROM toksrc, unnest(range(1, len(t) - ${k - 1} + 1)) AS u(sid)
+  WHERE len(t) >= $k),
+strs AS (SELECT DISTINCT s FROM sh),
+fnv AS (
+  WITH RECURSIVE f(s, pos, h) AS (
+    SELECT s, 0, CAST($FnvInit AS UBIGINT) FROM strs
+    UNION ALL
+    SELECT s, pos + 1,
+      CAST(CAST(CAST(xor(h, CAST(ascii(s[pos+1]) AS UBIGINT)) AS HUGEINT)
+        * $FnvPrime % $P64 AS UBIGINT) AS HUGEINT)
+        * $FnvPrime % $P64
+      FROM f WHERE pos < len(s))
+  SELECT s, h FROM f WHERE pos = len(s)),
+occ AS (SELECT sh.doc_id, sh.sid, f.h FROM sh JOIN fnv f USING (s)),
+rep AS (SELECT h FROM occ GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) > $maxDocs),
+mk AS (SELECT doc_id, sid FROM occ SEMI JOIN rep USING (h)),
+isl AS (
+  SELECT doc_id, sid,
+    sid - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sid) AS grp
+  FROM mk),
+sp AS (
+  SELECT doc_id, grp, MIN(sid) - 1 AS start_tok,
+    MAX(sid) - 1 + ${k - 1} AS end_tok, COUNT(*) AS n_shingles
+  FROM isl GROUP BY doc_id, grp)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_tok) AS BIGINT)
+    AS span_idx,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(end_tok AS BIGINT) AS end_tok,
+  CAST(n_shingles AS BIGINT) AS n_shingles
+FROM sp ORDER BY doc_id, span_idx"""
+  }
+
   def gopherStats(): String = {
     val bigrams = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
     s"""WITH f AS (

@@ -434,6 +434,24 @@ object TextQueries {
       },
       Some(OracleSql.dsirScore(numBuckets = 4096, targetLang = "en"))),
 
+    // exact-substring dedup signal (Lee et al. 2021): maximal spans of
+    // cross-document repeated 8-token shingles, merged per document by
+    // gaps-and-islands — exact span boundaries, not chunk-rounded
+    Q("d31_repeated_spans",
+      (s, d) => graft.operators.RepeatedSpans.spans(
+        spread(s, d), "doc_id", "text", spanTokens = 8, maxDocs = 1)
+        .orderBy("doc_id", "span_idx"),
+      Some(OracleSql.repeatedSpans(spanTokens = 8, maxDocs = 1))),
+
+    // corpus-relative perplexity signal (CCNet-style): every document
+    // scored by cross-entropy under the corpus's own hashed-bigram LM
+    // — two broadcast count tables, map-side bigram assembly
+    Q("d30_bigram_crossentropy",
+      (s, d) => graft.operators.NgramLm.crossEntropy(
+        spread(s, d), "doc_id", "text", numBuckets = 4096)
+        .orderBy("doc_id"),
+      Some(OracleSql.bigramCrossEntropy(numBuckets = 4096))),
+
     // the DSIR pipeline end-to-end: score (d25) then Gumbel top-k
     // importance resampling — deterministic md5-derived noise makes
     // the sample itself oracle-checkable
