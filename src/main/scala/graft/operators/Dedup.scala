@@ -79,15 +79,18 @@ object Dedup {
       .select(Bloom.positions(lower(col(textCol)), numHashes, numBits)
         .as("__pos"))
       .agg(Bloom.filterAgg(col("__pos"), numBits).as("__bm"))
+    // exact-verify keys are md5 digests, not the text itself (the
+    // Dedup.exact discipline): the candidate/match sets broadcast as
+    // 16-byte keys however large the documents are
     val probed = delta
-      .select(col(idCol), lower(col(textCol)).as("__key"),
+      .select(col(idCol), md5(lower(col(textCol))).as("__key"),
         Bloom.positions(lower(col(textCol)), numHashes, numBits).as("__pos"))
       .crossJoin(broadcast(bloom))
       .withColumn("bloom_hit",
         coalesce(Bloom.mightContain(col("__bm"), col("__pos")), lit(false)))
       .select(col(idCol), col("__key"), col("bloom_hit"))
     val candKeys = probed.filter(col("bloom_hit")).select("__key").distinct()
-    val matched = corpus.select(lower(col(textCol)).as("__key"))
+    val matched = corpus.select(md5(lower(col(textCol))).as("__key"))
       .join(broadcast(candKeys), Seq("__key"), "left_semi")
       .distinct()
       .withColumn("__dup", lit(true))
