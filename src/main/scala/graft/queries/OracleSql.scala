@@ -661,6 +661,41 @@ SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
 FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** e09: Similarity.recallAtK(srpTopK, bruteTopK) — both searches
+    * re-derived in SQL (the SRP side reuses the e02 oracle verbatim
+    * as a subquery), then recall = |approx ∩ exact| / |exact| per
+    * query. Exact integer ratio → correctly-rounded double division
+    * on both engines.
+    */
+  def annRecall(k: Int, numPlanes: Int, dim: Int, nCells: Int,
+                nProbe: Int, iterations: Int): String = {
+    def one(method: String, apxSql: String): String =
+      s"""SELECT '$method' AS method, t.query_id,
+  CAST(COALESCE(h.hits, 0) AS DOUBLE) / t.total AS recall
+FROM (SELECT query_id, COUNT(*) AS total FROM ext GROUP BY query_id) t
+LEFT JOIN (
+  SELECT query_id, COUNT(*) AS hits
+  FROM (SELECT * FROM ext SEMI JOIN
+    (SELECT query_id, neighbor_id FROM ($apxSql)) AS apx
+    USING (query_id, neighbor_id))
+  GROUP BY query_id) h USING (query_id)"""
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+ext AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+    FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+  WHERE rank <= $k)
+${one("srp", srpTopK(k, numPlanes, dim))}
+UNION ALL
+${one("ivf", ivfTopK(k, nCells, nProbe, iterations))}
+ORDER BY method, query_id"""
+  }
+
   /** e08: SemDedup.verdicts — the same deterministic Lloyd build as
     * e05 (xxhash64 seeding, exact-decimal means), then within-cell
     * pairs above the cosine threshold mark the larger id dropped.

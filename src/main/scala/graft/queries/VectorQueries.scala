@@ -118,6 +118,30 @@ object VectorQueries {
       Some(OracleSql.pqTopK(k = 5, numSub = 8, subDim = 8, ksub = 16,
         iterations = 2))),
 
+    // ANN quality as a measured quantity: recall@5 of each
+    // approximate search against the exact brute-force ranking, per
+    // query and method — the tuning loop (planes/probes/cells) driven
+    // by a driver-checked number. Note the synthetic embeddings are
+    // near-orthogonal (most cosines < 0.2, no cluster structure), so
+    // recall is data-limited here; the MEASUREMENT is the operator.
+    Q("e09_ann_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteTopK(q, e, "vec_id", "embedding", k = 5)
+        val srp = Similarity.recallAtK(
+          Similarity.srpTopK(q, e, "vec_id", "embedding", k = 5,
+            numPlanes = 8, dim = 64), exact)
+          .select(lit("srp").as("method"), col("query_id"), col("recall"))
+        val ivf = Similarity.recallAtK(
+          graft.operators.IvfAnn.topK(q, e, "vec_id", "embedding", k = 5,
+            nCells = 16, nProbe = 3, iterations = 1), exact)
+          .select(lit("ivf").as("method"), col("query_id"), col("recall"))
+        srp.unionAll(ivf).orderBy("method", "query_id")
+      },
+      Some(OracleSql.annRecall(k = 5, numPlanes = 8, dim = 64,
+        nCells = 16, nProbe = 3, iterations = 1))),
+
     // SemDeDup (Abbas et al. 2023): k-means cells + within-cell cosine
     // pairs, min-id survivor — semantic dedup over embeddings, the
     // cluster-bounded complement of e04's SRP-bucket pair sweep
