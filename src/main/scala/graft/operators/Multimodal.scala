@@ -32,18 +32,58 @@ object Multimodal {
   /** Deterministic asset table derived from any (id, text) frame —
     * stands in for a real binary corpus; kind cycles image/audio/video.
     */
+  /** Modality of the synthetic asset paired with an id (cycles
+    * image/audio/video — the shared derivation for every operator
+    * that needs a kind without materializing the asset table).
+    */
+  def kindOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(id, lit(3)) + 1).cast("int"))
+
   def assetsFrom(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bytes = encode(col(textCol), "UTF-8")
     df.select(
       col(idCol).cast("long").as("asset_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
+      kindOf(col(idCol)).as("kind"),
       bytes.as("bytes"),
       struct(
         (pmod(col(idCol), lit(640)) + 32).cast("int").as("width"),
         (pmod(col(idCol), lit(480)) + 32).cast("int").as("height"),
         lit(16000).as("sample_rate"),
         length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Interleaved multimodal sequence packing — the VLM-pretraining
+    * layout: each document occupies its text tokens PLUS a fixed
+    * per-modality patch/frame budget for its paired asset (image
+    * patches, audio frames, video tiles), and the combined stream is
+    * concat-and-chunked into training sequences exactly like the
+    * text-only path (Sampling.packSequences — per-shard deterministic
+    * order, documents straddle boundaries).
+    *
+    * Everything is integer arithmetic over metadata; the asset bytes
+    * themselves never move. Per doc: (idCol, kind, n_text_tokens,
+    * n_asset_tokens, shard, seq_first, seq_last, seq_offset).
+    */
+  def packInterleaved(docs: DataFrame, idCol: String, textCol: String,
+                      seqLen: Long = 4096, nShards: Int = 8,
+                      imageTokens: Int = 256, audioTokens: Int = 128,
+                      videoTokens: Int = 1024): DataFrame = {
+    val assetCost = when(col("kind") === "image", imageTokens)
+      .when(col("kind") === "audio", audioTokens)
+      .otherwise(videoTokens)
+    // kind is a pure function of the id (kindOf) — deriving it inline
+    // keeps this a single map-side projection, not a self-join with
+    // the asset table
+    val costed = docs
+      .select(col(idCol), kindOf(col(idCol)).as("kind"),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("n_text_tokens"))
+      .select(col(idCol), col("kind"), col("n_text_tokens"),
+        assetCost.cast("long").as("n_asset_tokens"),
+        (col("n_text_tokens") + assetCost).as("__cost"))
+    Sampling.packSequences(costed, idCol, "__cost", seqLen, nShards,
+      carryCols = Seq("kind", "n_text_tokens", "n_asset_tokens"))
   }
 
   /** STUB decode: 8-bin byte histogram normalized to [0,1] — stable,

@@ -84,20 +84,21 @@ object Sampling {
     * anyway; sequence ids are (shard, seq) pairs.
     */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
-                    seqLen: Long, nShards: Int = 64): DataFrame = {
+                    seqLen: Long, nShards: Int = 64,
+                    carryCols: Seq[String] = Nil): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val w = Window.partitionBy("shard").orderBy(hashOrder(col(idCol)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
       .withColumn("__end", sum(col(tokenCol).cast("long")).over(w))
       .withColumn("__start", col("__end") - col(tokenCol))
-      .select(col(idCol),
+      .select(col(idCol) +: carryCols.map(col) ++: Seq(
         col("shard"),
         floor(col("__start") / seqLen).as("seq_first"),
         // empty docs occupy no tokens: they "land" where they start
         when(col(tokenCol) <= 0, floor(col("__start") / seqLen))
           .otherwise(floor((col("__end") - 1) / seqLen)).as("seq_last"),
-        pmod(col("__start"), lit(seqLen)).as("seq_offset"))
+        pmod(col("__start"), lit(seqLen)).as("seq_offset")): _*)
   }
 
   /** Temperature-scaled mixture: quotas derive from the DATA — each

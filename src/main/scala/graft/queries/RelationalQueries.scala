@@ -381,6 +381,27 @@ object RelationalQueries {
                FROM events GROUP BY 1, 2 ORDER BY h, event_type"""),
       headline = true),
 
+    // the STREAMING engine through the driver's differential gate:
+    // the same hourly aggregation as q29, executed by Structured
+    // Streaming (file source → incremental micro-batch state →
+    // memory sink) and compared against the batch DuckDB oracle —
+    // stream ≡ batch ≡ oracle, not just spec-asserted
+    Q("t01_stream_hourly",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val ev = graft.streaming.EventStream.readEvents(s, d,
+          glob = Some("events.parquet"))
+        val agg = ev
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        graft.streaming.EventStream.runToMemory(agg,
+          "t01_stream_hourly_sink", OutputMode.Complete())
+        s.table("t01_stream_hourly_sink").orderBy("h", "event_type")
+      },
+      Some(s"""SELECT date_trunc('hour', ts) AS h, event_type,
+               COUNT(*) AS n, ${oSum("value")} AS v
+               FROM events GROUP BY 1, 2 ORDER BY h, event_type""")),
+
     // Semi-structured props extraction (regex — identical RE subset).
     Q("q30_regex_extract",
       (s, d) => t(s, d, "events")

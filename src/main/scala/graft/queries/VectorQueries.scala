@@ -217,6 +217,38 @@ object VectorQueries {
                   AS INTEGER), 1) AS BIGINT) AS n_bytes
               FROM documents ORDER BY asset_id""")),
 
+    // interleaved multimodal packing (the VLM pretraining layout):
+    // text tokens + per-modality patch budgets concat-and-chunked
+    // into 4096-token sequences — integer metadata arithmetic only,
+    // asset bytes never move
+    Q("m04_interleaved_packing",
+      (s, d) => Multimodal.packInterleaved(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        seqLen = 4096, nShards = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> len(x) > 0)) AS BIGINT) AS ntt
+                FROM documents),
+              a AS (
+                SELECT doc_id, kind, ntt,
+                  CAST(CASE kind WHEN 'image' THEN 256 WHEN 'audio' THEN 128
+                       ELSE 1024 END AS BIGINT) AS nat
+                FROM t),
+              w AS (
+                SELECT doc_id, kind, ntt, nat, CAST(doc_id % 8 AS INTEGER) AS shard,
+                  SUM(ntt + nat) OVER (PARTITION BY doc_id % 8
+                    ORDER BY md5(CAST(doc_id AS VARCHAR))
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+                FROM a)
+              SELECT doc_id, kind, ntt AS n_text_tokens, nat AS n_asset_tokens,
+                shard,
+                CAST(FLOOR((e - (ntt + nat)) / 4096.0) AS BIGINT) AS seq_first,
+                CAST(FLOOR((e - 1) / 4096.0) AS BIGINT) AS seq_last,
+                CAST((e - (ntt + nat)) % 4096 AS BIGINT) AS seq_offset
+              FROM w ORDER BY doc_id""")),
+
     Q("m02_frame_sample",
       (s, d) => {
         val assets = Multimodal.assetsFrom(

@@ -28,10 +28,17 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based streaming source over a directory of event parquet. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** File-based streaming source over a directory of event parquet.
+    * `glob` restricts which files stream (the file source only
+    * accepts directories — pointing at one table inside a directory
+    * of many is a glob filter, not a path).
+    */
+  def readEvents(spark: SparkSession, dir: String,
+                 glob: Option[String] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
+    val reader = spark.readStream.schema(rawSchema)
+    val withGlob = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+    withGlob.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 

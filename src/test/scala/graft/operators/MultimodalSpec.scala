@@ -65,4 +65,30 @@ class MultimodalSpec extends SparkSpec {
     val n = Multimodal.sampleFrames(a, frameBytes = 64, maxFrames = 16).count()
     assert(n == 16L, s"expected cap at 16 frames, got $n") // 1000/64→16 capped
   }
+
+  test("interleaved packing charges text plus per-modality budgets") {
+    // ids 0/1/2 -> image/audio/video (kindOf cycles from id % 3)
+    val docs = Seq(
+      (0L, "a b c"),        // image: 3 + 256 = 259
+      (1L, "d e"),          // audio: 2 + 128 = 130
+      (2L, "f")             // video: 1 + 1024 = 1025
+    ).toDF("doc_id", "text")
+    val out = Multimodal.packInterleaved(docs, "doc_id", "text",
+      seqLen = 512, nShards = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(out(0L)._1 == "image" && out(0L)._2 == 3L && out(0L)._3 == 256L)
+    assert(out(1L)._1 == "audio" && out(1L)._3 == 128L)
+    assert(out(2L)._1 == "video" && out(2L)._3 == 1024L)
+    // one shard: total stream = 259 + 130 + 1025 = 1414 tokens over
+    // 512-token sequences; every doc's span must be consistent
+    out.values.foreach { case (_, ntt, nat, first, last) =>
+      assert(first <= last && first >= 0)
+      assert(last <= (1414 - 1) / 512)
+      assert(ntt >= 0 && nat > 0)
+    }
+    // the video doc (1025 tokens) must straddle at least two sequences
+    assert(out(2L)._5 > out(2L)._4)
+  }
 }
