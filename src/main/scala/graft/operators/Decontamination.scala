@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextSketches
+import graft.functions.{TextFunctions, TextSketches}
 
 /** Train/test contamination sweep: find corpus documents that
   * near-duplicate any document in a benchmark/eval set — the check a
@@ -94,6 +94,58 @@ object Decontamination {
               size(array_union(col("set_c"), col("set_b")))))
       .filter(col("jaccard") >= threshold)
       .select("doc_id", "bench_id", "est_jaccard", "jaccard")
+  }
+
+  /** N-gram-overlap contamination report (the GPT-3 appendix-C
+    * methodology: a training document is contaminated when it shares
+    * any word n-gram with an eval set; the overlap fraction grades
+    * severity). Complements `contaminated` — whole-document LSH finds
+    * near-duplicated docs, n-gram overlap finds verbatim eval SPANS
+    * quoted inside otherwise-unrelated documents.
+    *
+    * Scale shape: the eval side is tiny (thousands of rows vs a
+    * billion-doc corpus), so its distinct n-gram hash set BROADCASTS;
+    * the corpus is scanned once, shingled map-side (fixed 8-byte FNV
+    * keys, never the strings), and the only shuffle is the per-doc
+    * count aggregation — map-side partials collapse it to one 24-byte
+    * row per document before anything moves.
+    *
+    * Output: one row per corpus doc — (idCol, n_shingles,
+    * hit_shingles, overlap_frac, contaminated); docs with fewer than
+    * `n` tokens report 0 shingles and are clean by definition.
+    */
+  def ngramOverlap(corpus: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    def shingles(df: DataFrame, cols: Column*) = {
+      val t = TextFunctions.tokens(col(textCol))
+      df.select(cols :+ when(size(t) >= n,
+        TextFunctions.wordShingles(t, n))
+        .otherwise(array().cast("array<string>")).as("__sh"): _*)
+    }
+
+    val benchHashes = shingles(benchmark)
+      .select(explode(col("__sh")).as("__s"))
+      .select(TextSketches.fnv64(col("__s")).as("__h"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+
+    // explode_outer keeps shingle-less docs as one null-shingle row:
+    // count(__h) skips the null, the null key never equi-joins, and
+    // every doc stays present without a second corpus-wide join
+    shingles(corpus, col(idCol))
+      .select(col(idCol), explode_outer(col("__sh")).as("__s"))
+      .select(col(idCol), TextSketches.fnv64(col("__s")).as("__h"))
+      .join(broadcast(benchHashes), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__h")).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hit_shingles"))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") === 0, 0.0)
+          .otherwise(round(col("hit_shingles").cast("double")
+            / col("n_shingles"), 4)))
+      .withColumn("contaminated", col("hit_shingles") > 0)
   }
 
   /** The corpus with contaminated documents removed (the shipping

@@ -902,6 +902,53 @@ WHERE $jaccardExpr >= $threshold
 ORDER BY dpre.doc_id, dpre.bench_id"""
   }
 
+  /** d32: Decontamination.ngramOverlap — per-corpus-doc count of word
+    * n-gram positions whose FNV-1a64 hash lands in the benchmark
+    * side's distinct n-gram hash set. Same shingle text + recursive
+    * FNV chain as the d31 oracle; membership is compared on the HASH
+    * (not the string) so even a 64-bit collision, were one ever to
+    * occur, resolves identically in both engines.
+    */
+  def ngramOverlap(n: Int = 8, benchMod: Int = 50): String = {
+    s"""WITH corpus(doc_id, t) AS (
+  SELECT doc_id, ${toksExpr("text")} FROM documents
+  WHERE doc_id % $benchMod <> 0),
+bencht(t) AS (
+  SELECT ${toksExpr("text")} FROM documents WHERE doc_id % $benchMod = 0),
+csh AS (
+  SELECT doc_id, array_to_string(t[sid:sid+${n - 1}], ' ') AS s
+  FROM corpus, unnest(range(1, len(t) - ${n - 1} + 1)) AS u(sid)
+  WHERE len(t) >= $n),
+bsh AS (
+  SELECT DISTINCT array_to_string(t[sid:sid+${n - 1}], ' ') AS s
+  FROM bencht, unnest(range(1, len(t) - ${n - 1} + 1)) AS u(sid)
+  WHERE len(t) >= $n),
+strs AS (SELECT DISTINCT s FROM (SELECT s FROM csh UNION SELECT s FROM bsh)),
+fnv AS (
+  WITH RECURSIVE f(s, pos, h) AS (
+    SELECT s, 0, CAST($FnvInit AS UBIGINT) FROM strs
+    UNION ALL
+    SELECT s, pos + 1,
+      CAST(CAST(CAST(xor(h, CAST(ascii(s[pos+1]) AS UBIGINT)) AS HUGEINT)
+        * $FnvPrime % $P64 AS UBIGINT) AS HUGEINT)
+        * $FnvPrime % $P64
+      FROM f WHERE pos < len(s))
+  SELECT s, h FROM f WHERE pos = len(s)),
+bhash AS (SELECT DISTINCT f.h FROM bsh JOIN fnv f USING (s)),
+per AS (
+  SELECT csh.doc_id, COUNT(*) AS n_sh,
+    SUM(CASE WHEN f.h IN (SELECT h FROM bhash) THEN 1 ELSE 0 END) AS hits
+  FROM csh JOIN fnv f USING (s) GROUP BY csh.doc_id)
+SELECT c.doc_id,
+  CAST(COALESCE(p.n_sh, 0) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(p.hits, 0) AS BIGINT) AS hit_shingles,
+  CASE WHEN COALESCE(p.n_sh, 0) = 0 THEN 0.0
+       ELSE ROUND(CAST(p.hits AS DOUBLE) / p.n_sh, 4) END AS overlap_frac,
+  COALESCE(p.hits, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN per p USING (doc_id)
+ORDER BY c.doc_id"""
+  }
+
   /** d10: MinKSketch64 — normalize (lowercase, collapse whitespace,
     * cap 512) → FNV-1a64 over every char-k-gram (two rounds per UTF-16
     * code unit; `unicode()` recovers the code unit for BMP text) →

@@ -376,6 +376,17 @@ object TextQueries {
         .orderBy("doc_id", "bench_id"),
       Some(OracleSql.decontamination(threshold = 0.5))),
 
+    // n-gram-overlap contamination (GPT-3 appendix-C rule): the eval
+    // side's distinct 8-gram hash set broadcasts; the corpus is
+    // scanned once and only per-doc count rows shuffle
+    Q("d32_ngram_contamination",
+      (s, d) => graft.operators.Decontamination.ngramOverlap(
+        spread(s, d).filter(col("doc_id") % 50 =!= 0),
+        docs(s, d).filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some(OracleSql.ngramOverlap(n = 8))),
+
     // corpus-level boilerplate removal (C4 repeated-span rule over
     // 5-token chunks): a chunk seen in >2 distinct docs is dropped
     // everywhere; docs reassemble from surviving chunks in order

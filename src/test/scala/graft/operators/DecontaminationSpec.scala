@@ -61,4 +61,30 @@ class DecontaminationSpec extends SparkSpec {
     assert(Decontamination.contaminated(corpus, emptyBench,
       "doc_id", "text", threshold = 0.1).count() == 0L)
   }
+
+  test("ngramOverlap counts hit positions and keeps shingle-less docs") {
+    val b = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val c = Seq(
+      // quotes the benchmark 4-gram "beta gamma delta epsilon" once,
+      // inside otherwise-novel text: 5 shingles total, 1 hit
+      (1L, "prefix beta gamma delta epsilon novel suffix words"),
+      (2L, "entirely unrelated prose about catalyst physical planning"),
+      (3L, "too short")) // < n tokens → 0 shingles, clean
+      .toDF("doc_id", "text")
+    val out = Decontamination.ngramOverlap(c, b, "doc_id", "text", n = 4)
+      .select("doc_id", "n_shingles", "hit_shingles", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 5L, 1L, true),
+      (2L, 4L, 0L, false),
+      (3L, 0L, 0L, false)), s"got: $out")
+  }
+
+  test("ngramOverlap joins are broadcast-only; one doc-keyed shuffle") {
+    val plan = Decontamination.ngramOverlap(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus rows must not shuffle through the membership join:\n$plan")
+  }
 }
