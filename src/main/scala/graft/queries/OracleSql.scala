@@ -661,6 +661,44 @@ SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
 FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** e10: Quantization.topKInt8 — per-vector absmax int8 codes (the
+    * same explicit floor/ceil half-away-from-zero rounding as the
+    * kernel), then cosine over the EXACT integer codes: dot and the
+    * two squared norms are integers represented exactly in double, so
+    * `dot / (sqrt(na) * sqrt(nb))` is the identical IEEE op sequence
+    * in both engines — no summation-order concern at all.
+    */
+  def int8TopK(k: Int): String =
+    s"""WITH src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+  SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v
+  FROM src),
+codes AS (
+  SELECT vec_id,
+    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+         ELSE list_transform(v, x -> GREATEST(-127.0, LEAST(127.0,
+           CASE WHEN x / scale >= 0 THEN floor(x / scale + 0.5)
+                ELSE ceil(x / scale - 0.5) END))) END AS qv
+  FROM qz),
+q AS (SELECT vec_id AS query_id, qv AS qa FROM codes WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, qv AS qb FROM codes),
+s AS (
+  SELECT query_id, neighbor_id,
+    list_dot_product(qa, qb) AS dot,
+    sqrt(list_dot_product(qa, qa)) * sqrt(list_dot_product(qb, qb)) AS nn
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN nn = 0 THEN 0.0 ELSE dot / nn END AS cos_raw
+  FROM s),
+rk AS (
+  SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM r)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
+
   /** e09: Similarity.recallAtK(srpTopK, bruteTopK) — both searches
     * re-derived in SQL (the SRP side reuses the e02 oracle verbatim
     * as a subquery), then recall = |approx ∩ exact| / |exact| per

@@ -124,6 +124,20 @@ object VectorQueries {
     // by a driver-checked number. Note the synthetic embeddings are
     // near-orthogonal (most cosines < 0.2, no cluster structure), so
     // recall is data-limited here; the MEASUREMENT is the operator.
+    // the serving-memory path: int8 absmax quantization (4× smaller
+    // corpus) with cosine over the exact integer codes — per-vector
+    // scales cancel, so no dequantization in the scoring loop
+    Q("e10_knn_int8",
+      (s, d) => {
+        val e = emb(s, d)
+        graft.operators.Quantization.topKInt8(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy("query_id", "rank")
+      },
+      Some(OracleSql.int8TopK(k = 5))),
+
     Q("e09_ann_recall",
       (s, d) => {
         val e = emb(s, d)
