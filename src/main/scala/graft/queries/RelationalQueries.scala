@@ -402,6 +402,45 @@ object RelationalQueries {
                COUNT(*) AS n, ${oSum("value")} AS v
                FROM events GROUP BY 1, 2 ORDER BY h, event_type""")),
 
+    // the streaming engine's STATEFUL session operator through the
+    // gate: session_window merges events closer than the 30 min gap
+    // into [first_ts, last_ts + gap) state incrementally; the oracle
+    // reconstructs the identical sessions with gaps-and-islands SQL —
+    // streaming session state ≡ batch window algebra, hash-checked
+    Q("t02_stream_sessions",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val ev = graft.streaming.EventStream.readEvents(s, d,
+          glob = Some("events.parquet"))
+        val agg = ev
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("v"))
+          .select(col("w.start").as("session_start"),
+            col("w.end").as("session_end"), col("user_id"),
+            col("n_events"), col("v"))
+        graft.streaming.EventStream.runToMemory(agg,
+          "t02_stream_sessions_sink", OutputMode.Complete())
+        s.table("t02_stream_sessions_sink")
+          .orderBy("user_id", "session_start")
+      },
+      Some(s"""WITH x AS (
+                 SELECT user_id, ts, value, event_id,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+                 FROM events),
+               sess AS (
+                 SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM x)
+               SELECT MIN(ts) AS session_start,
+                 MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                 user_id, COUNT(*) AS n_events, ${oSum("value")} AS v
+               FROM sess GROUP BY user_id, sid
+               ORDER BY user_id, session_start""")),
+
     // Semi-structured props extraction (regex — identical RE subset).
     Q("q30_regex_extract",
       (s, d) => t(s, d, "events")
