@@ -184,6 +184,76 @@ SELECT d.doc_id, COALESCE(sc.n_toks, 0) AS n_toks,
 FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""
   }
 
+  /** d33: NaiveBayes.classify — the same token-FNV bucket family as
+    * d25, one count table per (class, bucket), ln snapped to the 9-dp
+    * grid, per-(doc, class) scores accumulated in exact DECIMAL, and
+    * the argmax broken by label order. The per-class smoothing
+    * constant is factored out (`− n_d · ln(tok_c + B)`), so unseen
+    * (class, bucket) pairs contribute exactly 0 in both engines.
+    */
+  def naiveBayes(numBuckets: Int = 4096, trainMod: Int = 10,
+                 trainBelow: Int = 8): String = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0)
+    s"""WITH toksrc AS (
+  SELECT doc_id, lang, ${toksExpr("text")} AS t FROM documents),
+tok AS (SELECT doc_id, lang, u.tok FROM toksrc, unnest(t) AS u(tok)),
+toku AS (SELECT DISTINCT tok FROM tok),
+fnv AS (
+  WITH RECURSIVE f(tok, pos, h) AS (
+    SELECT tok, 0, CAST($FnvInit AS UBIGINT) FROM toku
+    UNION ALL
+    SELECT tok, pos + 1,
+      CAST(CAST(CAST(xor(h, CAST(ascii(tok[pos+1]) AS UBIGINT)) AS HUGEINT)
+        * $FnvPrime % $P64 AS UBIGINT) AS HUGEINT)
+        * $FnvPrime % $P64
+      FROM f WHERE pos < len(tok))
+  SELECT tok, CAST(h % $numBuckets AS BIGINT) AS bucket
+  FROM f WHERE pos = len(tok)),
+tb AS (SELECT doc_id, lang, bucket FROM tok JOIN fnv USING (tok)),
+trn AS (SELECT * FROM tb WHERE doc_id % $trainMod < $trainBelow),
+w AS (
+  SELECT lang AS label, bucket,
+    CAST(round(ln(CAST(COUNT(*) + 1 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS w
+  FROM trn GROUP BY lang, bucket),
+dtot AS (SELECT COUNT(*) AS n FROM documents
+         WHERE doc_id % $trainMod < $trainBelow),
+cstat AS (
+  SELECT d.lang AS label,
+    CAST(round(ln(CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM dtot)), 9)
+      AS DECIMAL(18,9)) AS prior,
+    CAST(round(ln(CAST(COALESCE(tc.n, 0) + $numBuckets AS DOUBLE)), 9)
+      AS DECIMAL(18,9)) AS lnorm
+  FROM documents d
+  LEFT JOIN (SELECT lang, COUNT(*) AS n FROM trn GROUP BY lang) tc
+    ON tc.lang = d.lang
+  WHERE d.doc_id % $trainMod < $trainBelow
+  GROUP BY d.lang, tc.n),
+nb AS (SELECT doc_id, bucket, COUNT(*) AS n FROM tb GROUP BY doc_id, bucket),
+nd AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_toks FROM nb GROUP BY doc_id),
+sdc AS (
+  SELECT doc_id, label, SUM(CAST(n AS DECIMAL(10,0)) * w.w) AS s
+  FROM nb JOIN w USING (bucket) GROUP BY doc_id, label),
+grid AS (
+  SELECT d.doc_id, d.lang AS actual, COALESCE(nd.n_toks, 0) AS n_toks,
+    c.label,
+    c.prior + COALESCE(sdc.s, 0)
+      - CAST(COALESCE(nd.n_toks, 0) AS DECIMAL(10,0)) * c.lnorm AS score
+  FROM documents d
+  LEFT JOIN nd USING (doc_id)
+  CROSS JOIN cstat c
+  LEFT JOIN sdc ON sdc.doc_id = d.doc_id AND sdc.label = c.label),
+pred AS (
+  SELECT doc_id, actual, n_toks, label, score,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY score DESC, label) AS rk
+  FROM grid)
+SELECT doc_id, n_toks, actual, label AS predicted,
+  actual = label AS correct,
+  doc_id % $trainMod < $trainBelow AS is_train,
+  CAST(score AS DOUBLE) AS score
+FROM pred WHERE rk = 1 ORDER BY doc_id"""
+  }
+
   /** d26: Bm25.search — the same integer tf/df/dl tables and the same
     * double formula, operand-for-operand (derived constants like k1+1
     * are interpolated via Double.toString, which round-trips exactly);

@@ -387,6 +387,18 @@ object TextQueries {
         .orderBy("doc_id"),
       Some(OracleSql.ngramOverlap(n = 8))),
 
+    // model-based filtering (the fastText-classifier family): Naive
+    // Bayes over hashed unigrams, trained by aggregation on the 80%
+    // split and applied map-side via the broadcast weight table —
+    // training AND inference run inside the plan, differentially
+    // checked end to end
+    Q("d33_nb_classifier",
+      (s, d) => graft.operators.NaiveBayes.classify(
+        spread(s, d), "doc_id", "text", "lang",
+        trainPred = col("doc_id") % 10 < 8)
+        .orderBy("doc_id"),
+      Some(OracleSql.naiveBayes())),
+
     // corpus-level boilerplate removal (C4 repeated-span rule over
     // 5-token chunks): a chunk seen in >2 distinct docs is dropped
     // everywhere; docs reassemble from surviving chunks in order
