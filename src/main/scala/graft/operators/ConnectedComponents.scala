@@ -48,12 +48,18 @@ object ConnectedComponents {
     */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
                  maxIterations: Int = 30): DataFrame = {
+    // materialize the directed pair list ONCE before symmetrizing:
+    // union-of-two-projections would plant the upstream pair-mining
+    // subtree (an LSH sweep when called from dedup) twice in the plan,
+    // and the two branches shuffle on different keys so ReuseExchange
+    // cannot merge them — the mining cost doubled, measured
+    val p0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+      .localCheckpoint(true)
     // both directions, deduplicated: propagation below is one-hop along
     // directed edges, so symmetry makes it undirected
-    val e = edges.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"),
-        col(srcCol).cast("long").as("b")))
+    val e = p0
+      .union(p0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK) // static across rounds
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{MathKernels, TextFunctions, TextSketches}
+import graft.functions.{TextFunctions, TextSketches}
 
 /** Model-based document classification trained and applied entirely
   * inside the plan — the relational core of the fastText-style
@@ -39,8 +39,6 @@ object NaiveBayes {
 
   private val W9 = DecimalType(18, 9)
 
-  private def snap(c: Column): Column = round(c, 9).cast(W9)
-
   private def tokenBuckets(docs: DataFrame, idCol: String, textCol: String,
                            numBuckets: Int): DataFrame =
     docs.select(col(idCol),
@@ -60,7 +58,7 @@ object NaiveBayes {
             numBuckets: Int = 4096): (DataFrame, DataFrame) = {
     require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a power of two: $numBuckets")
-    val ln = MathKernels.libmLn _
+    val spark = labeled.sparkSession
     val tb = labeled
       .select(col(idCol), col(labelCol).as("label"), col(textCol))
       .select(col("label"),
@@ -69,23 +67,50 @@ object NaiveBayes {
         TextSketches.fnv64(col("__term"))
           .bitwiseAND(lit(numBuckets - 1L)).cast("int").as("bucket"))
 
-    val weights = tb.groupBy("label", "bucket")
-      .agg(count(lit(1)).as("__cnt"))
-      .select(col("label"), col("bucket"),
-        snap(ln((col("__cnt") + 1).cast("double"))).as("w"))
-
+    // ONE corpus-tokenizing job. The fitted model is fixed-size
+    // (≤ classes × B weight rows + classes stats rows) regardless of
+    // corpus size, so it collects and re-enters the plan as local
+    // relations: computed lazily as three plan branches, the weight
+    // table and the token totals would each re-tokenize the training
+    // split when their broadcasts materialize (separate jobs, so
+    // ReuseExchange can't merge them) — the fit cost tripled.
+    val cnts = tb.groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("cnt")).collect()
     val docCounts = labeled.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("__dc"))
-    val total = labeled.agg(count(lit(1)).as("__dtot"))
-    val tokCounts = tb.groupBy("label").agg(count(lit(1)).as("__tc"))
-    val classStats = docCounts
-      .join(tokCounts, Seq("label"), "left_outer")
-      .crossJoin(broadcast(total))
-      .select(col("label"),
-        snap(ln(col("__dc").cast("double") / col("__dtot").cast("double")))
-          .as("prior"),
-        snap(ln((coalesce(col("__tc"), lit(0L)) + numBuckets).cast("double")))
-          .as("lnorm"))
+      .agg(count(lit(1)).as("dc")).collect() // label-only scan: no tokenize
+    val docTotal = docCounts.map(_.getLong(1)).sum
+
+    // driver-side replica of the in-plan snap(libmLn(x)) grid:
+    // Math.log IS libm_ln (see MathKernels), and BigDecimal.valueOf
+    // round-trips the ≤11-significant-digit 9-dp values exactly —
+    // same argument the in-plan round→double→decimal cast relies on
+    def snap9(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(java.lang.Math.log(x))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+
+    val labelField = cnts.headOption
+      .map(_ => tb.schema("label")).getOrElse(labeled.select(
+        col(labelCol).as("label")).schema("label"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val wSchema = StructType(Seq(labelField.copy(name = "label"),
+      StructField("bucket", IntegerType), StructField("w", W9)))
+    val weights = spark.createDataFrame(
+      cnts.toSeq.map(r => Row(r.get(0), r.getInt(1),
+        snap9((r.getLong(2) + 1).toDouble))).asJava, wSchema)
+
+    val tokByLabel = cnts.groupBy(_.get(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val csSchema = StructType(Seq(labelField.copy(name = "label"),
+      StructField("prior", W9), StructField("lnorm", W9)))
+    val classStats = spark.createDataFrame(
+      docCounts.toSeq.map { r =>
+        val label = r.get(0)
+        Row(label,
+          snap9(r.getLong(1).toDouble / docTotal.toDouble),
+          snap9((tokByLabel.getOrElse(label, 0L) + numBuckets).toDouble))
+      }.asJava, csSchema)
     (weights, classStats)
   }
 

@@ -387,8 +387,9 @@ object RelationalQueries {
     // memory sink) and compared against the batch DuckDB oracle —
     // stream ≡ batch ≡ oracle, not just spec-asserted
     Q("t01_stream_hourly",
-      (s, d) => {
+      (s0, d) => {
         import org.apache.spark.sql.streaming.OutputMode
+        val s = graft.streaming.EventStream.replaySession(s0)
         val ev = graft.streaming.EventStream.readEvents(s, d,
           glob = Some("events.parquet"))
         val agg = ev
@@ -408,8 +409,9 @@ object RelationalQueries {
     // reconstructs the identical sessions with gaps-and-islands SQL —
     // streaming session state ≡ batch window algebra, hash-checked
     Q("t02_stream_sessions",
-      (s, d) => {
+      (s0, d) => {
         import org.apache.spark.sql.streaming.OutputMode
+        val s = graft.streaming.EventStream.replaySession(s0)
         val ev = graft.streaming.EventStream.readEvents(s, d,
           glob = Some("events.parquet"))
         val agg = ev

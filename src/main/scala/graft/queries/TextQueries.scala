@@ -274,12 +274,22 @@ object TextQueries {
 
     // end-to-end curation pass (quality gate → exact dedup → near-dup
     // sweep) — the composed pipeline a training corpus runs
+    // curateManaged computes the gated/deduped survivors ONCE (the
+    // no-cache curate() runs the gate kernels and dedup shuffle ~twice
+    // — its two consumers prune different columns, so ReuseExchange
+    // can't merge them). The small final result is materialized
+    // eagerly so the cached survivors frame can be released before
+    // returning — no cache outlives the call (the round-2 leak class).
     Q("d12_curation",
-      (s, d) => graft.operators.Curation
-        .curate(spread(s, d), "doc_id", "text",
+      (s, d) => {
+        val (cur, release) = graft.operators.Curation.curateManaged(
+          spread(s, d), "doc_id", "text",
           minQuality = 0.3, nearDupThreshold = 0.5)
-        .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id"),
+        val out = cur.select("doc_id", "lang", "n_chars")
+          .localCheckpoint(true)
+        release()
+        out.orderBy("doc_id")
+      },
       // the whole curation pipeline re-derived in SQL: unrounded d07
       // quality formula → min-id exact survivors → LSH sweep over the
       // survivors with the same signature family as d08

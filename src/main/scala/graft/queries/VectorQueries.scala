@@ -142,7 +142,11 @@ object VectorQueries {
       (s, d) => {
         val e = emb(s, d)
         val q = e.filter(col("vec_id") < 10)
+        // materialize the exact ranking once (|queries|·k rows): it is
+        // the ground truth for BOTH method joins, and lazily it would
+        // re-run the brute-force corpus sweep per consumer
         val exact = Similarity.bruteTopK(q, e, "vec_id", "embedding", k = 5)
+          .localCheckpoint(true)
         val srp = Similarity.recallAtK(
           Similarity.srpTopK(q, e, "vec_id", "embedding", k = 5,
             numPlanes = 8, dim = 64), exact)

@@ -178,14 +178,49 @@ object EventStream {
     else q).start()
   }
 
+  /** A child session for a bounded stream replay: same SparkContext
+    * and catalog-free path reads, but its own SQLConf with the state
+    * fan-out sized to the replayed volume. Stateful operators create
+    * one state store (with per-commit file I/O) PER shuffle partition;
+    * the batch default of 32 means 32 store commits per micro-batch,
+    * which at bench volume (~100 k events in one batch) is pure
+    * overhead. Production sizing ties this to sustained input rate,
+    * not to the batch session's shuffle width.
+    */
+  def replaySession(spark: SparkSession, statePartitions: Int = 8): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss
+  }
+
   /** Run any of the above to a named in-memory sink, synchronously —
     * the test/bench harness entry (guide: batch-as-stream pattern).
+    *
+    * The checkpoint (offset log + state store deltas, fsync'd every
+    * commit) goes to tmpfs when the host has one — commit-log fsyncs
+    * on a disk-backed /tmp are the dominant fixed cost of a short
+    * replay — and is deleted on stop either way.
     */
   def runToMemory(df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Append()): Unit = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(base, "graft-ckpt-")
     val q = df.writeStream.outputMode(outputMode)
+      .option("checkpointLocation", ckpt.toString)
       .format("memory").queryName(name).start()
     try q.processAllAvailable()
-    finally q.stop()
+    finally {
+      q.stop()
+      // best-effort recursive cleanup; replay checkpoints are one-shot
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
   }
 }

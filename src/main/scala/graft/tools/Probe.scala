@@ -1,27 +1,38 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.core.Tables
-import graft.operators.Curation
 
-/** Scratch perf probe (dev tool, not part of the driver contract). */
+/** Scratch perf probe (dev tool, not part of the driver contract):
+  * runs the named catalog entries against SPARK_GRAFT_SF_DIR with the
+  * bench harness's session shape and prints warm + per-run timings.
+  *
+  *   sbt "runMain graft.tools.Probe t01_stream_hourly d12_curation"
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+    def exec(name: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    (1 to 3).foreach { i =>
-      val docs = Tables.load(spark, d, "documents").repartition(64)
-      val out = Curation.curate(docs, "doc_id", "text",
-        minQuality = 0.3, nearDupThreshold = 0.5)
-      time(s"curate run$i")(println("[probe] survivors " + out.count()))
+    args.foreach { name =>
+      val warm = exec(name)
+      val timed = Seq.fill(runs)(exec(name))
+      println(f"[probe] $name warm=$warm%.2f timed=" +
+        timed.map(t => f"$t%.2f").mkString(","))
     }
     spark.stop()
   }
