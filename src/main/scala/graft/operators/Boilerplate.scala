@@ -40,12 +40,15 @@ object Boilerplate {
     val L = chunkTokens
     val t = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
 
-    val base = t.select(col(idCol),
-      ceil(size(col("__toks")).cast("double") / L).cast("long").as("n_chunks"))
-
+    // chunk rows carry the doc's chunk count, so the reassembly
+    // aggregate recovers n_chunks without a separate tokenizing pass —
+    // the corpus is tokenized exactly twice per action (frequency
+    // count + reassembly), the structural minimum without caching the
+    // exploded corpus
     val chunked = t
       .filter(size(col("__toks")) > 0)
       .select(col(idCol),
+        ceil(size(col("__toks")).cast("double") / L).cast("long").as("n_chunks"),
         posexplode(
           transform(
             sequence(lit(0),
@@ -59,16 +62,27 @@ object Boilerplate {
       .filter(col("__nd") > maxDocs)
       .select("__ck")
 
+    // boilerplate membership as a tag, not an anti join: one grouped
+    // pass computes survivors, fingerprint, AND n_chunks — an anti
+    // join would drop all-boilerplate docs and force a third
+    // corpus-tokenizing branch to recover their chunk counts.
+    // collect_list skips the nulls the `when` leaves on tagged rows.
     val kept = chunked
-      .join(boiler, md5(col("chunk")) === col("__ck"), "left_anti")
+      .join(boiler.withColumn("__isb", lit(true)),
+        md5(col("chunk")) === col("__ck"), "left_outer")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("kept_chunks"),
+      .agg(first(col("n_chunks")).as("n_chunks"),
+        count(when(col("__isb").isNull, 1)).as("kept_chunks"),
         md5(array_join(
-          transform(array_sort(collect_list(struct(col("cidx"), col("chunk")))),
+          transform(array_sort(collect_list(
+            when(col("__isb").isNull, struct(col("cidx"), col("chunk"))))),
             p => p.getField("chunk")), " ")).as("clean_fp"))
 
-    base.join(kept, Seq(idCol), "left_outer")
-      .select(col(idCol), col("n_chunks"),
+    // empty-token docs never enter `chunked`; restore them with zero
+    // counts from a tokenizer-free id scan
+    docs.select(col(idCol)).join(kept, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
         coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
   }

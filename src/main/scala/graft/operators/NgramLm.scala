@@ -66,13 +66,42 @@ object NgramLm {
     require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a power of two: $numBuckets")
     val big = bigramBuckets(corpus, idCol, textCol, numBuckets)
-    val c2 = big.filter(col("bb").isNotNull)
-      .groupBy(col("bb").as("__b2")).agg(count(lit(1)).as("__c2"))
-    val c1 = corpus
-      .select(explode(TextFunctions.tokens(col(textCol))).as("__term"))
-      .select(TextSketches.fnv64(col("__term"))
-        .bitwiseAND(lit(mask(numBuckets))).cast("int").as("__b1"))
-      .groupBy("__b1").agg(count(lit(1)).as("__c1"))
+    // fit both fixed-size count tables (≤ B rows each) in ONE
+    // tokenizing pass: per document, unigram entries and bigram
+    // entries flatten into a single tagged list, one aggregation
+    // counts both kinds, and the finished model collects — as two
+    // lazy plan branches, each table's broadcast job would re-run the
+    // tokenizer over the whole corpus
+    val entryType = "array<struct<k:tinyint,b:int>>"
+    val uEntries = transform(col("__toks"),
+      t => struct(lit(1).cast("tinyint").as("k"),
+        TextSketches.fnv64(t).bitwiseAND(lit(mask(numBuckets)))
+          .cast("int").as("b"))).cast(entryType)
+    val bEntries = when(size(col("__toks")) >= 2,
+      zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(lit(2).cast("tinyint").as("k"),
+          TextSketches.fnv64(concat(a, lit(" "), b))
+            .bitwiseAND(lit(mask(numBuckets))).cast("int").as("b"))))
+      .otherwise(array().cast(entryType)).cast(entryType)
+    val modelRows = corpus
+      .select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(explode(concat(uEntries, bEntries)).as("__e"))
+      .groupBy(col("__e.k").as("k"), col("__e.b").as("b"))
+      .agg(count(lit(1)).as("c")).collect()
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    def table(kind: Int, bName: String, cName: String): DataFrame =
+      spark.createDataFrame(
+        modelRows.toSeq.filter(_.getByte(0) == kind)
+          .map(r => Row(r.getInt(1), r.getLong(2))).asJava,
+        StructType(Seq(StructField(bName, IntegerType),
+          StructField(cName, LongType))))
+    val c2 = table(2, "__b2", "__c2")
+    val c1 = table(1, "__b1", "__c1")
 
     val lnP = MathKernels.libmLn(
       (col("__c2") + 1).cast("double")

@@ -443,6 +443,53 @@ object RelationalQueries {
                FROM sess GROUP BY user_id, sid
                ORDER BY user_id, session_start""")),
 
+    // streaming dedup through the gate: dropDuplicatesWithinWatermark
+    // keeps the first arrival per key (WHICH row wins is scheduling-
+    // dependent, so only the key columns are emitted — the distinct
+    // key SET is deterministic and equals batch DISTINCT)
+    Q("t03_stream_dedup",
+      (s0, d) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val s = graft.streaming.EventStream.replaySession(s0)
+        val ev = graft.streaming.EventStream.readEvents(s, d,
+          glob = Some("events.parquet"))
+        val dd = graft.streaming.EventStream
+          .dedupStream(ev, Seq("user_id", "event_type"), lateness = "1 hour")
+          .select("user_id", "event_type")
+        graft.streaming.EventStream.runToMemory(dd,
+          "t03_stream_dedup_sink", OutputMode.Append())
+        s.table("t03_stream_dedup_sink").orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type""")),
+
+    // arbitrary stateful processing (flatMapGroupsWithState) through
+    // the gate: per-user running profile with every field a pure
+    // function of the event set (sorted fold, integer-cent totals) —
+    // custom streaming state ≡ batch aggregation, hash-checked
+    Q("t04_stream_profiles",
+      (s0, d) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val s = graft.streaming.EventStream.replaySession(s0)
+        import s.implicits._
+        val ev = graft.streaming.EventStream.readEvents(s, d,
+          glob = Some("events.parquet"))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStream.ProfiledEvent]
+        val prof = graft.streaming.EventStream.userActivity(ev)
+        graft.streaming.EventStream.runToMemory(prof.toDF(),
+          "t04_stream_profiles_sink", OutputMode.Append())
+        s.table("t04_stream_profiles_sink").orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS n_events, ${oSum("value")} AS v,
+               epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us,
+               arg_max(event_type,
+                 CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id)
+                 AS last_type
+               FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // Semi-structured props extraction (regex — identical RE subset).
     Q("q30_regex_extract",
       (s, d) => t(s, d, "events")

@@ -133,6 +133,60 @@ object EventStream {
       }
   }
 
+  // ── custom state, gate-grade: deterministic per-user activity ───────
+
+  final case class ProfiledEvent(user_id: Long, event_id: Long, ts_us: Long,
+                                 event_type: String, value: Double)
+  /** Running state: value total in exact integer cents (the 2-dp-grid
+    * measure discipline of Q.dsum, in integer form), last event keyed
+    * by (ts_us, event_id) so "latest" is total-ordered.
+    */
+  final case class ActivityState(n_events: Long, v_cents: Long,
+                                 first_us: Long, last_us: Long,
+                                 last_id: Long, last_type: String)
+  final case class UserActivity(user_id: Long, n_events: Long, v: Double,
+                                first_us: Long, last_us: Long,
+                                last_type: String)
+
+  /** Arbitrary stateful processing through the DIFFERENTIAL gate:
+    * unlike [[userProfiles]] (whose double total and last_type depend
+    * on iterator order), every field here is a pure function of the
+    * event set — the batch buffers and folds in (ts_us, event_id)
+    * order, money accumulates in integer cents, and the final
+    * cents/100.0 division is the exact-decimal→double cast both
+    * engines agree on. State is bounded per key; one emitted row per
+    * (user, batch) in append mode.
+    */
+  def userActivity(events: Dataset[ProfiledEvent]): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ActivityState, UserActivity](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[ProfiledEvent],
+         state: GroupState[ActivityState]) =>
+          val evs = batch.toArray.sortBy(e => (e.ts_us, e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption.getOrElse(ActivityState(
+              0L, 0L, Long.MaxValue, Long.MinValue, Long.MinValue, ""))
+            val next = evs.foldLeft(prev) { (acc, e) =>
+              val later = e.ts_us > acc.last_us ||
+                (e.ts_us == acc.last_us && e.event_id >= acc.last_id)
+              ActivityState(acc.n_events + 1,
+                acc.v_cents + Math.round(e.value * 100.0),
+                Math.min(acc.first_us, e.ts_us),
+                if (later) e.ts_us else acc.last_us,
+                if (later) e.event_id else acc.last_id,
+                if (later) e.event_type else acc.last_type)
+            }
+            state.update(next)
+            Iterator.single(UserActivity(uid, next.n_events,
+              next.v_cents / 100.0, next.first_us, next.last_us,
+              next.last_type))
+          }
+      }
+  }
+
   /** Streaming sync: each micro-batch of new source files is published
     * as a snapshot generation (manifest swap included) — the
     * Structured-Streaming form of the reference's scheduled sync cycle

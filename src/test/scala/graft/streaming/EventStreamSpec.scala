@@ -160,4 +160,24 @@ class EventStreamSpec extends SparkSpec {
     assert(out(7L).n_events == 2L && out(7L).total_value == 4.0)
     assert(out(8L).n_events == 1L && out(8L).last_type == "view")
   }
+
+  test("deterministic user activity: order-independent, cents-exact") {
+    import EventStream.{ProfiledEvent, UserActivity}
+    // deliberately unsorted input; 0.1+0.2-style grid values
+    val evs = Seq(
+      ProfiledEvent(7L, 3L, 300L, "purchase", 0.10),
+      ProfiledEvent(7L, 1L, 100L, "view", 0.20),
+      ProfiledEvent(7L, 2L, 300L, "click", 0.30), // ts tie: id 3 wins
+      ProfiledEvent(8L, 4L, 50L, "view", 4.25))
+    def run(order: Seq[ProfiledEvent]): Map[Long, UserActivity] =
+      EventStream.userActivity(order.toDS()).collect()
+        .map(a => a.user_id -> a).toMap
+    val a = run(evs)
+    val b = run(evs.reverse)
+    assert(a == b)
+    assert(a(7L).n_events == 3L && a(7L).v == 0.60) // exact, no fp drift
+    assert(a(7L).first_us == 100L && a(7L).last_us == 300L)
+    assert(a(7L).last_type == "purchase") // (300, 3) beats (300, 2)
+    assert(a(8L).last_type == "view" && a(8L).v == 4.25)
+  }
 }
