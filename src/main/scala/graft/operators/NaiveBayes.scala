@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -22,13 +21,14 @@ import graft.functions.{TextFunctions, TextSketches}
   * contribute exactly 0 and the weight table only needs observed
   * pairs).
   *
-  * Scale shape — training is two aggregation passes, inference is
-  * map-side:
+  * Scale shape — one aggregation pass each way:
   *  - the model (≤ classes × B weight rows + a classes-row stats
-  *    table) is fixed-size regardless of corpus size and BROADCASTS;
-  *  - scoring shuffles only per-(doc, bucket) partial counts (map-side
-  *    combine), then per-(doc, class) rows — both doc-keyed, no skew;
-  *  - the argmax window partitions on the doc id: high cardinality.
+  *    table) is fixed-size regardless of corpus size; training fits it
+  *    in a single tokenizing job and inference carries it inside the
+  *    scoring aggregate (functions.NbScore) as primitive arrays;
+  *  - scoring is tokenize → map-side partial NbScore buffers → one
+  *    doc-keyed shuffle of fixed-size buffers; no joins, no window,
+  *    no second corpus scan — doc-keyed, so no skew.
   *
   * Determinism: every ln() is libm-parity (MathKernels.libmLn),
   * snapped to a 9-dp grid and accumulated in exact DECIMAL — scores
@@ -122,38 +122,63 @@ object NaiveBayes {
   def predict(docs: DataFrame, weights: DataFrame, classStats: DataFrame,
               idCol: String, textCol: String,
               numBuckets: Int = 4096): DataFrame = {
-    val nb = tokenBuckets(docs, idCol, textCol, numBuckets)
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__n"))
+    import org.apache.spark.sql.graftshim.ColumnBridge._
+    // the model is fixed-size by contract (train collects it into
+    // local relations); flatten it into the primitive arrays the
+    // one-pass scoring aggregate carries. The relational spelling
+    // (broadcast-join weights, re-aggregate per (doc, class), join
+    // stats, window argmax) read the corpus TWICE — the per-class
+    // sums and the token totals are sibling consumers whose parents
+    // differ, so ReuseExchange can't merge their scans (see NbScore).
+    val csRows = classStats.collect()
+    require(csRows.nonEmpty, "classStats is empty — train on labeled data first")
+    val labels = csRows.map(_.get(0)).sortBy(labelSortKey)
+    val labelIdx = labels.zipWithIndex.toMap
+    def nanos(d: java.math.BigDecimal): Long =
+      d.setScale(9, java.math.RoundingMode.UNNECESSARY).unscaledValue()
+        .longValueExact()
+    val priors = new Array[Long](labels.length)
+    val lnorms = new Array[Long](labels.length)
+    csRows.foreach { r =>
+      val i = labelIdx(r.get(0))
+      priors(i) = nanos(r.getDecimal(1))
+      lnorms(i) = nanos(r.getDecimal(2))
+    }
+    val wRows = weights.collect()
+    val bucketIds = wRows.map(_.getInt(1)).distinct.sorted
+    val bucketPos = bucketIds.zipWithIndex.toMap
+    val flatW = new Array[Long](bucketIds.length * labels.length)
+    wRows.foreach { r =>
+      labelIdx.get(r.get(0)).foreach { i =>
+        flatW(bucketPos(r.getInt(1)) * labels.length + i) = nanos(r.getDecimal(2))
+      }
+    }
 
-    // matched-bucket partial sums per (doc, class); the null-bucket
-    // marker rows of token-less docs match nothing and drop here
-    // the partial sum is re-cast to DECIMAL(28,9): Spark's sum()
-    // widens to DECIMAL(38,9), and the later `prior + __s` add would
-    // hit precision 39 > 38, where Catalyst silently drops to scale 8
-    // and loses the grid's last digit (the d25 trap, one level up)
-    val sdc = nb.join(broadcast(weights), Seq("bucket"))
-      .groupBy(col(idCol), col("label"))
-      .agg(sum(col("__n").cast(DecimalType(10, 0)) * col("w"))
-        .cast(DecimalType(28, 9)).as("__s"))
+    val scoreAgg = column(graft.functions.NbScore(
+      expression(col("bucket")), bucketIds, flatW, priors, lnorms)
+      .toAggregateExpression())
+    val labelLit = array(labels.map(l => lit(l)).toSeq: _*)
+    tokenBuckets(docs, idCol, textCol, numBuckets)
+      .groupBy(col(idCol))
+      .agg(scoreAgg.as("__r"))
+      .select(col(idCol), col("__r.n_toks").as("n_toks"),
+        element_at(labelLit, col("__r.pred_idx") + 1).as("predicted"),
+        col("__r.score").cast("double").as("score"))
+  }
 
-    val nd = nb.groupBy(col(idCol))
-      .agg(sum(when(col("bucket").isNotNull, col("__n")).otherwise(0L))
-        .as("n_toks"))
-
-    val scored = nd.crossJoin(broadcast(classStats))
-      .join(sdc, Seq(idCol, "label"), "left_outer")
-      .select(col(idCol), col("label"), col("n_toks"),
-        (col("prior") + coalesce(col("__s"), lit(0).cast(DecimalType(28, 9)))
-          - (col("n_toks").cast(DecimalType(10, 0)) * col("lnorm"))
-            .cast(DecimalType(28, 9)))
-          .as("__score"))
-
-    val byDoc = Window.partitionBy(col(idCol))
-      .orderBy(col("__score").desc, col("label"))
-    scored.withColumn("__rk", row_number().over(byDoc))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col("n_toks"), col("label").as("predicted"),
-        col("__score").cast("double").as("score"))
+  /** Sort key reproducing Spark's ORDER BY on the label column for the
+    * external types a label realistically is — the argmax tie-break
+    * must match the relational spelling's `orderBy(label)`.
+    */
+  private def labelSortKey(v: Any): (Int, String, Long, Double) = v match {
+    case s: String => (0, s, 0L, 0.0)
+    case b: Boolean => (1, "", if (b) 1L else 0L, 0.0)
+    case n: java.lang.Number if v.isInstanceOf[java.lang.Long] ||
+      v.isInstanceOf[java.lang.Integer] || v.isInstanceOf[java.lang.Short] ||
+      v.isInstanceOf[java.lang.Byte] => (2, "", n.longValue(), 0.0)
+    case n: java.lang.Number => (3, "", 0L, n.doubleValue())
+    case o => throw new IllegalArgumentException(
+      s"unsupported label type: ${o.getClass}")
   }
 
   /** fit + transform in one call: per-doc predictions with the actual

@@ -46,8 +46,14 @@ class NaiveBayesSpec extends SparkSpec {
     assert(r == ((0L, "eng")), s"got $r")
   }
 
-  test("the model broadcasts; corpus tokens never sort-merge against it") {
+  test("inference is one tokenizing pass: heap aggregate, no re-scan") {
     val plan = out.queryExecution.executedPlan.toString
+    // exactly two source scans: the scoring pass over the corpus and
+    // the (broadcast) actual/is_train join — the old relational
+    // spelling tokenized the corpus twice because the per-class sums
+    // and token totals could not share an exchange
+    assert("Scan ".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
