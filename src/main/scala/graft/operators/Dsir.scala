@@ -58,23 +58,40 @@ object Dsir {
                     textCol: String, numBuckets: Int = 4096): DataFrame = {
     require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a power of two: $numBuckets")
-    val rb = tokenBuckets(raw, idCol, textCol, numBuckets)
-      .groupBy("bucket").agg(count(lit(1)).as("__r"))
-    val tb = tokenBuckets(target, idCol, textCol, numBuckets)
-      .groupBy("bucket").agg(count(lit(1)).as("__t"))
-    val totals = rb.agg(sum(col("__r")).as("__rtot"))
-      .crossJoin(tb.agg(coalesce(sum(col("__t")), lit(0L)).as("__ttot")))
-    // libmLn, not functions.log: Spark's log() is StrictMath (fdlibm)
-    // and misses DuckDB/libm by one ulp on ~2% of inputs — enough to
-    // flip 9-dp grid points (see functions.MathKernels)
-    val ln = graft.functions.MathKernels.libmLn _
-    rb.join(tb, Seq("bucket"), "left_outer")
-      .crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        (ln((coalesce(col("__t"), lit(0L)) + 1).cast("double")
-            / (col("__ttot") + numBuckets).cast("double"))
-          - ln((col("__r") + 1).cast("double")
-            / (col("__rtot") + numBuckets).cast("double"))).as("weight"))
+    // ONE job tokenizes both corpora (union with a side tag, single
+    // shuffle of ≤ 2B count rows) and the fixed-size table collects,
+    // re-entering the plan as a local relation. As lazy plan branches
+    // the raw-side counts re-tokenized the whole raw corpus when the
+    // weight broadcast materialized — on top of the scoring scan.
+    val spark = raw.sparkSession
+    val counts = tokenBuckets(raw, idCol, textCol, numBuckets)
+      .select(lit(0).as("side"), col("bucket"))
+      .unionAll(tokenBuckets(target, idCol, textCol, numBuckets)
+        .select(lit(1).as("side"), col("bucket")))
+      .groupBy(col("side"), col("bucket"))
+      .agg(count(lit(1)).as("c")).collect()
+    val rByBucket = counts.filter(_.getInt(0) == 0)
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val tByBucket = counts.filter(_.getInt(0) == 1)
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val rtot = rByBucket.valuesIterator.sum
+    val ttot = tByBucket.valuesIterator.sum
+
+    // Math.log IS the libm-parity kernel (MathKernels.libmLn — Spark's
+    // log() is StrictMath/fdlibm and misses DuckDB by one ulp on ~2%
+    // of inputs); the cast→divide→ln sequence mirrors the in-plan
+    // expression op for op, so the doubles are bit-identical.
+    // Buckets the raw corpus never emits are never looked up → no row.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val rows = rByBucket.toSeq.sortBy(_._1).map { case (b, r) =>
+      val t = tByBucket.getOrElse(b, 0L)
+      Row(b, java.lang.Math.log((t + 1).toDouble / (ttot + numBuckets).toDouble)
+        - java.lang.Math.log((r + 1).toDouble / (rtot + numBuckets).toDouble))
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("bucket", IntegerType), StructField("weight", DoubleType))))
   }
 
   /** Gumbel top-k importance resampling — the second half of the DSIR

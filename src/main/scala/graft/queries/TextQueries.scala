@@ -242,17 +242,21 @@ object TextQueries {
           .agg(count(lit(1)).as("tf"))
         // document frequency derived FROM tf: each (doc_id, term) pair
         // appears exactly once there, so a plain count per term equals
-        // count_distinct(doc_id) over tok — without re-running the
-        // tokenizer kernel for a second explode (tf's exchange is
-        // reused across both consumers) and without the two-phase
-        // distinct-aggregate expansion
+        // count_distinct(doc_id) over tok without the two-phase
+        // distinct-aggregate expansion. Column pruning makes the two
+        // tf consumers canonicalize differently, so this is a two-
+        // tokenize plan — the structural minimum for corpus-global DF
+        // alongside per-doc TF without caching the exploded corpus.
         val df_ = tf.groupBy("term")
           .agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("tf").desc, col("term"))
-        tf.join(df_, "term")
-          .withColumn("rn", row_number().over(w))
+        // rank FIRST (WindowGroupLimit keeps ≤5 rows per doc ahead of
+        // the sort), join the vocab-scale DF table onto the k·docs
+        // survivors — not onto every (doc, term) pair
+        tf.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
+          .join(df_, "term")
           .select("doc_id", "term", "tf", "df")
           .orderBy(col("doc_id"), col("tf").desc, col("term"))
       },
