@@ -37,8 +37,9 @@ final class NbBuffer(val nLabels: Int) {
   * unscaled scale-9 longs, every accumulation is exact integer
   * arithmetic, and the posterior emits as DECIMAL(28,9) built from
   * the final unscaled value — bit-identical to the decimal algebra it
-  * replaces (headroom: |score| ≤ tokens·ln-max ≈ 2^55 nanos, far
-  * under 2^63; Long.MIN sentinels never arise since w ≥ 0).
+  * replaces. Headroom: |score| ≤ tokens·ln-max ≈ 2^55 nanos for any
+  * realistic document; the exact-arithmetic intrinsics fail loudly on
+  * the ~2e8-token pathology rather than silently wrapping.
   *
   * Model layout: `bucketIds` sorted ascending with `flatW` holding
   * one dense per-class row per bucket (unseen (class, bucket) pairs
@@ -81,13 +82,21 @@ case class NbScore(
     case _ => None
   }
 
+  // addExact/multiplyExact throughout: a pathological document (~2e8+
+  // tokens against large-corpus weights) could overflow the scale-9
+  // fixed point — the DECIMAL algebra this replaces cannot — and a
+  // silent wrap would pick an arbitrary argmax. Fail loudly instead;
+  // the intrinsics cost nothing on the non-overflowing path.
   private def add(buffer: NbBuffer, bucket: Int): Unit = {
     buffer.nToks += 1L
     val pos = java.util.Arrays.binarySearch(bucketIds, bucket)
     if (pos >= 0) {
       val base = pos * nLabels
       var l = 0
-      while (l < nLabels) { buffer.sums(l) += flatW(base + l); l += 1 }
+      while (l < nLabels) {
+        buffer.sums(l) = Math.addExact(buffer.sums(l), flatW(base + l))
+        l += 1
+      }
     }
   }
 
@@ -105,7 +114,10 @@ case class NbScore(
   override def merge(buffer: NbBuffer, other: NbBuffer): NbBuffer = {
     buffer.nToks += other.nToks
     var l = 0
-    while (l < nLabels) { buffer.sums(l) += other.sums(l); l += 1 }
+    while (l < nLabels) {
+      buffer.sums(l) = Math.addExact(buffer.sums(l), other.sums(l))
+      l += 1
+    }
     buffer
   }
 
@@ -116,7 +128,9 @@ case class NbScore(
     var bestScore = Long.MinValue
     var l = 0
     while (l < nLabels) {
-      val s = priors(l) + buffer.sums(l) - buffer.nToks * lnorms(l)
+      val s = Math.subtractExact(
+        Math.addExact(priors(l), buffer.sums(l)),
+        Math.multiplyExact(buffer.nToks, lnorms(l)))
       if (s > bestScore) { bestScore = s; best = l }
       l += 1
     }

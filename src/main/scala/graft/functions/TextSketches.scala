@@ -414,6 +414,20 @@ object TextSketches {
   def fnv64(s: Column): Column =
     column(Fnv64Expr(expression(s)))
 
+  /** The shared hashed-LM bucket family: low bits of the term's
+    * FNV-1a64 (numBuckets must be a power of two so the mask equals
+    * unsigned mod). This exact expression is the parity contract of
+    * every bucket-table oracle (DSIR, NgramLm, NaiveBayes) — change
+    * it ONLY together with the OracleSql replicas.
+    */
+  def fnvBucket(term: Column, numBuckets: Int): Column = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two: $numBuckets")
+    fnv64(term)
+      .bitwiseAND(org.apache.spark.sql.functions.lit(numBuckets - 1L))
+      .cast("int")
+  }
+
   /** JVM-side FNV-1a64 (test/reference use, same kernel the column
     * form evaluates).
     */

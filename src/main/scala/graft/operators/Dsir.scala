@@ -45,8 +45,7 @@ object Dsir {
     docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("__term"))
       .select(col(idCol),
-        TextSketches.fnv64(col("__term"))
-          .bitwiseAND(lit(numBuckets - 1L)).cast("int").as("bucket"))
+        TextSketches.fnvBucket(col("__term"), numBuckets).as("bucket"))
 
   /** The importance-weight table: one row per bucket observed in the
     * raw corpus — `w = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))` with
@@ -141,8 +140,8 @@ object Dsir {
       explode_outer(TextFunctions.tokens(col(textCol))).as("__term"))
       .select(col(idCol),
         when(col("__term").isNotNull,
-          graft.functions.TextSketches.fnv64(col("__term"))
-            .bitwiseAND(lit(numBuckets - 1L)).cast("int")).as("bucket"))
+          graft.functions.TextSketches.fnvBucket(col("__term"), numBuckets))
+          .as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__n"))
       // left join: the NULL-bucket marker rows match no weight
       .join(broadcast(w), Seq("bucket"), "left_outer")

@@ -45,8 +45,7 @@ object NaiveBayes {
       explode_outer(TextFunctions.tokens(col(textCol))).as("__term"))
       .select(col(idCol),
         when(col("__term").isNotNull,
-          TextSketches.fnv64(col("__term"))
-            .bitwiseAND(lit(numBuckets - 1L)).cast("int")).as("bucket"))
+          TextSketches.fnvBucket(col("__term"), numBuckets)).as("bucket"))
 
   /** The trained model as two frames:
     * (weights(label, bucket, w), classStats(label, prior, lnorm)) —
@@ -64,8 +63,7 @@ object NaiveBayes {
       .select(col("label"),
         explode(TextFunctions.tokens(col(textCol))).as("__term"))
       .select(col("label"),
-        TextSketches.fnv64(col("__term"))
-          .bitwiseAND(lit(numBuckets - 1L)).cast("int").as("bucket"))
+        TextSketches.fnvBucket(col("__term"), numBuckets).as("bucket"))
 
     // ONE corpus-tokenizing job. The fitted model is fixed-size
     // (≤ classes × B weight rows + classes stats rows) regardless of
@@ -132,7 +130,7 @@ object NaiveBayes {
     // differ, so ReuseExchange can't merge their scans (see NbScore).
     val csRows = classStats.collect()
     require(csRows.nonEmpty, "classStats is empty — train on labeled data first")
-    val labels = csRows.map(_.get(0)).sortBy(labelSortKey)
+    val labels = csRows.map(_.get(0)).sorted(labelOrdering)
     val labelIdx = labels.zipWithIndex.toMap
     def nanos(d: java.math.BigDecimal): Long =
       d.setScale(9, java.math.RoundingMode.UNNECESSARY).unscaledValue()
@@ -168,17 +166,38 @@ object NaiveBayes {
 
   /** Sort key reproducing Spark's ORDER BY on the label column for the
     * external types a label realistically is — the argmax tie-break
-    * must match the relational spelling's `orderBy(label)`.
+    * must match the relational spelling's `orderBy(label)`. Strings
+    * compare as UTF-8 bytes (UTF8String/DuckDB semantics), NOT Java's
+    * UTF-16 code units: the two orders diverge for code points above
+    * U+E000 (surrogate pairs sort before U+E000..U+FFFF in UTF-16 but
+    * after in UTF-8).
     */
-  private def labelSortKey(v: Any): (Int, String, Long, Double) = v match {
-    case s: String => (0, s, 0L, 0.0)
-    case b: Boolean => (1, "", if (b) 1L else 0L, 0.0)
-    case n: java.lang.Number if v.isInstanceOf[java.lang.Long] ||
-      v.isInstanceOf[java.lang.Integer] || v.isInstanceOf[java.lang.Short] ||
-      v.isInstanceOf[java.lang.Byte] => (2, "", n.longValue(), 0.0)
-    case n: java.lang.Number => (3, "", 0L, n.doubleValue())
-    case o => throw new IllegalArgumentException(
-      s"unsupported label type: ${o.getClass}")
+  private val labelOrdering: Ordering[Any] = new Ordering[Any] {
+    private def rank(v: Any): Int = v match {
+      case _: String => 0
+      case _: java.lang.Boolean => 1
+      case _: java.lang.Number => 2
+      case o => throw new IllegalArgumentException(
+        s"unsupported label type: ${o.getClass}")
+    }
+    override def compare(a: Any, b: Any): Int = {
+      val r = Integer.compare(rank(a), rank(b))
+      if (r != 0) r
+      else (a, b) match {
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+        case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+          java.lang.Boolean.compare(x, y)
+        case (x: java.lang.Number, y: java.lang.Number)
+            if x.isInstanceOf[java.lang.Double] || x.isInstanceOf[java.lang.Float] ||
+              y.isInstanceOf[java.lang.Double] || y.isInstanceOf[java.lang.Float] =>
+          java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+        case (x: java.lang.Number, y: java.lang.Number) =>
+          java.lang.Long.compare(x.longValue(), y.longValue())
+        case _ => 0
+      }
+    }
   }
 
   /** fit + transform in one call: per-doc predictions with the actual

@@ -33,8 +33,6 @@ import graft.functions.{MathKernels, TextFunctions, TextSketches}
   */
 object NgramLm {
 
-  private def mask(numBuckets: Int): Long = (numBuckets - 1).toLong
-
   /** (idCol, bb, ub) per bigram occurrence: bucket of the space-joined
     * bigram and bucket of its history token. Token-less and
     * single-token documents keep one NULL-bucket marker row.
@@ -51,10 +49,10 @@ object NgramLm {
     docs.select(col(idCol), toks.as("__toks"))
       .select(col(idCol), explode_outer(pairs).as("__p"))
       .select(col(idCol),
-        when(col("__p").isNotNull, TextSketches.fnv64(col("__p.bg"))
-          .bitwiseAND(lit(mask(numBuckets))).cast("int")).as("bb"),
-        when(col("__p").isNotNull, TextSketches.fnv64(col("__p.w1"))
-          .bitwiseAND(lit(mask(numBuckets))).cast("int")).as("ub"))
+        when(col("__p").isNotNull,
+          TextSketches.fnvBucket(col("__p.bg"), numBuckets)).as("bb"),
+        when(col("__p").isNotNull,
+          TextSketches.fnvBucket(col("__p.w1"), numBuckets)).as("ub"))
   }
 
   /** Per-document cross-entropy under the corpus's own hashed-bigram
@@ -75,15 +73,14 @@ object NgramLm {
     val entryType = "array<struct<k:tinyint,b:int>>"
     val uEntries = transform(col("__toks"),
       t => struct(lit(1).cast("tinyint").as("k"),
-        TextSketches.fnv64(t).bitwiseAND(lit(mask(numBuckets)))
-          .cast("int").as("b"))).cast(entryType)
+        TextSketches.fnvBucket(t, numBuckets).as("b"))).cast(entryType)
     val bEntries = when(size(col("__toks")) >= 2,
       zip_with(
         slice(col("__toks"), lit(1), size(col("__toks")) - 1),
         slice(col("__toks"), lit(2), size(col("__toks")) - 1),
         (a, b) => struct(lit(2).cast("tinyint").as("k"),
-          TextSketches.fnv64(concat(a, lit(" "), b))
-            .bitwiseAND(lit(mask(numBuckets))).cast("int").as("b"))))
+          TextSketches.fnvBucket(concat(a, lit(" "), b), numBuckets)
+            .as("b"))))
       .otherwise(array().cast(entryType)).cast(entryType)
     val modelRows = corpus
       .select(TextFunctions.tokens(col(textCol)).as("__toks"))

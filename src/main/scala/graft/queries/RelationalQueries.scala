@@ -446,7 +446,13 @@ object RelationalQueries {
     // streaming dedup through the gate: dropDuplicatesWithinWatermark
     // keeps the first arrival per key (WHICH row wins is scheduling-
     // dependent, so only the key columns are emitted — the distinct
-    // key SET is deterministic and equals batch DISTINCT)
+    // key SET is deterministic and equals batch DISTINCT).
+    // Replay contract for this and t04: the file source reads the one
+    // events file in ONE micro-batch (no maxFilesPerTrigger is set),
+    // so the watermark never advances mid-replay and state never
+    // evicts; a multi-batch replay could legitimately re-emit a key
+    // whose duplicates arrive >1h of event time apart — correct
+    // streaming semantics, but a different answer than batch DISTINCT.
     Q("t03_stream_dedup",
       (s0, d) => {
         import org.apache.spark.sql.streaming.OutputMode

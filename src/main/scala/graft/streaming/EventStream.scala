@@ -268,13 +268,12 @@ object EventStream {
     try q.processAllAvailable()
     finally {
       q.stop()
-      // best-effort recursive cleanup; replay checkpoints are one-shot
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: java.io.IOException => () }
+      // best-effort cleanup; replay checkpoints are one-shot. NonFatal,
+      // not just IOException: a concurrent tmp sweeper makes the walk
+      // throw UncheckedIOException, which must not replace the
+      // successful query result out of this finally block.
+      try org.apache.spark.network.util.JavaUtils.deleteRecursively(ckpt.toFile)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }
