@@ -10,14 +10,66 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side contract — schema, partition-preserving mapPartitions,
   * per-batch processing shape, explode semantics for frames — is real
-  * and tested. The actual media DECODE step is a clearly-marked
-  * deterministic STUB (`fakeDecode`): the container has no image/audio
-  * codecs, so it derives stable pseudo-features from the raw bytes. On a
-  * real cluster, swap `fakeDecode` for a JNI/javacv decoder (Scala) —
-  * the operator shape (iterator→iterator over partitions, fixed-length
-  * float features) is exactly what a real decoder needs.
+  * and tested. The IMAGE decode path is real too: payloads whose magic
+  * bytes identify a JDK-decodable format (PNG/JPEG/BMP/GIF) go through
+  * `javax.imageio` and produce features/resizes from actual pixels.
+  * Everything else (audio, video, undecodable bytes — the sandbox has
+  * no audio/video codecs) falls back to `fakeDecode`, a clearly-marked
+  * deterministic stand-in that derives stable pseudo-features from the
+  * raw bytes. On a real cluster, swap the fallback for a JNI/javacv
+  * decoder — the operator shape (iterator→iterator over partitions,
+  * fixed-length float features) is exactly what it needs.
+  *
+  * Scale note: the magic sniff is a 4-byte check, so the common case
+  * of a non-image payload never pays `ImageIO`'s reader-discovery
+  * cost, and `ImageIO.setUseCache(false)` keeps decode entirely
+  * in-memory (no per-call temp files on executor disks).
   */
 object Multimodal {
+
+  /** 4-byte magic sniff for the formats the stock JDK can decode.
+    * Cheap gate so non-image payloads (the overwhelming majority of a
+    * mixed corpus) skip ImageIO entirely.
+    */
+  private[operators] def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) ||
+      (b(0) == 'B' && b(1) == 'M') ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))
+
+  /** Real image decode via the JDK's built-in readers: returns
+    * (width, height, 8-bin luminance histogram over actual pixels),
+    * or None when the payload doesn't decode (caller falls back to
+    * `fakeDecode`). Bulk `getRGB` — one array copy, no per-pixel JNI.
+    */
+  private[operators] def decodeImage(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    if (!looksLikeImage(bytes)) None
+    else try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val bins = new Array[Float](8)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          // integer Rec.601 luma, 0..255 → 8 bins of 32
+          val lum = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+            (p & 0xff) * 114) / 1000
+          bins(lum >>> 5) += 1f
+          i += 1
+        }
+        var b = 0
+        while (b < 8) { bins(b) /= px.length; b += 1 }
+        Some((w, h, bins))
+      }
+    } catch { case _: Exception => None }
 
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -86,9 +138,11 @@ object Multimodal {
       carryCols = Seq("kind", "n_text_tokens", "n_asset_tokens"))
   }
 
-  /** STUB decode: 8-bin byte histogram normalized to [0,1] — stable,
-    * content-derived, shaped like a real feature vector. Replace with a
-    * real codec at deployment; everything around it stays.
+  /** FALLBACK decode for payloads the JDK can't read (audio/video — no
+    * codecs in this sandbox — and corrupt images): 8-bin byte histogram
+    * normalized to [0,1] — stable, content-derived, shaped exactly like
+    * the real path's luminance histogram. Replace with a JNI/javacv
+    * codec at deployment; everything around it stays.
     */
   private[operators] def fakeDecode(bytes: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](8)
@@ -105,23 +159,32 @@ object Multimodal {
 
   /** Batch feature extraction: partition-parallel iterator→iterator
     * (the Scala analog of mapInPandas batches — no per-row task or
-    * driver round-trip; a real decoder amortizes model/codec init per
-    * partition exactly here).
+    * driver round-trip; codec init amortizes per partition). Payloads
+    * with a decodable image magic are decoded for real (`decodeImage`:
+    * actual pixel luminance histogram + true width/height); everything
+    * else takes the byte-histogram fallback with null dims.
     */
   def extractFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("kind", StringType),
       StructField("n_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
       StructField("features", ArrayType(FloatType))))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     assets.select("asset_id", "kind", "bytes").mapPartitions { rows =>
       // per-partition init happens HERE (codec handles, model weights…)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("bytes")
-        Row(r.getLong(0), r.getString(1),
-          if (bytes == null) 0L else bytes.length.toLong,
-          fakeDecode(bytes).toSeq)
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        decodeImage(bytes) match {
+          case Some((w, h, feats)) =>
+            Row(r.getLong(0), r.getString(1), n, w, h, feats.toSeq)
+          case None =>
+            Row(r.getLong(0), r.getString(1), n, null, null,
+              fakeDecode(bytes).toSeq)
+        }
       }
     }(enc)
   }
@@ -148,6 +211,64 @@ object Multimodal {
         col("meta.sample_rate").as("sample_rate"),
         col("__new_len").cast("long").as("n_bytes")))
       .drop("__new_len")
+  }
+
+  /** Resize with a REAL image path: payloads with a decodable magic are
+    * decoded via `javax.imageio`, scaled to (targetW, targetH) with
+    * bilinear interpolation, and re-encoded as PNG; everything else
+    * gets exactly the `resize` fallback semantics (proportional byte
+    * subsample — keepRatio = min(targetPixels/origPixels, 1), payload
+    * truncated to max(len·ratio, 1) bytes). Same asset schema out, so
+    * the two paths compose into one corpus. Partition-parallel
+    * iterator→iterator; the asset bytes never visit the driver.
+    */
+  def resizeImages(spark: SparkSession, assets: DataFrame,
+                   targetW: Int, targetH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(assetSchema)
+    assets.select("asset_id", "kind", "bytes", "meta").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        val meta = r.getStruct(3)
+        val sampleRate = if (meta.isNullAt(2)) null else meta.get(2)
+        val real: Option[Row] =
+          if (!looksLikeImage(bytes)) None
+          else try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val out = new java.awt.image.BufferedImage(
+                targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+              g.dispose()
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", baos)
+              val newBytes = baos.toByteArray
+              Some(Row(r.getLong(0), r.getString(1), newBytes,
+                Row(targetW, targetH, sampleRate, newBytes.length.toLong)))
+            }
+          } catch { case _: Exception => None }
+        real.getOrElse {
+          // opaque-payload fallback — MUST stay bit-identical to
+          // `resize` (the m03 oracle pins this formula)
+          val origPixels = meta.getInt(0).toLong * meta.getInt(1)
+          val keepRatio =
+            math.min(targetW.toLong * targetH / origPixels.toDouble, 1.0)
+          val len = if (bytes == null) 0 else bytes.length
+          val newLen = math.max((len * keepRatio).toInt, 1)
+          val newBytes =
+            if (bytes == null) Array.emptyByteArray
+            else java.util.Arrays.copyOfRange(bytes, 0, math.min(newLen, len))
+          Row(r.getLong(0), r.getString(1), newBytes,
+            Row(targetW, targetH, sampleRate, newLen.toLong))
+        }
+      }
+    }(enc)
   }
 
   /** Frame sampling for `video` assets: every `frameBytes` slice becomes

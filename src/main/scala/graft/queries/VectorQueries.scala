@@ -214,14 +214,18 @@ object VectorQueries {
       },
       Some(OracleSql.multimodalFeatures())),
 
-    // resize plumbing: target dims land in the typed metadata and the
-    // payload scales by the pixel ratio — all scalar/integer, so the
-    // whole contract is oracle-checkable
+    // resize through the REAL operator (javax.imageio decode+rescale
+    // for decodable payloads): the synthetic corpus is opaque text
+    // bytes, so every row takes the documented fallback — target dims
+    // land in the typed metadata and the payload scales by the pixel
+    // ratio, all scalar/integer, so the whole contract is
+    // oracle-checkable (the real-pixel path is pinned by
+    // MultimodalSpec on a PNG fixture)
     Q("m03_resize",
       (s, d) => {
         val assets = Multimodal.assetsFrom(
           Tables.load(s, d, "documents"), "doc_id", "text")
-        Multimodal.resize(assets, targetW = 160, targetH = 120)
+        Multimodal.resizeImages(s, assets, targetW = 160, targetH = 120)
           .select(col("asset_id"), col("kind"),
             col("meta.width").as("width"), col("meta.height").as("height"),
             col("meta.n_bytes").as("n_bytes"))

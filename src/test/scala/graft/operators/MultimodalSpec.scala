@@ -58,6 +58,75 @@ class MultimodalSpec extends SparkSpec {
     assert(up.getAs[Array[Byte]]("bytes").length == 4)
   }
 
+  private lazy val pngBytes: Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/gradient.png").toURI))
+
+  /** An asset frame holding the real 16×12 gradient PNG fixture plus
+    * an opaque text payload — exercises both decode paths in one run.
+    */
+  private def fixtureAssets = {
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(10L, "image", pngBytes, Row(16, 12, 16000, pngBytes.length.toLong)),
+        Row(11L, "image", "not an image".getBytes("UTF-8"),
+          Row(100, 50, 16000, 12L))),
+      Multimodal.assetSchema)
+  }
+
+  test("real decode: PNG fixture yields pixel dims and luminance histogram") {
+    val f = Multimodal.extractFeatures(spark, fixtureAssets)
+      .orderBy("asset_id").collect()
+    val png = f(0)
+    // real path: true pixel dimensions from the decoded image
+    assert(png.getInt(png.fieldIndex("width")) == 16)
+    assert(png.getInt(png.fieldIndex("height")) == 12)
+    val feats = png.getSeq[Float](png.fieldIndex("features"))
+    assert(feats.length == 8 && math.abs(feats.sum - 1.0f) < 1e-5)
+    // the gradient covers the full luminance range → no single
+    // dominant bin, unlike the byte histogram of PNG's deflate stream
+    assert(feats.count(_ > 0f) >= 4, s"gradient spread: $feats")
+    assert(feats.toArray.toSeq != Multimodal.fakeDecode(pngBytes).toSeq,
+      "features must come from pixels, not compressed bytes")
+    // exact agreement with a direct decode of the same fixture
+    val Some((w, h, direct)) = Multimodal.decodeImage(pngBytes)
+    assert(w == 16 && h == 12 && feats == direct.toSeq)
+    // opaque payload: fallback with null dims
+    val txt = f(1)
+    assert(txt.isNullAt(txt.fieldIndex("width")))
+    assert(txt.getSeq[Float](txt.fieldIndex("features")) ==
+      Multimodal.fakeDecode("not an image".getBytes("UTF-8")).toSeq)
+  }
+
+  test("resizeImages: real rescale for PNG, resize-identical fallback") {
+    val out = Multimodal.resizeImages(spark, fixtureAssets, 8, 6)
+      .orderBy("asset_id").collect()
+    val png = out(0)
+    val newBytes = png.getAs[Array[Byte]]("bytes")
+    // output is a real PNG at the target dimensions
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(newBytes))
+    assert(img != null && img.getWidth == 8 && img.getHeight == 6)
+    val meta = png.getStruct(png.fieldIndex("meta"))
+    assert(meta.getInt(0) == 8 && meta.getInt(1) == 6)
+    assert(meta.getLong(3) == newBytes.length.toLong)
+    // rescaled pixels preserve the horizontal gradient direction
+    assert((img.getRGB(7, 3) >> 16 & 0xff) > (img.getRGB(0, 3) >> 16 & 0xff))
+    // opaque payloads take EXACTLY the column-level resize semantics
+    val a = Multimodal.assetsFrom(docs, "doc_id", "text")
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows.toSeq.map { r =>
+      (r.getLong(0), r.getString(1),
+        r.getAs[Array[Byte]]("bytes").toSeq,
+        r.getStruct(r.fieldIndex("meta")).toString)
+    }
+    val viaReal = shape(Multimodal.resizeImages(spark, a, 8, 8)
+      .orderBy("asset_id").collect())
+    val viaCols = shape(Multimodal.resize(a, 8, 8)
+      .orderBy("asset_id").collect())
+    assert(viaReal == viaCols)
+  }
+
   test("frame sampling: long video yields multiple capped frames") {
     val longDocs = Seq((2L, "x" * 1000)).toDF("doc_id", "text")
     val a = Multimodal.assetsFrom(longDocs, "doc_id", "text")
