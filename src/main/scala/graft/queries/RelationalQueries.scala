@@ -489,12 +489,47 @@ object RelationalQueries {
           "t04_stream_profiles_sink", OutputMode.Append())
         s.table("t04_stream_profiles_sink").orderBy("user_id")
       },
+      // the composite arg_max key reproduces the streaming
+      // (ts_us, event_id) lexicographic tie-break ONLY while
+      // 0 <= event_id < 1e10 — the CASE makes a violating generator
+      // fail the oracle loudly (DuckDB error()) instead of silently
+      // reordering the key
       Some(s"""SELECT user_id, COUNT(*) AS n_events, ${oSum("value")} AS v,
                epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us,
                arg_max(event_type,
-                 CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id)
+                 CAST(epoch_us(ts) AS HUGEINT) * 10000000000 +
+                 CASE WHEN event_id >= 0 AND event_id < 10000000000
+                      THEN event_id
+                      ELSE error('event_id outside [0, 1e10) breaks the composite arg_max key') END)
                  AS last_type
                FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // stream-stream INTERVAL JOIN through the gate: purchases joined
+    // to same-user clicks of the preceding hour (attribution shape) —
+    // watermarks on both sides bound the join state; the single-batch
+    // replay emits the complete deterministic match multiset, which
+    // equals the batch range-join the oracle runs
+    Q("t05_stream_interval_join",
+      (s0, d) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val s = graft.streaming.EventStream.replaySession(s0)
+        def typed(et: String) = graft.streaming.EventStream
+          .readEvents(s, d, glob = Some("events.parquet"))
+          .filter(col("event_type") === et)
+        val joined = graft.streaming.EventStream.intervalJoin(
+          typed("purchase"), typed("click"), "user_id", maxAge = "1 hour")
+        graft.streaming.EventStream.runToMemory(joined,
+          "t05_stream_interval_join_sink", OutputMode.Append())
+        s.table("t05_stream_interval_join_sink")
+          .orderBy("l_event_id", "r_event_id")
+      },
+      Some("""SELECT l.user_id, l.event_id AS l_event_id, l.ts AS l_ts,
+                r.event_id AS r_event_id, r.ts AS r_ts
+              FROM events l JOIN events r
+                ON l.user_id = r.user_id
+                AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+              WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+              ORDER BY l_event_id, r_event_id""")),
 
     // Semi-structured props extraction (regex — identical RE subset).
     Q("q30_regex_extract",
