@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * defined here once.
   */
 /** One column of a source table's schema (reference: the
-  * INFORMATION_SCHEMA.COLUMNS probe, etl-service/src/database.py:95-108
-  * returns exactly (name, type, nullable)).
+  * INFORMATION_SCHEMA.COLUMNS probe, etl-service/src/database.py:97-105
+  * returns (COLUMN_NAME, DATA_TYPE, IS_NULLABLE, COLUMN_DEFAULT)).
+  * `default` is the database-declared default expression, as the
+  * catalog renders it; None for sources without column defaults (files)
+  * or columns without one.
   */
-final case class ColumnInfo(name: String, dataType: String, nullable: Boolean)
+final case class ColumnInfo(name: String, dataType: String, nullable: Boolean,
+                            default: Option[String] = None)
 
 trait Source {
   def tableNames: Seq[String]
@@ -168,10 +172,48 @@ final class JdbcSource(url: String, tables: Seq[String],
     bounded.getOrElse(base).load()
   }
 
-  /** Schema only — resolved via the driver's metadata query (`WHERE
-    * 1=0` probe), never the MIN/MAX bounds aggregate.
+  /** Schema via the driver's metadata query (`WHERE 1=0` probe — never
+    * the MIN/MAX bounds aggregate), enriched with each column's
+    * declared DEFAULT from `DatabaseMetaData.getColumns` — the full
+    * INFORMATION_SCHEMA.COLUMNS quadruple the reference introspects
+    * (database.py:97-105: name, type, nullable, COLUMN_DEFAULT). The
+    * metadata call is a catalog lookup, not a scan; a driver that
+    * can't answer it (or an unmatched table spelling) degrades to
+    * no-default rather than failing introspection.
     */
-  override def describe(spark: SparkSession, table: String): Seq[ColumnInfo] =
+  override def describe(spark: SparkSession, table: String): Seq[ColumnInfo] = {
+    val defaults = columnDefaults(table)
     unpartitionedRead(spark, table).load().schema.fields.toSeq
-      .map(f => ColumnInfo(f.name, f.dataType.sql, f.nullable))
+      .map(f => ColumnInfo(f.name, f.dataType.sql, f.nullable,
+        defaults.get(f.name.toLowerCase(java.util.Locale.ROOT))))
+  }
+
+  /** lowercased column name → declared default expression. Identifier
+    * case folding differs per database (Derby/SQL Server store
+    * uppercase, Postgres lowercase), so the JDBC metadata is probed
+    * with the exact spelling first and the uppercased one as fallback,
+    * and matching back to Spark's schema is case-insensitive.
+    */
+  private def columnDefaults(table: String): Map[String, String] =
+    try {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val md = conn.getMetaData
+        def probe(t: String): Map[String, String] = {
+          val rs = md.getColumns(null, null, t, null)
+          val b = Map.newBuilder[String, String]
+          while (rs.next()) {
+            val d = rs.getString("COLUMN_DEF")
+            if (d != null)
+              b += rs.getString("COLUMN_NAME")
+                .toLowerCase(java.util.Locale.ROOT) -> d.trim
+          }
+          rs.close()
+          b.result()
+        }
+        val exact = probe(table)
+        if (exact.nonEmpty) exact
+        else probe(table.toUpperCase(java.util.Locale.ROOT))
+      } finally conn.close()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 }

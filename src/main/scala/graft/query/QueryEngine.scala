@@ -83,8 +83,21 @@ final class QueryEngine(spark: SparkSession, reader: SnapshotReader,
           def call(): Array[org.apache.spark.sql.Row] = {
             spark.sparkContext.setJobGroup(groupId, query,
               interruptOnCancel = true)
+            // concurrent-serving parity (the reference runs 2×CPU+1
+            // gunicorn workers): each request's jobs run in their own
+            // on-demand scheduler pool, so under
+            // spark.scheduler.mode=FAIR (set by ServeMain) a
+            // long-running query cannot monopolize the task slots and
+            // serialize a fast one behind it — pools share the
+            // cluster fairly at task granularity. Under the default
+            // FIFO mode the property is inert, so embedders that
+            // never serve concurrently pay nothing.
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", groupId)
             try df.collect()
-            finally spark.sparkContext.clearJobGroup()
+            finally {
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+              spark.sparkContext.clearJobGroup()
+            }
           }
         })
       try fut.get(maxExecutionSeconds.toLong, java.util.concurrent.TimeUnit.SECONDS)

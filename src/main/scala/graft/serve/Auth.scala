@@ -200,6 +200,44 @@ final class RsaJwksAuthenticator(jwksSource: () => String, audience: String,
     }
 }
 
+/** `jwksSource` implementations for [[RsaJwksAuthenticator]]. The
+  * authenticator's cache-and-cooldown layer handles staleness, so a
+  * source is just "fetch the JWKS document text now".
+  */
+object JwksSources {
+
+  /** Outbound HTTPS fetch — the reference's literal Auth0 contract
+    * (api-service/src/auth.py:27-33: GET the tenant's
+    * `/.well-known/jwks.json`). Built on the JDK HttpClient, no
+    * dependencies; a non-2xx response throws, which the
+    * authenticator's reload path treats as "keep the previous keys".
+    * Never exercised in tests (the build is hermetic/zero-egress) —
+    * deployments opt in via ServeMain's AUTH_JWKS_URL.
+    */
+  def https(url: String, timeoutS: Long = 10): () => String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutS))
+      .build()
+    () => {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(timeoutS))
+        .GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"JWKS fetch failed: HTTP ${resp.statusCode()} from $url")
+      resp.body()
+    }
+  }
+
+  /** File-based source — the zero-egress deployment (rotation =
+    * rewrite the file; see ServeMain AUTH_JWKS_FILE).
+    */
+  def file(path: String): () => String =
+    () => java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+}
+
 object RsaJwksAuthenticator {
   import java.security.interfaces.RSAPublicKey
 

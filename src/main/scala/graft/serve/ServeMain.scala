@@ -29,6 +29,10 @@ object ServeMain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR across QueryEngine's per-request pools: concurrent HTTP
+      // queries share task slots instead of queueing FIFO behind the
+      // largest one (the reference serves through 2×CPU+1 workers)
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -38,25 +42,27 @@ object ServeMain {
     val reader = new SnapshotReader(store,
       java.time.Duration.ofSeconds(cfg.refreshTtlSeconds))
     val engine = new QueryEngine(spark, reader)
-    // JWT auth activates when configured — AUTH_JWKS_FILE selects the
-    // RS256/JWKS verifier (the reference's Auth0 contract, with the
-    // JWKS supplied as a file instead of an outbound fetch);
+    // JWT auth activates when configured — AUTH_JWKS_URL (outbound
+    // HTTPS fetch, the reference's literal Auth0 contract) or
+    // AUTH_JWKS_FILE (zero-egress) selects the RS256/JWKS verifier;
     // AUTH_SECRET selects HS256. Otherwise the service runs open and
     // says so loudly — never silently.
     val audience = sys.env.getOrElse("AUTH_AUDIENCE", "graft-api")
     val issuer = sys.env.getOrElse("AUTH_ISSUER", "graft")
-    val auth = (sys.env.get("AUTH_JWKS_FILE"), sys.env.get("AUTH_SECRET")) match {
-      // passed as a thunk: an unknown kid re-reads the file (throttled),
-      // so rotating keys = rewriting the JWKS file, no restart needed
-      case (Some(jwksPath), _) => new RsaJwksAuthenticator(
-        () => java.nio.file.Files.readString(java.nio.file.Paths.get(jwksPath)),
-        audience, issuer)
+    // passed as a thunk: an unknown kid re-reads the source
+    // (throttled), so rotating keys = republishing the JWKS — no
+    // restart needed. AUTH_JWKS_URL (outbound HTTPS, the reference's
+    // literal Auth0 fetch) wins over AUTH_JWKS_FILE (zero-egress).
+    val jwksSource = sys.env.get("AUTH_JWKS_URL").map(JwksSources.https(_))
+      .orElse(sys.env.get("AUTH_JWKS_FILE").map(JwksSources.file))
+    val auth = (jwksSource, sys.env.get("AUTH_SECRET")) match {
+      case (Some(src), _) => new RsaJwksAuthenticator(src, audience, issuer)
       case (None, Some(secret)) => new HmacJwtAuthenticator(
         secret.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         audience, issuer)
       case _ =>
         System.err.println(
-          "[serve] WARNING: no AUTH_JWKS_FILE/AUTH_SECRET — serving UNAUTHENTICATED")
+          "[serve] WARNING: no AUTH_JWKS_URL/AUTH_JWKS_FILE/AUTH_SECRET — serving UNAUTHENTICATED")
         new NoAuth()
     }
     val api = new HttpApi(engine,

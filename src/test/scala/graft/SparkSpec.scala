@@ -16,6 +16,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR scheduling so HttpApiSpec can exercise QueryEngine's
+      // per-request pools (ServeMain runs the same mode in production);
+      // batch suites are unaffected — they run one job at a time
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

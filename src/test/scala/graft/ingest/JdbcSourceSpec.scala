@@ -21,6 +21,10 @@ class JdbcSourceSpec extends SparkSpec {
         s"TIMESTAMP('2024-01-${(i % 28) + 1}', '00:00:00'))")
     }
     st.executeUpdate("CREATE TABLE empty_t(id INT, updated_at TIMESTAMP)")
+    // declared default — added after the inserts so their arity keeps —
+    // for the COLUMN_DEFAULT half of the introspection contract
+    st.executeUpdate(
+      "ALTER TABLE items ADD COLUMN status VARCHAR(10) DEFAULT 'active'")
     st.close(); c.close()
     u
   }
@@ -45,11 +49,15 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 1)
   }
 
-  test("describe returns (name, type, nullable) per column") {
+  test("describe returns (name, type, nullable, default) per column") {
     val cols = source().describe(spark, "items")
-    assert(cols.map(_.name) == Seq("ID", "QTY", "UPDATED_AT"))
+    assert(cols.map(_.name) == Seq("ID", "QTY", "UPDATED_AT", "STATUS"))
     assert(cols.head.dataType == "INT")
     assert(cols(2).dataType == "TIMESTAMP")
+    // the INFORMATION_SCHEMA quadruple: declared DEFAULT surfaces as
+    // the catalog renders it; columns without one carry None
+    assert(cols(3).default.exists(_.contains("active")), cols(3))
+    assert(cols.take(3).forall(_.default.isEmpty))
   }
 
   test("watermark probe and strict > incremental read work over JDBC") {

@@ -137,6 +137,40 @@ class HttpApiSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("FAIR pools: a slow query does not serialize a fast one") {
+    def q(sql: String): (Int, String) = get(
+      "/query?q=" + java.net.URLEncoder.encode(sql, "UTF-8"), Some(token()))
+    // a long many-task job: 96 short tasks over 4 cores — under plain
+    // FIFO the fast query's single task would queue behind all of
+    // them; under per-request FAIR pools it takes the next free slot.
+    // (range() is admitted by the whitelist's COUNT prefix pattern —
+    // the same de facto surface the reference's validator admits.)
+    val slowSql = "SELECT COUNT(*) FROM range(0, 6000000000, 1, 96)"
+    val fastSql = "SELECT COUNT(*) FROM inventory"
+    // warm both plans so the timed run compares scheduling, not
+    // codegen/classloading
+    assert(q("SELECT COUNT(*) FROM range(0, 1000, 1, 4)")._1 == 200)
+    assert(q(fastSql)._1 == 200)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val t0 = System.nanoTime()
+      val slowFut = pool.submit(new java.util.concurrent.Callable[(Int, String)] {
+        def call(): (Int, String) = q(slowSql)
+      })
+      Thread.sleep(300) // let the slow query occupy every task slot
+      val fast = q(fastSql)
+      val fastEndMs = (System.nanoTime() - t0) / 1e6
+      val slow = slowFut.get()
+      val slowEndMs = (System.nanoTime() - t0) / 1e6
+      assert(fast._1 == 200, fast._2)
+      assert(slow._1 == 200, slow._2)
+      // overlapping wall-times: the fast query must come back while
+      // the slow one is still running, not after it drains
+      assert(fastEndMs < slowEndMs / 2,
+        s"fast finished at ${fastEndMs}ms, slow at ${slowEndMs}ms — serialized?")
+    } finally pool.shutdownNow()
+  }
+
   test("structured request logs carry method/path/status/duration/ip") {
     get("/health", None)
     val lines = api._3.synchronized(api._3.toString)
