@@ -144,6 +144,19 @@ object NaiveBayes {
     }
     val wRows = weights.collect()
     val bucketIds = wRows.map(_.getInt(1)).distinct.sorted
+    // "fixed-size by contract" is enforced, not assumed: the flat
+    // weight table rides into every task as plan literals, so an
+    // oversized model (a caller training with huge numBuckets × many
+    // classes) must fail loudly here — not OOM the driver or ship a
+    // multi-hundred-MB task binary. 2^22 longs = 32 MB, far above any
+    // sane hashed-NB model (default 4096 buckets × k classes) and far
+    // below task-binary pain.
+    require(bucketIds.length.toLong * labels.length <= (1L << 22),
+      s"NB model too large to inline: ${bucketIds.length} buckets × " +
+        s"${labels.length} classes > 2^22 entries. Score relationally " +
+        "instead (broadcast-join weights + per-class re-aggregation) — " +
+        "at that model size the double corpus scan is cheaper than the " +
+        "task-binary cost of literal weights.")
     val bucketPos = bucketIds.zipWithIndex.toMap
     val flatW = new Array[Long](bucketIds.length * labels.length)
     wRows.foreach { r =>

@@ -29,6 +29,39 @@ class SamplingSpec extends SparkSpec {
       "the per-stratum keep-list must broadcast, not shuffle the data")
   }
 
+  test("golden plan: the corpus never shuffles (d14/d28 MinKeys invariant)") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the MinKeys design: the only shuffle in the plan is the tiny
+    // keep-list aggregate (|strata| rows of buffers); the corpus
+    // itself flows scan → join with no Exchange on the streamed side
+    // and its payload columns never ride through any shuffle
+    def corpusNeverShuffles(df: org.apache.spark.sql.DataFrame,
+                            corpusCol: String): Unit = {
+      val plan = df.queryExecution.sparkPlan // pre-AQE, traversable
+      val joins = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(joins.nonEmpty, s"expected a broadcast keep-list join:\n$plan")
+      joins.foreach { j =>
+        val streamed = j.buildSide match {
+          case BuildRight => j.left
+          case BuildLeft => j.right
+        }
+        assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"corpus (streamed) side of the join shuffles:\n$plan")
+      }
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        assert(!e.output.map(_.name).contains(corpusCol),
+          s"a shuffle carries the corpus payload ($corpusCol):\n$plan")
+      }
+    }
+    corpusNeverShuffles(
+      Sampling.stratified(docs, "lang", "doc_id", 15), "doc_id")
+    corpusNeverShuffles(
+      Sampling.temperatureMixture(docs, "lang", "doc_id", total = 50),
+      "doc_id")
+  }
+
   test("stratified: exact n per stratum, deterministic, capped by size") {
     val s1 = Sampling.stratified(docs, "lang", "doc_id", 15)
     val counts = s1.groupBy("lang").count().collect()
