@@ -10,15 +10,17 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side contract — schema, partition-preserving mapPartitions,
   * per-batch processing shape, explode semantics for frames — is real
-  * and tested. The IMAGE decode path is real too: payloads whose magic
-  * bytes identify a JDK-decodable format (PNG/JPEG/BMP/GIF) go through
-  * `javax.imageio` and produce features/resizes from actual pixels.
-  * Everything else (audio, video, undecodable bytes — the sandbox has
-  * no audio/video codecs) falls back to `fakeDecode`, a clearly-marked
-  * deterministic stand-in that derives stable pseudo-features from the
-  * raw bytes. On a real cluster, swap the fallback for a JNI/javacv
-  * decoder — the operator shape (iterator→iterator over partitions,
-  * fixed-length float features) is exactly what it needs.
+  * and tested. The IMAGE and AUDIO decode paths are real too: payloads
+  * whose magic bytes identify a JDK-decodable format go through the
+  * stock JDK codecs — PNG/JPEG/BMP/GIF via `javax.imageio` (features
+  * and resizes from actual pixels), WAV/PCM via `javax.sound.sampled`
+  * (amplitude features from actual samples). Everything else (video,
+  * compressed audio, undecodable bytes — the sandbox has no external
+  * codecs) falls back to `fakeDecode`, a clearly-marked deterministic
+  * stand-in that derives stable pseudo-features from the raw bytes. On
+  * a real cluster, swap the fallback for a JNI/javacv decoder — the
+  * operator shape (iterator→iterator over partitions, fixed-length
+  * float features) is exactly what it needs.
   *
   * Scale note: the magic sniff is a 4-byte check, so the common case
   * of a non-image payload never pays `ImageIO`'s reader-discovery
@@ -138,8 +140,59 @@ object Multimodal {
       carryCols = Seq("kind", "n_text_tokens", "n_asset_tokens"))
   }
 
-  /** FALLBACK decode for payloads the JDK can't read (audio/video — no
-    * codecs in this sandbox — and corrupt images): 8-bin byte histogram
+  /** RIFF/WAVE magic sniff — the audio format the stock JDK can parse
+    * (`javax.sound.sampled`); like [[looksLikeImage]], a cheap gate so
+    * non-audio payloads never pay AudioSystem's provider discovery.
+    */
+  private[operators] def looksLikeWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Real audio decode for WAV/PCM via the JDK's built-in parser:
+    * returns (sampleRate, 8-bin histogram of |amplitude| over actual
+    * samples, channel-interleaved, normalized to [0,1]), or None when
+    * the payload doesn't parse or uses an encoding the stock JDK can't
+    * deliver as 8/16-bit PCM (caller falls back to `fakeDecode`).
+    */
+  private[operators] def decodeAudio(
+      bytes: Array[Byte]): Option[(Int, Array[Float])] =
+    if (!looksLikeWav(bytes)) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val pcm = ais.readAllBytes()
+      ais.close()
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val bins = new Array[Float](8)
+      var n = 0
+      if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        bits == 16 && !fmt.isBigEndian) {
+        var i = 0
+        while (i + 1 < pcm.length) {
+          val s = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort
+          // |amplitude| in [0,1] → 8 equal bins (32768/8 = 4096/sample)
+          bins(math.min(math.abs(s.toInt), 32767) >>> 12) += 1f
+          i += 2; n += 1
+        }
+      } else if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+        bits == 8) {
+        var i = 0
+        while (i < pcm.length) {
+          bins(math.min(math.abs((pcm(i) & 0xff) - 128) * 256, 32767) >>> 12) += 1f
+          i += 1; n += 1
+        }
+      } else return None
+      if (n == 0) return None
+      var b = 0
+      while (b < 8) { bins(b) /= n; b += 1 }
+      Some((math.round(fmt.getSampleRate), bins))
+    } catch { case _: Exception => None }
+
+  /** FALLBACK decode for payloads the JDK can't read (video — no
+    * codecs in this sandbox — non-WAV audio, and corrupt media): 8-bin byte histogram
     * normalized to [0,1] — stable, content-derived, shaped exactly like
     * the real path's luminance histogram. Replace with a JNI/javacv
     * codec at deployment; everything around it stays.
@@ -161,8 +214,12 @@ object Multimodal {
     * (the Scala analog of mapInPandas batches — no per-row task or
     * driver round-trip; codec init amortizes per partition). Payloads
     * with a decodable image magic are decoded for real (`decodeImage`:
-    * actual pixel luminance histogram + true width/height); everything
-    * else takes the byte-histogram fallback with null dims.
+    * actual pixel luminance histogram + true width/height), WAV audio
+    * likewise (`decodeAudio`: amplitude histogram + true sample rate);
+    * everything else takes the byte-histogram fallback with null
+    * dims/rate. Both real paths emit the same 8-float feature shape as
+    * the fallback, so downstream consumers are agnostic to which path
+    * produced a row.
     */
   def extractFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -171,6 +228,7 @@ object Multimodal {
       StructField("n_bytes", LongType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
       StructField("features", ArrayType(FloatType))))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     assets.select("asset_id", "kind", "bytes").mapPartitions { rows =>
@@ -180,10 +238,15 @@ object Multimodal {
         val n = if (bytes == null) 0L else bytes.length.toLong
         decodeImage(bytes) match {
           case Some((w, h, feats)) =>
-            Row(r.getLong(0), r.getString(1), n, w, h, feats.toSeq)
-          case None =>
-            Row(r.getLong(0), r.getString(1), n, null, null,
-              fakeDecode(bytes).toSeq)
+            Row(r.getLong(0), r.getString(1), n, w, h, null, feats.toSeq)
+          case None => decodeAudio(bytes) match {
+            case Some((rate, feats)) =>
+              Row(r.getLong(0), r.getString(1), n, null, null, rate,
+                feats.toSeq)
+            case None =>
+              Row(r.getLong(0), r.getString(1), n, null, null, null,
+                fakeDecode(bytes).toSeq)
+          }
         }
       }
     }(enc)

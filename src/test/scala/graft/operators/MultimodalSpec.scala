@@ -99,6 +99,32 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.fakeDecode("not an image".getBytes("UTF-8")).toSeq)
   }
 
+  test("real decode: WAV fixture yields sample rate and amplitude histogram") {
+    val wavBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/tone.wav").toURI))
+    import org.apache.spark.sql.Row
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(20L, "audio", wavBytes, Row(0, 0, 8000, wavBytes.length.toLong))),
+      Multimodal.assetSchema)
+    val f = Multimodal.extractFeatures(spark, assets).first()
+    // real path: the decoded sample rate, not the metadata's claim
+    assert(f.getInt(f.fieldIndex("sample_rate")) == 8000)
+    assert(f.isNullAt(f.fieldIndex("width")))
+    val feats = f.getSeq[Float](f.fieldIndex("features"))
+    assert(feats.length == 8 && math.abs(feats.sum - 1.0f) < 1e-5)
+    // a 12000-amplitude sine occupies bins 0..2 (|s| < 16384) and
+    // never the top bins — unlike the byte histogram of the RIFF
+    // container, which scatters across all 8
+    assert(feats(0) > 0f && feats(1) > 0f && feats(2) > 0f, feats)
+    assert(feats(3) == 0f && feats(7) == 0f, feats)
+    assert(feats != Multimodal.fakeDecode(wavBytes).toSeq,
+      "features must come from samples, not container bytes")
+    // exact agreement with a direct decode
+    val Some((rate, direct)) = Multimodal.decodeAudio(wavBytes)
+    assert(rate == 8000 && feats == direct.toSeq)
+  }
+
   test("resizeImages: real rescale for PNG, resize-identical fallback") {
     val out = Multimodal.resizeImages(spark, fixtureAssets, 8, 6)
       .orderBy("asset_id").collect()
