@@ -531,6 +531,51 @@ object RelationalQueries {
               WHERE l.event_type = 'purchase' AND r.event_type = 'click'
               ORDER BY l_event_id, r_event_id""")),
 
+    // LEFT OUTER stream-stream join — the delayed-null-emission
+    // semantics t05's inner form doesn't exercise: matches emit
+    // immediately, but an unmatched purchase emits its null row only
+    // once the watermark proves no qualifying click can still arrive.
+    // A bounded replay therefore only settles left rows the final
+    // watermark has evicted — and Spark's left-state eviction is
+    // CONSERVATIVE: an unmatched left emits its null row once
+    // l_ts < wm − maxAge (it holds left state for the full join
+    // window even though r_ts ≤ l_ts makes matches impossible past
+    // wm ≥ l_ts; verified empirically — a row 20 min from the end
+    // stayed pending). The gate restricts BOTH engines to
+    // l_ts ≤ max ts − 80 min (lateness 10 + maxAge 60 + margin) so
+    // every compared row is provably settled. The post-sink filter
+    // (not a pre-join one) keeps the streaming query identical to
+    // production shape.
+    Q("t06_stream_interval_join_outer",
+      (s0, d) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val s = graft.streaming.EventStream.replaySession(s0)
+        def typed(et: String) = graft.streaming.EventStream
+          .readEvents(s, d, glob = Some("events.parquet"))
+          .filter(col("event_type") === et)
+        val joined = graft.streaming.EventStream.intervalJoin(
+          typed("purchase"), typed("click"), "user_id",
+          maxAge = "1 hour", joinType = "leftOuter")
+        graft.streaming.EventStream.runToMemory(joined,
+          "t06_stream_interval_join_outer_sink", OutputMode.Append())
+        // exact microsecond arithmetic: Timestamp.getTime is ms and
+        // would truncate the cutoff below DuckDB's MAX(ts) − 20 min
+        val maxUs = graft.core.Tables.load(s0, d, "events")
+          .agg(max(unix_micros(col("ts")))).first().getLong(0)
+        s.table("t06_stream_interval_join_outer_sink")
+          .filter(unix_micros(col("l_ts")) <= lit(maxUs - 80L * 60 * 1000000))
+          .orderBy(col("l_event_id"),
+            col("r_event_id").asc_nulls_first)
+      },
+      Some("""SELECT l.user_id, l.event_id AS l_event_id, l.ts AS l_ts,
+                r.event_id AS r_event_id, r.ts AS r_ts
+              FROM events l LEFT JOIN events r
+                ON l.user_id = r.user_id AND r.event_type = 'click'
+                AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+              WHERE l.event_type = 'purchase'
+                AND l.ts <= (SELECT MAX(ts) FROM events) - INTERVAL 80 MINUTE
+              ORDER BY l_event_id, r_event_id NULLS FIRST""")),
+
     // Semi-structured props extraction (regex — identical RE subset).
     Q("q30_regex_extract",
       (s, d) => t(s, d, "events")

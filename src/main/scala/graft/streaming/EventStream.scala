@@ -90,10 +90,18 @@ object EventStream {
     * `[left.ts - maxAge, left.ts]` — attribution joins ("purchases to
     * the views of the preceding hour"). Watermarks on BOTH sides bound
     * the join state; without them a stream-stream join buffers forever.
+    *
+    * `joinType` supports the outer forms Spark allows for stream-stream
+    * joins (e.g. "leftOuter"): matches emit immediately, and an
+    * unmatched left row emits with nulls only once the watermark proves
+    * no qualifying right row can still arrive — so null-side output
+    * trails the watermark by design, and a bounded replay only settles
+    * rows older than the final watermark.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    maxAge: String = "1 hour",
-                   lateness: String = "10 minutes"): DataFrame = {
+                   lateness: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
     import org.apache.spark.sql.functions.expr
     val l = left.withWatermark("ts", lateness)
       .select(col(keyCol).as("k"), col("ts").as("l_ts"),
@@ -102,7 +110,8 @@ object EventStream {
       .select(col(keyCol).as("r_k"), col("ts").as("r_ts"),
         col("event_id").as("r_event_id"))
     l.join(r, expr(
-      s"k = r_k AND r_ts >= l_ts - INTERVAL $maxAge AND r_ts <= l_ts"))
+      s"k = r_k AND r_ts >= l_ts - INTERVAL $maxAge AND r_ts <= l_ts"),
+      joinType)
       .select(col("k").as(keyCol), col("l_event_id"), col("l_ts"),
         col("r_event_id"), col("r_ts"))
   }

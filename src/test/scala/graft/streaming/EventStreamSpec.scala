@@ -149,6 +149,35 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Set((3L, 2L)), out) // only the in-window same-user view
   }
 
+  test("left-outer interval join emits settled unmatched rows with nulls") {
+    val dir = Files.createTempDirectory("graft-ssjo").toString
+    Seq(
+      (1L, "2024-01-01 08:00:00", 1L, "purchase", 9.0, "{}"), // unmatched
+      (2L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}"),
+      (3L, "2024-01-01 10:30:00", 1L, "purchase", 9.0, "{}"), // matched
+      // a late sentinel far past 08:00 + maxAge + lateness, so the
+      // watermark provably settles the unmatched purchase's eviction
+      (5L, "2024-01-01 23:00:00", 9L, "view", 1.0, "{}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", unix_timestamp(col("tss")) * 1000000000L)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+
+    val events = EventStream.readEvents(spark, dir)
+    val joined = EventStream.intervalJoin(
+      events.filter(col("event_type") === "purchase"),
+      events.filter(col("event_type") === "view"),
+      "user_id", maxAge = "1 hour", joinType = "leftOuter")
+    EventStream.runToMemory(joined, "ssjo_out")
+    val out = spark.table("ssjo_out")
+      .select("l_event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // the matched purchase emits its pair; the settled unmatched one
+    // emits exactly one null-side row after watermark eviction
+    assert(out == Set((3L, 2L), (1L, -1L)), out)
+  }
+
   test("stateful user profiles accumulate across a batch") {
     import EventStream.UserEvent
     val events = Seq(
