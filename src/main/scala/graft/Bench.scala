@@ -95,12 +95,21 @@ object Bench {
       draws(n) = draws(n) :+ exec(n)
     // interference rescue: if an entry's spread still says the sample
     // is polluted after round-robin separation, buy two more draws —
-    // themselves round-robin over the flagged set
+    // themselves round-robin over the flagged set. Breadth-capped:
+    // when most of the catalog flags at once the burst is SYSTEMIC
+    // (measured: 88/105 flagged under a sustained load-15 window) and
+    // two more full sweeps just extend the exposure without cleaning
+    // any minimum — skip, and let the vmed/value gap report the
+    // pollution instead.
     val flagged = names.filter { n =>
       val r = draws(n); r.max > r.min * 1.5 + 0.05
     }
-    for (_ <- 1 to 2; n <- flagged)
-      draws(n) = draws(n) :+ exec(n)
+    if (flagged.size <= names.size / 3)
+      for (_ <- 1 to 2; n <- flagged)
+        draws(n) = draws(n) :+ exec(n)
+    else
+      System.err.println(s"[bench] systemic interference: ${flagged.size}/" +
+        s"${names.size} entries polluted — skipping rescue draws")
 
     val results = names.map(n => n -> draws(n).min)
     // short keys (the driver-contract example's "q1":sec shape): the
