@@ -543,9 +543,12 @@ object RelationalQueries {
     // wm ≥ l_ts; verified empirically — a row 20 min from the end
     // stayed pending). The gate restricts BOTH engines to
     // l_ts ≤ max ts − 80 min (lateness 10 + maxAge 60 + margin) so
-    // every compared row is provably settled. The post-sink filter
-    // (not a pre-join one) keeps the streaming query identical to
-    // production shape.
+    // every compared row is provably settled — anchored to the LESSER
+    // of the two sides' max event times, because the query watermark
+    // is the minimum over both streams and the right stream only sees
+    // clicks (at sparse SFs the last click can trail the last event
+    // by hours). The post-sink filter (not a pre-join one) keeps the
+    // streaming query identical to production shape.
     Q("t06_stream_interval_join_outer",
       (s0, d) => {
         import org.apache.spark.sql.streaming.OutputMode
@@ -558,12 +561,17 @@ object RelationalQueries {
           maxAge = "1 hour", joinType = "leftOuter")
         graft.streaming.EventStream.runToMemory(joined,
           "t06_stream_interval_join_outer_sink", OutputMode.Append())
-        // exact microsecond arithmetic: Timestamp.getTime is ms and
-        // would truncate the cutoff below DuckDB's MAX(ts) − 20 min
-        val maxUs = graft.core.Tables.load(s0, d, "events")
+        // exact microsecond arithmetic (Timestamp.getTime truncates
+        // micros); least over the per-side maxima = the final
+        // watermark's anchor
+        val ev = graft.core.Tables.load(s0, d, "events")
+        def sideMaxUs(et: String): Long = ev
+          .filter(col("event_type") === et)
           .agg(max(unix_micros(col("ts")))).first().getLong(0)
+        val wmAnchorUs = math.min(sideMaxUs("purchase"), sideMaxUs("click"))
         s.table("t06_stream_interval_join_outer_sink")
-          .filter(unix_micros(col("l_ts")) <= lit(maxUs - 80L * 60 * 1000000))
+          .filter(unix_micros(col("l_ts")) <=
+            lit(wmAnchorUs - 80L * 60 * 1000000))
           .orderBy(col("l_event_id"),
             col("r_event_id").asc_nulls_first)
       },
@@ -573,7 +581,10 @@ object RelationalQueries {
                 ON l.user_id = r.user_id AND r.event_type = 'click'
                 AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
               WHERE l.event_type = 'purchase'
-                AND l.ts <= (SELECT MAX(ts) FROM events) - INTERVAL 80 MINUTE
+                AND l.ts <= (SELECT LEAST(
+                      (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+                      (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+                    ) - INTERVAL 80 MINUTE
               ORDER BY l_event_id, r_event_id NULLS FIRST""")),
 
     // Semi-structured props extraction (regex — identical RE subset).
