@@ -531,6 +531,35 @@ object RelationalQueries {
               WHERE l.event_type = 'purchase' AND r.event_type = 'click'
               ORDER BY l_event_id, r_event_id""")),
 
+    // SLIDING windows through the gate — the multi-assignment
+    // semantics tumbling t01 doesn't exercise: every event lands in
+    // window_len/slide windows, incrementally maintained per window
+    // state. The oracle reproduces the assignment by unnesting the
+    // slide offsets (an event at ts belongs to starts
+    // {trunc(ts,1h), trunc(ts,1h)−1h} for a 2h/1h window).
+    Q("t07_stream_sliding_windows",
+      (s0, d) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val s = graft.streaming.EventStream.replaySession(s0)
+        val ev = graft.streaming.EventStream.readEvents(s, d,
+          glob = Some("events.parquet"))
+        val agg = graft.streaming.EventStream.windowedAgg(
+          ev, "2 hours", slide = Some("1 hour"))
+          .select(col("window_start"), col("window_end"),
+            col("event_type"), col("n"))
+        graft.streaming.EventStream.runToMemory(agg,
+          "t07_stream_sliding_windows_sink", OutputMode.Complete())
+        s.table("t07_stream_sliding_windows_sink")
+          .orderBy("window_start", "event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) - to_hours(k) AS window_start,
+                date_trunc('hour', ts) - to_hours(k) + INTERVAL 2 HOUR
+                  AS window_end,
+                event_type, COUNT(*) AS n
+              FROM events, UNNEST([0, 1]) AS u(k)
+              GROUP BY 1, 2, 3
+              ORDER BY window_start, event_type""")),
+
     // LEFT OUTER stream-stream join — the delayed-null-emission
     // semantics t05's inner form doesn't exercise: matches emit
     // immediately, but an unmatched purchase emits its null row only
