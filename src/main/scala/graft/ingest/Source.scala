@@ -199,8 +199,21 @@ final class JdbcSource(url: String, tables: Seq[String],
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         val md = conn.getMetaData
+        // getColumns treats the table argument as a LIKE pattern: an
+        // unescaped '_' in a table name matches any character and can
+        // merge another table's defaults into the map. Escape the
+        // metacharacters with the driver's declared escape string (a
+        // driver that reports none degrades to the raw spelling, and
+        // the NonFatal fallback still covers it).
+        val esc = try md.getSearchStringEscape catch {
+          case scala.util.control.NonFatal(_) => null
+        }
+        def likeLiteral(t: String): String =
+          if (esc == null || esc.isEmpty) t
+          else t.replace(esc, esc + esc)
+            .replace("_", esc + "_").replace("%", esc + "%")
         def probe(t: String): Map[String, String] = {
-          val rs = md.getColumns(null, null, t, null)
+          val rs = md.getColumns(null, null, likeLiteral(t), null)
           val b = Map.newBuilder[String, String]
           while (rs.next()) {
             val d = rs.getString("COLUMN_DEF")

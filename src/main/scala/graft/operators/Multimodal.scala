@@ -318,14 +318,21 @@ object Multimodal {
           } catch { case _: Exception => None }
         real.getOrElse {
           // opaque-payload fallback — MUST stay bit-identical to
-          // `resize` (the m03 oracle pins this formula)
-          val origPixels = meta.getInt(0).toLong * meta.getInt(1)
+          // `resize` (the m03 oracle pins this formula). Null width/
+          // height behave like the column-expression form's
+          // null-skipping least(): keepRatio = 1.0; null bytes stay
+          // null rather than becoming an empty array.
           val keepRatio =
-            math.min(targetW.toLong * targetH / origPixels.toDouble, 1.0)
+            if (meta.isNullAt(0) || meta.isNullAt(1)) 1.0
+            else {
+              val origPixels = meta.getInt(0).toLong * meta.getInt(1)
+              if (origPixels <= 0) 1.0
+              else math.min(targetW.toLong * targetH / origPixels.toDouble, 1.0)
+            }
           val len = if (bytes == null) 0 else bytes.length
           val newLen = math.max((len * keepRatio).toInt, 1)
           val newBytes =
-            if (bytes == null) Array.emptyByteArray
+            if (bytes == null) null
             else java.util.Arrays.copyOfRange(bytes, 0, math.min(newLen, len))
           Row(r.getLong(0), r.getString(1), newBytes,
             Row(targetW, targetH, sampleRate, newLen.toLong))

@@ -594,9 +594,15 @@ object RelationalQueries {
         // micros); least over the per-side maxima = the final
         // watermark's anchor
         val ev = graft.core.Tables.load(s0, d, "events")
-        def sideMaxUs(et: String): Long = ev
-          .filter(col("event_type") === et)
-          .agg(max(unix_micros(col("ts")))).first().getLong(0)
+        def sideMaxUs(et: String): Long = {
+          val row = ev.filter(col("event_type") === et)
+            .agg(max(unix_micros(col("ts")))).first()
+          // a side with zero events yields a null MAX — fail with a
+          // clear gate error instead of an opaque NPE
+          require(!row.isNullAt(0),
+            s"t06: no '$et' events in $d — interval join has an empty side")
+          row.getLong(0)
+        }
         val wmAnchorUs = math.min(sideMaxUs("purchase"), sideMaxUs("click"))
         s.table("t06_stream_interval_join_outer_sink")
           .filter(unix_micros(col("l_ts")) <=

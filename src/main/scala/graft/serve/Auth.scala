@@ -215,6 +215,12 @@ object JwksSources {
     * deployments opt in via ServeMain's AUTH_JWKS_URL.
     */
   def https(url: String, timeoutS: Long = 10): () => String = {
+    // signing keys must never travel plaintext: a MITM on an http://
+    // JWKS URL could substitute its own keys and mint valid tokens.
+    // The reference always constructs an https:// URL (auth.py:27).
+    val scheme = java.net.URI.create(url).getScheme
+    require(scheme == "https",
+      s"JWKS URL must use https (got scheme '$scheme' in $url)")
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(timeoutS))
       .build()

@@ -134,6 +134,15 @@ class AuthSpec extends AnyFunSuite {
     assert(a.authenticate(Some(s"Bearer ${token()}")).isRight)
   }
 
+  test("JWKS https source rejects plaintext URLs") {
+    // http:// would let a MITM substitute signing keys — refuse loudly
+    val e = intercept[IllegalArgumentException](
+      JwksSources.https("http://tenant.example/.well-known/jwks.json"))
+    assert(e.getMessage.contains("https"))
+    // building the fetcher for an https URL is fine (no fetch happens)
+    JwksSources.https("https://tenant.example/.well-known/jwks.json")
+  }
+
   test("HS256 authenticator still verifies its own tokens (regression)") {
     val secret = "top-secret".getBytes
     val a = new HmacJwtAuthenticator(secret, "aud-x", "iss-y",

@@ -145,14 +145,18 @@ class HttpApiSpec extends SparkSpec {
     // them; under per-request FAIR pools it takes the next free slot.
     // (range() is admitted by the whitelist's COUNT prefix pattern —
     // the same de facto surface the reference's validator admits.)
-    val slowSql = "SELECT COUNT(*) FROM range(0, 6000000000, 1, 96)"
+    val slowSql = "SELECT COUNT(*) FROM range(0, 24000000000, 1, 96)"
     val fastSql = "SELECT COUNT(*) FROM inventory"
     // warm both plans so the timed run compares scheduling, not
     // codegen/classloading
     assert(q("SELECT COUNT(*) FROM range(0, 1000, 1, 4)")._1 == 200)
     assert(q(fastSql)._1 == 200)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
-    try {
+    // a co-tenant load burst landing on the fast query's 1-task window
+    // can inflate its wall time even though scheduling is correct, so
+    // the experiment retries a couple of times and passes if ANY run
+    // shows the overlap (a FIFO serialization would fail every run)
+    def attempt(): (Boolean, String) = {
       val t0 = System.nanoTime()
       val slowFut = pool.submit(new java.util.concurrent.Callable[(Int, String)] {
         def call(): (Int, String) = q(slowSql)
@@ -166,8 +170,19 @@ class HttpApiSpec extends SparkSpec {
       assert(slow._1 == 200, slow._2)
       // overlapping wall-times: the fast query must come back while
       // the slow one is still running, not after it drains
-      assert(fastEndMs < slowEndMs / 2,
-        s"fast finished at ${fastEndMs}ms, slow at ${slowEndMs}ms — serialized?")
+      (fastEndMs < slowEndMs / 2,
+        s"fast finished at ${fastEndMs}ms, slow at ${slowEndMs}ms")
+    }
+    try {
+      var ok = false
+      val logs = Vector.newBuilder[String]
+      var i = 0
+      while (!ok && i < 3) {
+        val (passed, detail) = attempt()
+        ok = passed; logs += detail; i += 1
+      }
+      assert(ok, s"serialized in all $i attempts: " +
+        logs.result().mkString("; "))
     } finally pool.shutdownNow()
   }
 
