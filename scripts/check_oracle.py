@@ -17,7 +17,10 @@ sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver testdata is one file per table; locally synthesized scale
+    # points (tools.ScaleUp) are Spark-written parquet directories
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 

@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Rewrite a ScaleUp-generated events table to the driver testdata's
+exact physical layout (TESTDATA.md): ONE parquet FILE named
+events.parquet with TIMESTAMP(NANOS) ts. Two reasons:
+ - EventStream.rawSchema reads ts as raw int64 nanos — a Spark-written
+   TIMESTAMP(MICROS) column fails that schema;
+ - the streaming entries glob `events.parquet` as a file inside the sf
+   dir; a directory of part files would match nothing.
+Multiple row groups keep batch scans parallelizable (Spark splits a
+single file on row-group boundaries).
+
+Usage: fix_events_ns.py localdata/sf1
+
+Dev-only tooling (driver-side python env); not part of the shipped library.
+"""
+import sys, os, glob, shutil
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sf = sys.argv[1]
+d = f"{sf}/events.parquet"
+if os.path.isfile(d):
+    print(f"[fix_events_ns] {d} already a file — nothing to do"); sys.exit(0)
+files = sorted(glob.glob(f"{d}/part-*.parquet"))
+assert files, f"no parquet parts under {d}"
+t = pa.concat_tables(pq.read_table(f) for f in files)
+i = t.schema.get_field_index("ts")
+t = t.set_column(i, pa.field("ts", pa.timestamp("ns")),
+                 t.column(i).cast(pa.timestamp("ns")))
+tmp = f"{sf}/.events.parquet.tmp"
+# version>=2.6 keeps nanos instead of coercing to micros
+pq.write_table(t, tmp, version="2.6", coerce_timestamps=None,
+               row_group_size=131072)
+shutil.rmtree(d)
+os.rename(tmp, d)
+print(f"[fix_events_ns] {d}: {t.num_rows} rows, single file, TIMESTAMP(NANOS)")

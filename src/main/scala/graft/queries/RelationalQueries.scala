@@ -560,6 +560,49 @@ object RelationalQueries {
               GROUP BY 1, 2, 3
               ORDER BY window_start, event_type""")),
 
+    // Streaming sync → snapshot generations through the gate (the one
+    // streaming component that was previously only spec-tested): a
+    // bounded replay staged as N source files → N micro-batches → N
+    // published generations. After the drain the foreachBatch body is
+    // re-invoked with batch 0's id — exactly what a crash between
+    // publish and checkpoint commit does on restart — and must no-op
+    // (isBatchPublished guard); the union of every generation must
+    // then equal the batch table EXACTLY once. A double-publish or a
+    // dropped batch breaks n/v/u against the oracle.
+    Q("t08_stream_snapshot_sync",
+      (s0, d) => {
+        val s = graft.streaming.EventStream.replaySession(s0)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-t08").toString
+        val stage = s"$tmp/stage"
+        // stage ts as raw int64 nanos — the layout the streaming
+        // source's schema (EventStream.rawSchema) declares
+        graft.core.Tables.load(s, d, "events")
+          .withColumn("ts", expr("unix_micros(ts) * 1000"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(stage)
+        val store = new graft.snapshot.SnapshotStore(s, s"$tmp/store")
+        val ev = graft.streaming.EventStream.readEvents(s, stage,
+          options = Map("maxFilesPerTrigger" -> "1"))
+        graft.streaming.EventStream.streamToSnapshots(
+          ev, store, "events", s"$tmp/ckpt").awaitTermination()
+        // the at-least-once seam, driven directly: batch 0 again
+        val writer = new graft.snapshot.SnapshotWriter(store)
+        val replayed = graft.streaming.EventStream.publishBatchOnce(
+          store, writer, "events",
+          graft.core.Tables.load(s, d, "events").limit(1), 0L)
+        require(!replayed, "replay guard failed: batch 0 double-published")
+        store.listGenerations()
+          .map(k => s.read.parquet(store.tableDir(k, "events").toString))
+          .reduce(_.unionAll(_))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"),
+            countDistinct(col("user_id")).as("u"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS v,
+               COUNT(DISTINCT user_id) AS u
+               FROM events GROUP BY 1 ORDER BY event_type""")),
+
     // LEFT OUTER stream-stream join — the delayed-null-emission
     // semantics t05's inner form doesn't exercise: matches emit
     // immediately, but an unmatched purchase emits its null row only

@@ -34,9 +34,10 @@ object EventStream {
     * of many is a glob filter, not a path).
     */
   def readEvents(spark: SparkSession, dir: String,
-                 glob: Option[String] = None): DataFrame = {
+                 glob: Option[String] = None,
+                 options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(rawSchema)
+    val reader = spark.readStream.schema(rawSchema).options(options)
     val withGlob = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
     withGlob.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -218,6 +219,23 @@ object EventStream {
       .exists(key => store.readGenerationManifest(key)
         .exists(_.metadata.get("batch_id").contains(batchId.toString)))
 
+  /** The foreachBatch body, exposed so the at-least-once seam can be
+    * driven directly: re-invoking with an already-published batchId is
+    * exactly what a crash between publish and checkpoint commit does
+    * on restart. Returns true iff a generation was published.
+    */
+  private[graft] def publishBatchOnce(store: graft.snapshot.SnapshotStore,
+                                      writer: graft.snapshot.SnapshotWriter,
+                                      table: String, batch: DataFrame,
+                                      batchId: Long): Boolean = {
+    val alreadyPublished = isBatchPublished(store, batchId)
+    if (!alreadyPublished && !batch.isEmpty) {
+      writer.publish(Map(table -> batch), sortCol = Some("ts"),
+        metadata = Map("batch_id" -> batchId.toString))
+      true
+    } else false
+  }
+
   def streamToSnapshots(events: DataFrame,
                         store: graft.snapshot.SnapshotStore,
                         table: String, checkpoint: String,
@@ -229,10 +247,7 @@ object EventStream {
         // foreachBatch is at-least-once: a crash between publish and
         // checkpoint commit replays the batch. The batch id rides in
         // the manifest; a replayed id is skipped → effectively-once.
-        val alreadyPublished = isBatchPublished(store, batchId)
-        if (!alreadyPublished && !batch.isEmpty)
-          writer.publish(Map(table -> batch), sortCol = Some("ts"),
-            metadata = Map("batch_id" -> batchId.toString))
+        publishBatchOnce(store, writer, table, batch, batchId)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -84,6 +84,69 @@ class EventStreamSpec extends SparkSpec {
     assert(snap.count() == m.get.tables("events"))
   }
 
+  test("snapshot sync: restart resumes; a crash-replayed batch publishes exactly once") {
+    import graft.snapshot.{SnapshotStore, SnapshotWriter}
+    val tmp = Files.createTempDirectory("graft-ssync").toString
+    val stage = s"$tmp/stage"
+    val ckpt = s"$tmp/ckpt"
+    val store = new SnapshotStore(spark, s"$tmp/store")
+
+    def stageFile(name: String, ids: Range): Unit = {
+      val scratch = s"$tmp/scratch_$name"
+      ids.map(i => (i.toLong, s"2024-01-01 0$i:00:00", i.toLong % 3, "view",
+          i * 1.0, "{}"))
+        .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .withColumn("ts", unix_timestamp(col("tss")) * 1000000000L)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      // the file source lists top-level FILES — promote the lone part
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(java.nio.file.Paths.get(stage))
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+
+    def run(): Unit = EventStream.streamToSnapshots(
+      EventStream.readEvents(spark, stage,
+        options = Map("maxFilesPerTrigger" -> "1")),
+      store, "events", ckpt).awaitTermination()
+
+    def publishedIds(): Seq[Long] = store.listGenerations()
+      .map(k => spark.read.parquet(store.tableDir(k, "events").toString))
+      .reduce(_.unionAll(_)).select("event_id").as[Long].collect().sorted.toSeq
+
+    // phase 1: two files → two micro-batches → two generations
+    stageFile("a", 0 until 3)
+    stageFile("b", 3 until 6)
+    run()
+    assert(store.listGenerations().size == 2, "one generation per batch")
+    assert(publishedIds() == (0L until 6L))
+
+    // phase 2 (stop + restart): the checkpoint resumes — only the new
+    // file becomes a batch, already-synced files are not re-published
+    stageFile("c", 6 until 9)
+    run()
+    assert(store.listGenerations().size == 3)
+    assert(publishedIds() == (0L until 9L))
+
+    // phase 3 (crash with checkpoint loss — the at-least-once worst
+    // case): a fresh checkpoint re-delivers EVERY file as a new batch
+    // with ids restarting at 0; the manifest guard must swallow all
+    // of them, publishing nothing twice
+    EventStream.streamToSnapshots(
+      EventStream.readEvents(spark, stage,
+        options = Map("maxFilesPerTrigger" -> "1")),
+      store, "events", s"$tmp/ckpt_lost").awaitTermination()
+    assert(store.listGenerations().size == 3,
+      "replayed batches must not publish new generations")
+    assert(publishedIds() == (0L until 9L), "exactly-once violated")
+
+    // the seam driven directly (what a replay does inside foreachBatch)
+    val again = EventStream.publishBatchOnce(store, new SnapshotWriter(store),
+      "events", spark.read.parquet(s"$stage/a.parquet"), 0L)
+    assert(!again, "isBatchPublished must skip an already-published id")
+  }
+
   test("streaming dedup drops watermark-horizon duplicates") {
     val dir = Files.createTempDirectory("graft-sdedup").toString
     // duplicate event_ids arriving close together (within the horizon)
