@@ -1,0 +1,292 @@
+package graft.fuzz
+
+import org.scalacheck.Gen
+
+/** Random-SQL generator over the validator's de facto admitted surface
+  * (SURVEY.md §2.3: any SELECT that prefix-matches a whitelist shape
+  * minus blocked tokens). Statements are rendered in the COMMON
+  * Spark ∩ DuckDB dialect so the exact same text runs on both engines
+  * and must hash-match — the dialect discipline is the same toolbox the
+  * 52 fixed q-entries use:
+  *
+  *  - every ORDER BY key carries an explicit NULLS FIRST/LAST (the
+  *    engines' ASC defaults differ);
+  *  - LIMIT only ever appears under an ORDER BY over ALL projected
+  *    columns, so the prefix is deterministic up to interchangeable
+  *    duplicate rows;
+  *  - SUM over integer columns is wrapped CAST(... AS BIGINT) (DuckDB
+  *    widens to HUGEINT, Spark stays BIGINT);
+  *  - no SUM/AVG over DOUBLE columns (parallel summation order makes
+  *    the low bits engine-dependent); MIN/MAX/COUNT are order-free;
+  *  - AVG over ints is exact (integer sum, one division);
+  *  - EXTRACT results are cast to INTEGER (DuckDB returns BIGINT);
+  *  - every computed column gets an explicit alias, identical on both
+  *    sides by construction.
+  *
+  * Value pools (string literals, numeric pivots) are sampled from the
+  * actual tables at spec startup, so predicates hit real selectivities
+  * at any scale factor.
+  */
+object SqlFuzz {
+
+  final case class Col(name: String, typ: String) // int | long | double | string | ts
+  final case class Table(name: String, cols: Seq[Col])
+
+  val tables: Seq[Table] = Seq(
+    Table("region", Seq(Col("r_regionkey", "int"), Col("r_name", "string"))),
+    Table("nation", Seq(Col("n_nationkey", "int"), Col("n_name", "string"),
+      Col("n_regionkey", "int"))),
+    Table("customer", Seq(Col("c_custkey", "long"), Col("c_name", "string"),
+      Col("c_nationkey", "int"), Col("c_acctbal", "double"),
+      Col("c_mktsegment", "string"))),
+    Table("supplier", Seq(Col("s_suppkey", "long"), Col("s_name", "string"),
+      Col("s_nationkey", "int"), Col("s_acctbal", "double"))),
+    Table("part", Seq(Col("p_partkey", "long"), Col("p_name", "string"),
+      Col("p_brand", "string"), Col("p_type", "string"),
+      Col("p_size", "int"), Col("p_retailprice", "double"))),
+    Table("orders", Seq(Col("o_orderkey", "long"), Col("o_custkey", "long"),
+      Col("o_orderstatus", "string"), Col("o_totalprice", "double"),
+      Col("o_orderdate", "ts"), Col("o_orderpriority", "string"))),
+    Table("lineitem", Seq(Col("l_orderkey", "long"), Col("l_partkey", "long"),
+      Col("l_suppkey", "long"), Col("l_linenumber", "int"),
+      Col("l_quantity", "double"), Col("l_extendedprice", "double"),
+      Col("l_discount", "double"), Col("l_tax", "double"),
+      Col("l_returnflag", "string"), Col("l_linestatus", "string"),
+      Col("l_shipdate", "ts"))),
+    Table("events", Seq(Col("event_id", "long"), Col("user_id", "long"),
+      Col("event_type", "string"), Col("value", "double"))))
+
+  /** Join graph: (left table, left key, right table, right key). */
+  val joins: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** Per-column literal pools, sampled from the data by the spec:
+    * strings → distinct values; numerics → quantile-ish pivots.
+    */
+  final case class Pools(strings: Map[String, Seq[String]],
+                         numbers: Map[String, Seq[String]])
+
+  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  // ---- predicates -------------------------------------------------
+
+  private def numPred(qual: String, c: Col, pools: Pools): Gen[String] = {
+    val pivots = pools.numbers.getOrElse(c.name, Seq("0"))
+    for {
+      p <- Gen.oneOf(pivots)
+      op <- Gen.oneOf("<", "<=", ">", ">=", "=", "<>")
+    } yield s"$qual${c.name} $op $p"
+  }
+
+  private def strPred(qual: String, c: Col, pools: Pools): Gen[String] = {
+    val vals = pools.strings.getOrElse(c.name, Seq("x"))
+    Gen.oneOf(
+      Gen.oneOf(vals).map(v => s"$qual${c.name} = ${lit(v)}"),
+      Gen.oneOf(vals).map(v => s"$qual${c.name} <> ${lit(v)}"),
+      Gen.choose(1, math.min(3, vals.size)).flatMap(k =>
+        Gen.pick(k, vals).map(vs =>
+          s"$qual${c.name} IN (${vs.toSeq.sorted.map(lit).mkString(", ")})")))
+  }
+
+  private def colPred(qual: String, c: Col, pools: Pools): Gen[String] =
+    c.typ match {
+      case "string" => strPred(qual, c, pools)
+      case "ts" => Gen.const(s"$qual${c.name} IS NOT NULL")
+      case _ => numPred(qual, c, pools)
+    }
+
+  def predicate(qual: String, t: Table, pools: Pools): Gen[String] = for {
+    n <- Gen.frequency(3 -> Gen.const(1), 2 -> Gen.const(2),
+      1 -> Gen.const(3))
+    conj <- Gen.oneOf(" AND ", " OR ")
+    cols <- Gen.pick(math.min(n, t.cols.size), t.cols)
+    preds <- Gen.sequence[Seq[String], String](
+      cols.toSeq.map(c => colPred(qual, c, pools)))
+  } yield preds.mkString(conj)
+
+  // ---- aggregates -------------------------------------------------
+
+  /** (expression, alias) pairs that are bit-stable on both engines. */
+  private def aggExpr(qual: String, t: Table, i: Int): Gen[(String, String)] = {
+    val nums = t.cols.filter(c => c.typ == "int" || c.typ == "long")
+    val doubles = t.cols.filter(_.typ == "double")
+    val strs = t.cols.filter(_.typ == "string")
+    val opts = Seq.newBuilder[Gen[String]]
+    opts += Gen.const("COUNT(*)")
+    if (nums.nonEmpty) opts += Gen.oneOf(nums).flatMap(c => Gen.oneOf(
+      s"CAST(SUM($qual${c.name}) AS BIGINT)",
+      // exact-int sum then one division: bit-stable AVG on both engines
+      s"(CAST(SUM($qual${c.name}) AS DOUBLE) / COUNT($qual${c.name}))",
+      s"MIN($qual${c.name})", s"MAX($qual${c.name})",
+      s"COUNT($qual${c.name})"))
+    if (doubles.nonEmpty) opts += Gen.oneOf(doubles).flatMap(c =>
+      Gen.oneOf(s"MIN($qual${c.name})", s"MAX($qual${c.name})"))
+    if (strs.nonEmpty) opts += Gen.oneOf(strs).flatMap(c =>
+      Gen.oneOf(s"MIN($qual${c.name})", s"MAX($qual${c.name})",
+        s"COUNT(DISTINCT $qual${c.name})"))
+    val os = opts.result()
+    Gen.oneOf(os(0), os(1), os.drop(2): _*).map(e => (e, s"agg$i"))
+  }
+
+  // ---- scalar projections ----------------------------------------
+
+  private def scalarExpr(qual: String, c: Col, i: Int): Gen[(String, String)] =
+    c.typ match {
+      case "string" => Gen.oneOf(
+        s"UPPER($qual${c.name})", s"LOWER($qual${c.name})",
+        s"CAST(LENGTH($qual${c.name}) AS INTEGER)",
+        s"SUBSTR($qual${c.name}, 1, 3)").map(e => (e, s"x$i"))
+      case "ts" => Gen.oneOf(
+        s"CAST(EXTRACT(YEAR FROM $qual${c.name}) AS INTEGER)",
+        s"CAST(EXTRACT(MONTH FROM $qual${c.name}) AS INTEGER)")
+        .map(e => (e, s"x$i"))
+      case "double" => Gen.oneOf(
+        s"ABS($qual${c.name})",
+        s"$qual${c.name} * 2").map(e => (e, s"x$i"))
+      case _ => Gen.oneOf(
+        s"$qual${c.name} + 1", s"$qual${c.name} % 7",
+        s"$qual${c.name} * 3").map(e => (e, s"x$i"))
+    }
+
+  // ---- statement shapes ------------------------------------------
+
+  private def orderAll(n: Int, dirGen: Gen[String]): Gen[String] =
+    Gen.sequence[Seq[String], String](
+      (1 to n).map(i => dirGen.map(d => s"$i $d")))
+      .map(os => "ORDER BY " + os.mkString(", "))
+
+  private val dir: Gen[String] =
+    Gen.oneOf("ASC NULLS FIRST", "DESC NULLS LAST")
+
+  /** Shape 1: filtered projection with deterministic LIMIT. */
+  def filterProject(pools: Pools): Gen[String] = for {
+    t <- Gen.oneOf(tables)
+    k <- Gen.choose(1, t.cols.size)
+    cols <- Gen.pick(k, t.cols)
+    scalar <- Gen.option(Gen.oneOf(cols.toSeq))
+    extra <- scalar.fold(Gen.const(Seq.empty[(String, String)]))(c =>
+      scalarExpr("", c, 0).map(Seq(_)))
+    pred <- Gen.option(predicate("", t, pools))
+    limit <- Gen.choose(1, 2000)
+    proj = cols.map(_.name) ++ extra.map { case (e, a) => s"$e AS $a" }
+    ord <- orderAll(proj.size, dir)
+  } yield s"SELECT ${proj.mkString(", ")} FROM ${t.name}" +
+    pred.fold("")(p => s" WHERE $p") + s" $ord LIMIT $limit"
+
+  /** Shape 2: grouped aggregation (HAVING optional). */
+  def groupBy(pools: Pools): Gen[String] = for {
+    t <- Gen.oneOf(tables)
+    gcands = t.cols.filter(c => c.typ == "string" || c.typ == "int")
+    g <- if (gcands.nonEmpty) Gen.pick(1, gcands) else Gen.pick(1, t.cols)
+    nAgg <- Gen.choose(1, 3)
+    aggs <- Gen.sequence[Seq[(String, String)], (String, String)](
+      (0 until nAgg).map(i => aggExpr("", t, i)))
+    pred <- Gen.option(predicate("", t, pools))
+    having <- Gen.option(Gen.choose(1, 50).map(c => s"COUNT(*) > $c"))
+    gcols = g.map(_.name)
+    proj = gcols ++ aggs.map { case (e, a) => s"$e AS $a" }
+    ord <- orderAll(proj.size, dir)
+  } yield s"SELECT ${proj.mkString(", ")} FROM ${t.name}" +
+    pred.fold("")(p => s" WHERE $p") +
+    s" GROUP BY ${gcols.mkString(", ")}" +
+    having.fold("")(h => s" HAVING $h") + s" $ord"
+
+  /** Shape 3: scalar aggregate (one row). */
+  def scalarAgg(pools: Pools): Gen[String] = for {
+    t <- Gen.oneOf(tables)
+    nAgg <- Gen.choose(1, 4)
+    aggs <- Gen.sequence[Seq[(String, String)], (String, String)](
+      (0 until nAgg).map(i => aggExpr("", t, i)))
+    pred <- Gen.option(predicate("", t, pools))
+  } yield s"SELECT ${aggs.map { case (e, a) => s"$e AS $a" }.mkString(", ")}" +
+    s" FROM ${t.name}" + pred.fold("")(p => s" WHERE $p")
+
+  /** Shape 4: two-table join (projection or grouped). NO table
+    * aliases: the whitelist's select_columns shape only admits
+    * `[\w\s,]+` projections, and the TPC-H column prefixes make every
+    * name globally unique anyway. A grouped join must LEAD with an
+    * aggregate call so the `aggregate` prefix pattern admits it (a
+    * paren-free projection prefix is impossible once aggs appear).
+    */
+  def join(pools: Pools): Gen[String] = for {
+    jn <- Gen.oneOf(joins)
+    (lt, lk, rt, rk) = jn
+    l = tables.find(_.name == lt).get
+    r = tables.find(_.name == rt).get
+    grouped <- Gen.oneOf(true, false)
+    pred <- Gen.option(Gen.oneOf(predicate("", l, pools),
+      predicate("", r, pools)))
+    sql <- if (grouped) for {
+      gc <- Gen.oneOf(r.cols.filter(c => c.typ == "string" || c.typ == "int")
+        .map(_.name) :+ rk)
+      aggs <- Gen.sequence[Seq[(String, String)], (String, String)](
+        (0 until 2).map(i => aggExpr("", l, i)))
+      agg0 <- Gen.oneOf(s"COUNT(*)", s"MIN($lk)", s"MAX($lk)")
+      proj = Seq(s"$agg0 AS agg") ++
+        aggs.map { case (e, a) => s"$e AS $a" } ++ Seq(gc)
+      ord <- orderAll(proj.size, dir)
+    } yield s"SELECT ${proj.mkString(", ")} FROM $lt JOIN $rt" +
+      s" ON $lk = $rk" + pred.fold("")(p => s" WHERE $p") +
+      s" GROUP BY $gc $ord"
+    else for {
+      lc <- Gen.pick(2, l.cols)
+      rc <- Gen.pick(1, r.cols)
+      limit <- Gen.choose(1, 2000)
+      proj = (lc.map(_.name) ++ rc.map(_.name)).distinct
+      ord <- orderAll(proj.size, dir)
+    } yield s"SELECT ${proj.mkString(", ")} FROM $lt JOIN $rt" +
+      s" ON $lk = $rk" + pred.fold("")(p => s" WHERE $p") +
+      s" $ord LIMIT $limit"
+  } yield sql
+
+  /** Shape 5: DISTINCT projection. */
+  def distinct(pools: Pools): Gen[String] = for {
+    t <- Gen.oneOf(tables)
+    cands = t.cols.filter(c => c.typ != "double" && c.typ != "ts")
+    k <- Gen.choose(1, math.min(2, cands.size))
+    cols <- Gen.pick(k, cands)
+    pred <- Gen.option(predicate("", t, pools))
+    ord <- orderAll(cols.size, dir)
+  } yield s"SELECT DISTINCT ${cols.map(_.name).mkString(", ")}" +
+    s" FROM ${t.name}" + pred.fold("")(p => s" WHERE $p") + s" $ord"
+
+  /** Shape 6: ranking window over a unique ordering. */
+  def window(pools: Pools): Gen[String] = for {
+    // (table, UNIQUE key, partition col): the window's ORDER BY key
+    // must be unique within each partition or ROW_NUMBER is
+    // nondeterministic and the engines may legitimately disagree
+    tkp <- Gen.oneOf(
+      ("customer", "c_custkey", "c_mktsegment"),
+      ("orders", "o_orderkey", "o_orderstatus"),
+      ("supplier", "s_suppkey", "s_nationkey"),
+      ("events", "event_id", "event_type"),
+      ("part", "p_partkey", "p_brand"))
+    (t, key, part) = tkp
+    tab = tables.find(_.name == t).get
+    fn <- Gen.oneOf("ROW_NUMBER()", "RANK()", "DENSE_RANK()",
+      "COUNT(*)", s"MIN($key)")
+    d <- dir
+    pred <- Gen.option(predicate("", tab, pools))
+    limit <- Gen.choose(10, 2000)
+  // ROW_NUMBER/RANK/DENSE_RANK are INTEGER in Spark but BIGINT in
+  // DuckDB — the CAST pins the one dtype delta this surface has
+  } yield s"SELECT $key, $part, CAST($fn OVER " +
+    s"(PARTITION BY $part ORDER BY $key $d) AS BIGINT) AS w FROM $t" +
+    pred.fold("")(p => s" WHERE $p") +
+    s" ORDER BY $key ASC NULLS FIRST LIMIT $limit"
+
+  /** The full admitted-surface generator. */
+  def statement(pools: Pools): Gen[String] = Gen.frequency(
+    3 -> filterProject(pools),
+    3 -> groupBy(pools),
+    2 -> scalarAgg(pools),
+    3 -> join(pools),
+    1 -> distinct(pools),
+    2 -> window(pools))
+}
