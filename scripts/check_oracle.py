@@ -13,8 +13,13 @@ import pandas as pd
 
 out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
+# larger scale points (localdata/sf1) push the graph oracles past RAM
+# without a spill dir; harmless at driver SFs
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+con.execute("SET memory_limit='40GB'")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-8]
     # driver testdata is one file per table; locally synthesized scale
@@ -32,6 +37,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[ns]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 n_pass = n_fail = 0
 for name in sorted(oracle):
     res_path = f"{out_dir}/{name}"

@@ -19,18 +19,21 @@ import pyarrow.parquet as pq
 
 sf = sys.argv[1]
 d = f"{sf}/events.parquet"
-if os.path.isfile(d):
-    print(f"[fix_events_ns] {d} already a file — nothing to do"); sys.exit(0)
-files = sorted(glob.glob(f"{d}/part-*.parquet"))
+files = ([d] if os.path.isfile(d)
+         else sorted(glob.glob(f"{d}/part-*.parquet")))
 assert files, f"no parquet parts under {d}"
 t = pa.concat_tables(pq.read_table(f) for f in files)
 i = t.schema.get_field_index("ts")
 t = t.set_column(i, pa.field("ts", pa.timestamp("ns")),
                  t.column(i).cast(pa.timestamp("ns")))
+# drop the Spark-written key-value metadata: its row.metadata schema
+# still says TIMESTAMP(MICROS) and Spark trusts it over the physical
+# NANOS type, breaking the read (pyarrow re-adds a fresh ARROW:schema)
+t = t.replace_schema_metadata(None)
 tmp = f"{sf}/.events.parquet.tmp"
 # version>=2.6 keeps nanos instead of coercing to micros
 pq.write_table(t, tmp, version="2.6", coerce_timestamps=None,
                row_group_size=131072)
-shutil.rmtree(d)
+shutil.rmtree(d) if os.path.isdir(d) else os.remove(d)
 os.rename(tmp, d)
 print(f"[fix_events_ns] {d}: {t.num_rows} rows, single file, TIMESTAMP(NANOS)")

@@ -345,6 +345,87 @@ object Multimodal {
     * a (asset_id, frame_idx, frame) row — pure explode, no driver loop;
     * non-video assets pass through as a single frame 0.
     */
+  /** Container-aware frame sampling: video payloads whose bytes parse
+    * as a real MP4/AVI container ([[MediaContainers]] — pure JVM, no
+    * codec) are sampled along the container's ACTUAL sample table
+    * (true frame offsets/sizes, up to `maxFrames` evenly spaced over
+    * the declared frames); everything else takes the byte-slice
+    * fallback BIT-IDENTICAL to [[sampleFrames]] (the m02 oracle pins
+    * that formula, and the synthetic corpus has no real containers).
+    * Same output schema as sampleFrames, so it's a drop-in.
+    */
+  def sampleContainerFrames(assets: DataFrame, frameBytes: Int = 64,
+                            maxFrames: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("kind", StringType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "kind", "bytes").mapPartitions { rows =>
+      def slice(b: Array[Byte], from: Long, len: Long): Array[Byte] = {
+        if (b == null) return null
+        val s = math.min(math.max(from, 0L), b.length.toLong).toInt
+        val e = math.min(s + math.max(len, 0L), b.length.toLong).toInt
+        java.util.Arrays.copyOfRange(b, s, e)
+      }
+      // bit-identical to sampleFrames' column formula (oracle-pinned):
+      // n = min(max(ceil(len/frameBytes),1), maxFrames); greatest()
+      // skips the null length, so null bytes still emit frame 0
+      def fallback(b: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+        val n = if (b == null) 1
+          else math.min(math.max(
+            (b.length + frameBytes - 1) / frameBytes, 1), maxFrames)
+        (0 until n).iterator.map(i =>
+          (i, if (b == null) null
+              else slice(b, i.toLong * frameBytes, frameBytes)))
+      }
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val kind = r.getString(1)
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        val frames: Iterator[(Int, Array[Byte])] =
+          if (kind != "video")
+            Iterator.single((0,
+              if (bytes == null) null else slice(bytes, 0, frameBytes)))
+          else MediaContainers.parse(bytes) match {
+            case Some(m) if m.nFrames > 0 =>
+              val n = math.min(m.nFrames, maxFrames)
+              (0 until n).iterator.map { i =>
+                val j = (i.toLong * m.nFrames / n).toInt // even spread
+                (i, slice(bytes, m.frameOffsets(j), m.frameSizes(j).toLong))
+              }
+            case _ => fallback(bytes)
+          }
+        frames.map { case (i, f) => Row(id, kind, i, f) }
+      }
+    }(enc)
+  }
+
+  /** True container metadata for video assets — duration, resolution,
+    * declared frame count from MP4 boxes / AVI headers; null columns
+    * when the payload isn't a parseable container.
+    */
+  def containerMeta(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("container", StringType),
+      StructField("duration_ms", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("total_frames", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        MediaContainers.parse(r.getAs[Array[Byte]]("bytes")) match {
+          case Some(m) => Row(r.getLong(0), m.container, m.durationMs,
+            m.width, m.height, m.totalFrames)
+          case None => Row(r.getLong(0), null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   def sampleFrames(assets: DataFrame, frameBytes: Int = 64,
                    maxFrames: Int = 16): DataFrame = {
     val nFrames = least(

@@ -36,9 +36,16 @@ object Q {
   def davg(c: Column, scale: Int = 2): Column =
     sum(dec(c, scale)).cast("double") / count(c)
 
-  /** Oracle-side spellings of the same. */
+  /** Oracle-side spellings of the same. The VARCHAR hop matters at
+    * scale: DuckDB casts DECIMAL→DOUBLE as int128→double→÷10^s (two
+    * roundings), Spark via BigDecimal (one, correctly rounded). They
+    * agree while the scaled integer fits 2^53 and can differ by 1 ulp
+    * beyond it — first observed at the local sf1 point where q05's
+    * sum_charge×10^6 ≈ 5.2e16. Text→double parses are correctly
+    * rounded on both engines, so the hop pins the exact same double.
+    */
   def oSum(e: String, scale: Int = 2): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS VARCHAR) AS DOUBLE)"
   def oAvg(e: String, scale: Int = 2): String =
     s"${oSum(e, scale)} / COUNT($e)"
 }

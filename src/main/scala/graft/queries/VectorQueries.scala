@@ -275,7 +275,10 @@ object VectorQueries {
       (s, d) => {
         val assets = Multimodal.assetsFrom(
           Tables.load(s, d, "documents"), "doc_id", "text")
-        Multimodal.sampleFrames(assets)
+        // container-aware sampler: real MP4/AVI payloads walk their
+        // actual sample tables; the synthetic corpus has none, so
+        // every row takes the byte-slice fallback the oracle pins
+        Multimodal.sampleContainerFrames(assets)
           .groupBy("kind")
           .agg(count(lit(1)).as("n_frames"),
             countDistinct(col("asset_id")).as("n_assets"))
