@@ -213,10 +213,12 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleWords: Int = 3, numHashes: Int = 32,
-                      bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+                      bands: Int = 8, threshold: Double = 0.7,
+                      maxBucketSize: Int = 1000): DataFrame = {
     val spread = fanOut(docs)
     val sig = minhashSignatures(spread, idCol, textCol, shingleWords, numHashes)
-    val cands = minhashCandidates(sig, idCol, bands, numHashes / bands)
+    val cands = minhashCandidates(sig, idCol, bands, numHashes / bands,
+        maxBucketSize)
       .filter(col("est_jaccard") >= threshold * 0.6)
     jaccardVerify(cands, spread, idCol, textCol, shingleWords, threshold)
   }
