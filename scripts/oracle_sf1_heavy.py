@@ -51,10 +51,13 @@ def fnv_d22(s: str) -> int:
     return h
 
 
-def connect(sf_dir):
-    con = duckdb.connect()
+def connect(sf_dir, db=None):
+    # a disk-backed database lets the staged tables (d18) run out-of-core
+    if db is not None and os.path.exists(db):
+        os.remove(db)
+    con = duckdb.connect(db) if db is not None else duckdb.connect()
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET memory_limit='80GB'")
+    con.execute("SET memory_limit='60GB'")
     con.create_function("fnv_d18", fnv_d18, ["VARCHAR"], "UBIGINT")
     con.create_function("fnv_d22", fnv_d22, ["VARCHAR"], "UBIGINT")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -68,6 +71,60 @@ def rewrite(sql: str, start_marker: str, end_marker: str, repl: str) -> str:
     a = sql.index(start_marker)
     b = sql.index(end_marker, a)
     return sql[:a] + repl + sql[b:]
+
+
+def cte_body(sql: str, start_marker: str, end_marker: str) -> str:
+    """Extract the text between two CTE markers of the generated SQL, so
+    the staged form reuses the generator's text verbatim (no manual
+    transcription to diverge)."""
+    a = sql.index(start_marker) + len(start_marker)
+    b = sql.index(end_marker, a)
+    return sql[a:b]
+
+
+def d18_staged(con, sql, log=lambda *a: None):
+    """d18 evaluated stage-by-stage into disk-backed tables: even with
+    the UDF, the one-shot pipeline's peak (240M mixed rows + per-doc
+    shingle-set lists + candidate sigs live at once) exceeds RAM at sf1;
+    staged tables let each operator run out-of-core."""
+    import time
+    b = lambda s, e: cte_body(sql, s, e)
+    stages = [
+        ("t_sh", "WITH toksrc(doc_id, t) AS ({}) {}".format(
+            b("WITH toksrc(doc_id, t) AS (", "), mixers"),
+            b("), sh AS (", "), fnv AS ("))),
+        ("t_fnv", "SELECT doc_id, sid, fnv_d18(s) AS h FROM t_sh"),
+        ("t_sig", ("WITH mixers(i, ahi, alo, bu) AS ({}), "
+                   "fnv AS (SELECT * FROM t_fnv), mixed AS ({}) {}").format(
+            b("mixers(i, ahi, alo, bu) AS (", "), sh AS ("),
+            b("), mixed AS (", "), sig AS ("),
+            b("), sig AS (", "), banded AS ("))),
+        ("t_banded", "WITH sig AS (SELECT * FROM t_sig) {}".format(
+            b("), banded AS (", "), keep AS ("))),
+        ("t_keep", "WITH banded AS (SELECT * FROM t_banded) {}".format(
+            b("), keep AS (", "), cand AS ("))),
+        ("t_cand", ("WITH banded AS (SELECT * FROM t_banded), "
+                    "keep AS (SELECT * FROM t_keep) {}").format(
+            b("), cand AS (", "), sets AS ("))),
+        ("t_sets", "WITH sh AS (SELECT * FROM t_sh) {}".format(
+            b("), sets AS (", "), est AS ("))),
+    ]
+    for name, stage_sql in stages:
+        t0 = time.time()
+        con.execute(f"DROP TABLE IF EXISTS {name}")
+        con.execute(f"CREATE TABLE {name} AS {stage_sql}")
+        n = con.execute(f"SELECT COUNT(*) FROM {name}").fetchone()[0]
+        log(f"  stage {name}: {n} rows in {time.time() - t0:.1f}s")
+    final = ("WITH cand AS (SELECT * FROM t_cand), "
+             "sets AS (SELECT * FROM t_sets), est AS ({}), pre AS ({}), "
+             "pairs AS ({}), comp AS ( WITH RECURSIVE {} {}").format(
+        b("), est AS (", "), pre AS ("),
+        b("), pre AS (", "), pairs AS ("),
+        b("), pairs AS (", "), comp AS ("),
+        b("), comp AS ( WITH RECURSIVE", ") SELECT id AS doc_id"),
+        ") SELECT id AS doc_id" + sql[sql.index(") SELECT id AS doc_id")
+                                      + len(") SELECT id AS doc_id"):])
+    return con.execute(final).fetchdf()
 
 
 def load_oracles():
@@ -132,12 +189,13 @@ def main():
     ok = True
 
     # ── gate the rewrites against the original SQL at sf0.1 ──────────
-    vcon = connect(val_dir)
-    for name, rewritten in [("d18_neardup_clusters", d18),
-                            ("d22_bloom_incremental_dedup", d22)]:
-        orig = vcon.execute(oracle[name]).fetchdf()
-        new = vcon.execute(rewritten).fetchdf()
-        ok &= compare(f"rewrite-gate {name}", new, orig)
+    vcon = connect(val_dir, db="/tmp/oracle_gate_stage.db")
+    orig18 = vcon.execute(oracle["d18_neardup_clusters"]).fetchdf()
+    ok &= compare("rewrite-gate d18_neardup_clusters(staged)",
+                  d18_staged(vcon, d18), orig18)
+    orig22 = vcon.execute(oracle["d22_bloom_incremental_dedup"]).fetchdf()
+    ok &= compare("rewrite-gate d22_bloom_incremental_dedup",
+                  vcon.execute(d22).fetchdf(), orig22)
     orig19 = vcon.execute(d19).fetchdf()
     chunk19 = d19_chunked(vcon, d19, 0, 10_000, 1_000)
     ok &= compare("rewrite-gate d19_gopher_quality", chunk19, orig19)
@@ -146,18 +204,28 @@ def main():
         print("rewrite gate failed; aborting sf1 check")
         sys.exit(1)
 
-    # ── the sf1 comparison proper ────────────────────────────────────
-    con = connect(sf1_dir)
-    for name, sql in [("d18_neardup_clusters", d18),
-                      ("d22_bloom_incremental_dedup", d22)]:
-        mine = con.execute(
+    # ── the sf1 comparison proper (isolated: one OOM must not mask the
+    #    other entries) ────────────────────────────────────────────────
+    con = connect(sf1_dir, db="/tmp/oracle_sf1_stage.db")
+
+    def mine(name):
+        return con.execute(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
-        ok &= compare(name, mine, con.execute(sql).fetchdf())
-    mine19 = con.execute(
-        f"SELECT * FROM '{out_dir}/d19_gopher_quality/*.parquet'").fetchdf()
+
+    def attempt(name, fn):
+        nonlocal ok
+        try:
+            ok &= compare(name, mine(name), fn())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            ok = False
+
+    attempt("d22_bloom_incremental_dedup", lambda: con.execute(d22).fetchdf())
     # sf1 doc_ids: 10 replicas at offsets k*10M (tools.ScaleUp)
-    orc19 = d19_chunked(con, d19, 0, 100_000_000, 10_000_000)
-    ok &= compare("d19_gopher_quality", mine19, orc19)
+    attempt("d19_gopher_quality",
+            lambda: d19_chunked(con, d19, 0, 100_000_000, 10_000_000))
+    attempt("d18_neardup_clusters",
+            lambda: d18_staged(con, d18, log=lambda m: print(m, flush=True)))
 
     sys.exit(0 if ok else 1)
 
