@@ -20,16 +20,18 @@ import org.apache.spark.sql.functions._
   *    customer, lineitem → part/supplier); the tiny dims
   *    (region/nation) are kept single-copy so dim joins stay
   *    broadcast-shaped, as they would be in production.
-  *  - `documents.text` goes through a per-replica alphabet-rotation
+  *  - `documents.text` goes through a per-replica affine alphabet
   *    cipher: a bijective char map preserves length, tokenization
   *    shape, and within-replica exact/near-duplicate structure
   *    EXACTLY (Jaccard over shingles is invariant under a bijective
   *    alphabet rename), while cross-replica copies share no shingles —
   *    so dedup/LSH entropy scales instead of collapsing into
-  *    everything-matches-its-own-clone.
+  *    everything-matches-its-own-clone. 312 distinct ciphers, so this
+  *    holds to factor 312.
   *  - `embeddings.embedding` gets a circular rotation of its
-  *    dimensions per replica: norms and within-replica cosine
-  *    structure are preserved exactly; cross-replica vectors decorrelate.
+  *    dimensions per replica (sign-flipped each full cycle): norms and
+  *    within-replica cosine structure are preserved exactly;
+  *    cross-replica vectors decorrelate up to factor 2×dim.
   *  - Timestamps are kept as-is (10× keys per window is the honest
   *    state-store / sessionization stress; the time axis is not the
   *    scale dimension here).
@@ -39,13 +41,26 @@ object ScaleUp {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase(java.util.Locale.ROOT)
 
-  private def rot(s: String, k: Int): String =
-    s.drop(k % s.length) + s.take(k % s.length)
+  // the 12 multipliers coprime to 26: units of Z/26, each yields a
+  // bijective affine letter map i -> (a*i + b) mod 26
+  private val Units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
 
-  /** Bijective per-replica text cipher (identity for replica 0). */
-  private def cipher(c: org.apache.spark.sql.Column, k: Int) =
-    if (k == 0) c
-    else translate(c, Lower + Upper, rot(Lower, k) + rot(Upper, k))
+  /** Bijective per-replica text cipher (identity for replica 0): an
+    * affine map over the letter alphabet. 12 units x 26 shifts = 312
+    * distinct bijections, so replicas stay pairwise-distinct-ciphered
+    * up to factor 312 (a plain rotation repeats at 26, which would
+    * reintroduce cross-replica exact duplicates at larger factors and
+    * corrupt the dedup work profile).
+    */
+  private def cipher(c: org.apache.spark.sql.Column, k: Int) = {
+    val (a, b) = (Units(k % Units.length), (k / Units.length) % 26)
+    if (a == 1 && b == 0) c
+    else {
+      val mapped = Lower.indices.map(i => Lower((a * i + b) % 26)).mkString
+      translate(c, Lower + Upper,
+        mapped + mapped.toUpperCase(java.util.Locale.ROOT))
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val inDir = args(0)
@@ -82,6 +97,13 @@ object ScaleUp {
           val r = k % math.max(dim, 1)
           if (r != 0) d = d.withColumn(c,
             concat(slice(col(c), r + 1, dim - r), slice(col(c), 1, r)))
+          // past one full rotation cycle the rotations repeat; negate
+          // the whole vector on odd cycles (a global orthogonal
+          // transform: within-replica cosine structure is preserved
+          // EXACTLY, while replica k no longer duplicates replica
+          // k - dim). Distinct up to factor 2*dim.
+          if ((k / math.max(dim, 1)) % 2 == 1)
+            d = d.withColumn(c, transform(col(c), x => -x))
         }
         d
       }
