@@ -1,37 +1,51 @@
 #!/usr/bin/env python3
-"""Render the per-entry sf0.1->sf1 scaling-ratio table for OPERATORS.md.
+"""Render the per-entry scaling-ratio table for OPERATORS.md.
 
-Inputs are two Bench JSON lines (the driver-contract single-line format)
-measured in the same quiet window. Data scales 10x between the points, so
-an entry scaling ~linearly shows time-ratio <= ~10; constant-overhead
-entries (tiny results, fixed model fits) sit far below. Ratios above the
-threshold are listed separately so each gets a named cause in the doc.
+Inputs are two or more Bench JSON lines (the driver-contract single-line
+format) measured in the same quiet window, ordered smallest scale first.
+Data scales 10x between adjacent points, so an entry scaling ~linearly
+shows a per-decade time-ratio <= ~10; constant-overhead entries (tiny
+results, fixed model fits) sit far below. Ratios above the threshold are
+listed separately so each gets a named cause in the doc.
 
-Usage: scaling_table.py bench_sf01.json bench_sf1.json [threshold]
+Usage: scaling_table.py bench_sf01.json bench_sf1.json [bench_sf10.json ...]
+                        [--threshold N] [--labels a,b,c]
 
 Dev-only tooling (driver-side python env); not part of the shipped library.
 """
 import sys, json
 
-lo = json.load(open(sys.argv[1]))
-hi = json.load(open(sys.argv[2]))
-thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 12.0
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+opts = {a.split("=")[0]: a.split("=", 1)[1] for a in sys.argv[1:]
+        if a.startswith("--") and "=" in a}
+thresh = float(opts.get("--threshold", 12.0))
+benches = [json.load(open(p)) for p in args]
+labels = (opts["--labels"].split(",") if "--labels" in opts
+          else [str(b.get("sf", i)) for i, b in enumerate(benches)])
+assert len(benches) >= 2, "need at least two bench points"
 
-qlo, qhi = lo["queries"], hi["queries"]
+qs = [b["queries"] for b in benches]
+common = [k for k in qs[0] if all(k in q for q in qs)]
 rows = []
-for k in qlo:
-    if k in qhi:
-        r = qhi[k] / qlo[k] if qlo[k] > 0 else float("inf")
-        rows.append((k, qlo[k], qhi[k], r))
-rows.sort(key=lambda t: -t[3])
+for k in common:
+    times = [q[k] for q in qs]
+    ratios = [(b / a if a > 0 else float("inf"))
+              for a, b in zip(times, times[1:])]
+    rows.append((k, times, ratios))
+# sort by the worst adjacent-decade ratio, descending
+rows.sort(key=lambda t: -max(t[2]))
 
-print(f"| entry | sf0.1 s | sf1 s | ratio (10x data) |")
-print("|---|---|---|---|")
-for k, a, b, r in rows:
-    print(f"| {k} | {a:.3f} | {b:.3f} | {r:.1f}x |")
+hdr = ["entry"] + [f"{l} s" for l in labels] + [
+    f"{a}->{b}" for a, b in zip(labels, labels[1:])]
+print("| " + " | ".join(hdr) + " |")
+print("|" + "---|" * len(hdr))
+for k, times, ratios in rows:
+    cells = [k] + [f"{t:.3f}" for t in times] + [f"{r:.1f}x" for r in ratios]
+    print("| " + " | ".join(cells) + " |")
 
-over = [t for t in rows if t[3] > thresh]
-print(f"\ntotal sf0.1 {lo['value']:.1f}s -> sf1 {hi['value']:.1f}s "
-      f"({hi['value']/lo['value']:.1f}x); vmed {lo.get('vmed')} -> {hi.get('vmed')}")
-print(f"{len(over)} entries above {thresh:.0f}x (10x data): "
-      + ", ".join(f"{k} {r:.1f}x" for k, _, _, r in over))
+over = [(k, max(r)) for k, _, r in rows if max(r) > thresh]
+tot = " -> ".join(f"{l} {b['value']:.1f}s" for l, b in zip(labels, benches))
+vmed = " -> ".join(str(b.get("vmed")) for b in benches)
+print(f"\ntotals: {tot}; vmed {vmed}")
+print(f"{len(over)} entries above {thresh:.0f}x per decade: "
+      + ", ".join(f"{k} {r:.1f}x" for k, r in over))
