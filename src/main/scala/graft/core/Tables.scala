@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loader for the snapshot table set (TESTDATA.md: one parquet file per
   * table under an sf directory). Mirrors the reference's snapshot-read
@@ -19,16 +19,24 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-    // type for; read the raw int64 and truncate to microseconds —
-    // exactly what DuckDB's ns→us TIMESTAMP conversion does, so the
-    // oracle sees identical values.
+    // events.ts has shipped under two physical types across testdata
+    // vintages. Legacy: parquet TIMESTAMP(NANOS), which Spark has no
+    // native type for — read the raw int64 and truncate to
+    // microseconds, exactly what DuckDB's ns→us TIMESTAMP conversion
+    // does, so the oracle sees identical values. Current: native
+    // TIMESTAMP(MICROS) without a timezone, which Spark infers as
+    // TIMESTAMP_NTZ — cast to TimestampType (UTC session, same
+    // instant) so every downstream consumer (unix_micros arithmetic,
+    // streaming watermarks, dumped gate parquet) sees one type
+    // regardless of vintage.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 

@@ -17,8 +17,12 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events schema as the streaming source must declare it (ns
-    * timestamps arrive as int64; converted exactly like Tables.load).
+  /** The events schema as the streaming source must declare it for the
+    * legacy physical layout (TIMESTAMP(NANOS) arrives as raw int64;
+    * converted exactly like Tables.load). The driver's testdata has
+    * shipped `ts` under two physical types across rounds — int64 nanos
+    * and native TIMESTAMP(MICROS) — so [[readEvents]] sniffs the actual
+    * footer and declares to match rather than assuming this one.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -32,15 +36,35 @@ object EventStream {
     * `glob` restricts which files stream (the file source only
     * accepts directories — pointing at one table inside a directory
     * of many is a glob filter, not a path).
+    *
+    * A streaming source must declare its schema up front, but the
+    * physical type of `ts` differs by data vintage (int64
+    * TIMESTAMP(NANOS) vs native TIMESTAMP(MICROS)/NTZ). One batch
+    * footer read resolves the actual type; the declared schema and the
+    * normalization then follow it, so both layouts stream identically
+    * — `ts` always comes out as the same timestamp the batch path
+    * (Tables.load) produces for that vintage.
     */
   def readEvents(spark: SparkSession, dir: String,
                  glob: Option[String] = None,
                  options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(rawSchema).options(options)
+    val sniffReader = glob.foldLeft(spark.read.format("parquet"))(
+      (r, g) => r.option("pathGlobFilter", g))
+    val tsType = scala.util.Try(sniffReader.load(dir).schema("ts").dataType)
+      .getOrElse(LongType: DataType)
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val reader = spark.readStream.schema(schema).options(options)
     val withGlob = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
-    withGlob.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = withGlob.parquet(dir)
+    tsType match {
+      case LongType => // legacy nanos layout
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // native micros without tz: same instant
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already the TimestampType Tables.load yields
+    }
   }
 
   /** Tumbling/sliding windowed aggregation with late-data handling:

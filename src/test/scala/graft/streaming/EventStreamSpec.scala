@@ -44,6 +44,32 @@ class EventStreamSpec extends SparkSpec {
       s"stream/batch divergence: ${streamed.length} vs ${batch.length} rows")
   }
 
+  test("ts vintage matrix: ns-int64, µs-NTZ, µs-tz all stream identically") {
+    // the driver's testdata has shipped events.ts as int64
+    // TIMESTAMP(NANOS) and as native TIMESTAMP(MICROS) without tz
+    // across rounds — readEvents sniffs the footer, so every physical
+    // vintage must produce the same streamed result
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(500).cache()
+    def staged(write: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Seq[String] = {
+      val dir = Files.createTempDirectory("graft-vintage").toString
+      write(base).write.mode("overwrite").parquet(dir)
+      EventStream.runToMemory(
+        EventStream.windowedAgg(EventStream.readEvents(spark, dir), "1 hour"),
+        s"vintage_out_${dir.hashCode.abs}", OutputMode.Complete())
+      spark.table(s"vintage_out_${dir.hashCode.abs}")
+        .select("window_start", "event_type", "n")
+        .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+    }
+    val ns = staged(_.withColumn("ts", expr("unix_micros(ts) * 1000")))
+    val ntz = staged(_.withColumn("ts", col("ts").cast("timestamp_ntz")))
+    val tz = staged(identity)
+    assert(ns.nonEmpty && ns == ntz && ntz == tz,
+      s"vintage divergence: ns=${ns.length} ntz=${ntz.length} tz=${tz.length}")
+    base.unpersist()
+  }
+
   test("session windows split on the gap") {
     val dir = Files.createTempDirectory("graft-sess").toString
     // user 1: two sessions (45-min gap); user 2: one session
