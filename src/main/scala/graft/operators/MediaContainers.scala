@@ -5,10 +5,12 @@ package graft.operators
   * stsz/stsc/stco sample tables) and AVI RIFF headers (avih + movi
   * chunk scan) give true duration, resolution, frame count, and
   * per-frame byte offsets from the raw bytes alone. Frame sampling can
-  * then walk the real structure (Multimodal.sampleContainerFrames);
-  * only the PIXEL payload still needs a codec the sandbox doesn't
-  * ship (reference analog: media ingestion treats stored blobs as
-  * opaque — this goes one layer deeper without new dependencies).
+  * then walk the real structure (Multimodal.sampleContainerFrames),
+  * and for MJPEG streams the PIXEL payload decodes too — each sample
+  * is a standalone JPEG (Multimodal.decodeVideo). Only non-MJPEG
+  * codecs still need a decoder the sandbox doesn't ship (reference
+  * analog: media ingestion treats stored blobs as opaque — this goes
+  * two layers deeper without new dependencies).
   *
   * Every read is bounds-checked and every loop strictly advances, so
   * malformed/adversarial containers (fuzzed in MultimodalSpec) return

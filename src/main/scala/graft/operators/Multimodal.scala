@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
   * whose magic bytes identify a JDK-decodable format go through the
   * stock JDK codecs — PNG/JPEG/BMP/GIF via `javax.imageio` (features
   * and resizes from actual pixels), WAV/PCM via `javax.sound.sampled`
-  * (amplitude features from actual samples). Everything else (video,
-  * compressed audio, undecodable bytes — the sandbox has no external
-  * codecs) falls back to `fakeDecode`, a clearly-marked deterministic
+  * (amplitude features from actual samples). VIDEO pixels are real for
+  * MJPEG containers (`decodeVideo`: every MJPEG sample is a standalone
+  * JPEG, so container parse + `javax.imageio` covers the whole path in
+  * pure JVM). Everything else (non-MJPEG video, compressed audio,
+  * undecodable bytes — the sandbox has no external codecs) falls back
+  * to `fakeDecode`, a clearly-marked deterministic
   * stand-in that derives stable pseudo-features from the raw bytes. On
   * a real cluster, swap the fallback for a JNI/javacv decoder — the
   * operator shape (iterator→iterator over partitions, fixed-length
@@ -210,16 +213,66 @@ object Multimodal {
     bins
   }
 
+  /** Real VIDEO pixel decode for the one codec-in-container family the
+    * stock JDK handles end-to-end: MJPEG. Every sample in an MJPEG
+    * stream is a standalone JPEG, so once [[MediaContainers]] yields
+    * the container's true frame table (AVI `##dc` chunks or an MP4
+    * sample table), `javax.imageio` decodes actual pixels with no
+    * external codec. Samples up to `maxFrames` evenly-spaced frames
+    * and returns (width, height, framesDecoded, frame-averaged 8-bin
+    * luminance histogram); None when the payload isn't a parseable
+    * container or no sampled frame decodes as an image (caller falls
+    * back to `fakeDecode`). Non-MJPEG codecs (H.264 etc.) land on the
+    * None path by construction — their samples aren't JPEGs.
+    */
+  private[operators] def decodeVideo(bytes: Array[Byte], maxFrames: Int = 8)
+      : Option[(Int, Int, Int, Array[Float])] =
+    MediaContainers.parse(bytes).flatMap { m =>
+      if (m.nFrames <= 0) None
+      else {
+        val n = math.min(m.nFrames, maxFrames)
+        var w = 0
+        var h = 0
+        var decoded = 0
+        val acc = new Array[Float](8)
+        var i = 0
+        while (i < n) {
+          val j = (i.toLong * m.nFrames / n).toInt // even spread
+          val off = m.frameOffsets(j)
+          val sz = m.frameSizes(j).toLong
+          if (off >= 0 && sz > 0 && off + sz <= bytes.length) {
+            val frame = java.util.Arrays.copyOfRange(
+              bytes, off.toInt, (off + sz).toInt)
+            decodeImage(frame) match {
+              case Some((fw, fh, feats)) =>
+                w = fw; h = fh; decoded += 1
+                var b = 0
+                while (b < 8) { acc(b) += feats(b); b += 1 }
+              case None => ()
+            }
+          }
+          i += 1
+        }
+        if (decoded == 0) None
+        else {
+          var b = 0
+          while (b < 8) { acc(b) /= decoded; b += 1 }
+          Some((w, h, decoded, acc))
+        }
+      }
+    }
+
   /** Batch feature extraction: partition-parallel iterator→iterator
     * (the Scala analog of mapInPandas batches — no per-row task or
     * driver round-trip; codec init amortizes per partition). Payloads
     * with a decodable image magic are decoded for real (`decodeImage`:
     * actual pixel luminance histogram + true width/height), WAV audio
-    * likewise (`decodeAudio`: amplitude histogram + true sample rate);
-    * everything else takes the byte-histogram fallback with null
-    * dims/rate. Both real paths emit the same 8-float feature shape as
-    * the fallback, so downstream consumers are agnostic to which path
-    * produced a row.
+    * likewise (`decodeAudio`: amplitude histogram + true sample rate),
+    * and MJPEG video too (`decodeVideo`: frame-averaged pixel luminance
+    * histogram + true frame dimensions); everything else takes the
+    * byte-histogram fallback with null dims/rate. All real paths emit
+    * the same 8-float feature shape as the fallback, so downstream
+    * consumers are agnostic to which path produced a row.
     */
   def extractFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -243,9 +296,14 @@ object Multimodal {
             case Some((rate, feats)) =>
               Row(r.getLong(0), r.getString(1), n, null, null, rate,
                 feats.toSeq)
-            case None =>
-              Row(r.getLong(0), r.getString(1), n, null, null, null,
-                fakeDecode(bytes).toSeq)
+            case None => decodeVideo(bytes) match {
+              case Some((w, h, _, feats)) =>
+                Row(r.getLong(0), r.getString(1), n, w, h, null,
+                  feats.toSeq)
+              case None =>
+                Row(r.getLong(0), r.getString(1), n, null, null, null,
+                  fakeDecode(bytes).toSeq)
+            }
           }
         }
       }
@@ -399,6 +457,48 @@ object Multimodal {
           }
         frames.map { case (i, f) => Row(id, kind, i, f) }
       }
+    }(enc)
+  }
+
+  /** Per-frame pixel features: container-aware frame sampling composed
+    * with real per-frame decode. Each sampled frame becomes
+    * (asset_id, kind, frame_idx, width, height, features, decoded) —
+    * MJPEG frames (standalone JPEGs) decode to true dimensions and a
+    * pixel luminance histogram with decoded=true; anything else (raw
+    * `##db` frames, non-MJPEG codecs, fallback byte slices) gets the
+    * byte-histogram stand-in with decoded=false, so the row shape is
+    * uniform across codecs and consumers can filter on the flag.
+    * Two narrow partition-parallel stages, no shuffle; frame bytes
+    * never visit the driver.
+    */
+  def videoFrameFeatures(assets: DataFrame, frameBytes: Int = 64,
+                         maxFrames: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("kind", StringType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("features", ArrayType(FloatType)),
+      StructField("decoded", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    sampleContainerFrames(assets, frameBytes, maxFrames).mapPartitions {
+      rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          // positional access: Catalyst elides the serialize/
+          // deserialize pair between back-to-back mapPartitions, so
+          // these rows can arrive as schema-less GenericRows
+          val frame = r.getAs[Array[Byte]](3)
+          decodeImage(frame) match {
+            case Some((w, h, feats)) =>
+              Row(r.getLong(0), r.getString(1), r.getInt(2), w, h,
+                feats.toSeq, true)
+            case None =>
+              Row(r.getLong(0), r.getString(1), r.getInt(2), null, null,
+                fakeDecode(frame).toSeq, false)
+          }
+        }
     }(enc)
   }
 
