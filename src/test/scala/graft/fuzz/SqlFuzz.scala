@@ -21,7 +21,14 @@ import org.scalacheck.Gen
   *  - AVG over ints is exact (integer sum, one division);
   *  - EXTRACT results are cast to INTEGER (DuckDB returns BIGINT);
   *  - every computed column gets an explicit alias, identical on both
-  *    sides by construction.
+  *    sides by construction;
+  *  - timestamp predicates use plain STRING literals ('yyyy-MM-dd
+  *    HH:mm:ss'): both engines coerce a string against the column's
+  *    own timestamp flavor, whereas a typed TIMESTAMP literal breaks
+  *    Spark-side against TIMESTAMP_NTZ-inferred date columns;
+  *  - set ops are INTERSECT/EXCEPT only (set-distinct semantics match
+  *    across engines; UNION is validator-blocked) with a trailing
+  *    ordinal ORDER BY that binds the set-op result in both dialects.
   *
   * Value pools (string literals, numeric pivots) are sampled from the
   * actual tables at spec startup, so predicates hit real selectivities
@@ -67,10 +74,16 @@ object SqlFuzz {
     ("nation", "n_regionkey", "region", "r_regionkey"))
 
   /** Per-column literal pools, sampled from the data by the spec:
-    * strings → distinct values; numerics → quantile-ish pivots.
+    * strings → distinct values; numerics → quantile-ish pivots;
+    * times → 'yyyy-MM-dd HH:mm:ss' quantile pivots (rendered as plain
+    * string literals — both engines coerce a string against a
+    * timestamp column identically, whereas a typed TIMESTAMP literal
+    * trips Spark's TIMESTAMP vs TIMESTAMP_NTZ comparison on the
+    * NTZ-inferred date columns).
     */
   final case class Pools(strings: Map[String, Seq[String]],
-                         numbers: Map[String, Seq[String]])
+                         numbers: Map[String, Seq[String]],
+                         times: Map[String, Seq[String]] = Map.empty)
 
   private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -78,11 +91,32 @@ object SqlFuzz {
 
   private def numPred(qual: String, c: Col, pools: Pools): Gen[String] = {
     val pivots = pools.numbers.getOrElse(c.name, Seq("0"))
-    for {
+    val simple = for {
       p <- Gen.oneOf(pivots)
       op <- Gen.oneOf("<", "<=", ">", ">=", "=", "<>")
     } yield s"$qual${c.name} $op $p"
+    if (pivots.size < 2) simple
+    else Gen.frequency(4 -> simple,
+      1 -> Gen.pick(2, pivots).map { ps =>
+        val Seq(a, b) = ps.toSeq.sortBy(_.toDouble)
+        s"$qual${c.name} BETWEEN $a AND $b"
+      })
   }
+
+  private def tsPred(qual: String, c: Col, pools: Pools): Gen[String] =
+    pools.times.get(c.name).filter(_.nonEmpty).fold(
+      Gen.const(s"$qual${c.name} IS NOT NULL")) { pivots =>
+      val cmp = for {
+        p <- Gen.oneOf(pivots)
+        op <- Gen.oneOf("<", "<=", ">", ">=")
+      } yield s"$qual${c.name} $op ${lit(p)}"
+      if (pivots.size < 2) cmp
+      else Gen.frequency(3 -> cmp,
+        1 -> Gen.pick(2, pivots).map { ps =>
+          val Seq(a, b) = ps.toSeq.sorted
+          s"$qual${c.name} BETWEEN ${lit(a)} AND ${lit(b)}"
+        })
+    }
 
   private def strPred(qual: String, c: Col, pools: Pools): Gen[String] = {
     val vals = pools.strings.getOrElse(c.name, Seq("x"))
@@ -97,7 +131,7 @@ object SqlFuzz {
   private def colPred(qual: String, c: Col, pools: Pools): Gen[String] =
     c.typ match {
       case "string" => strPred(qual, c, pools)
-      case "ts" => Gen.const(s"$qual${c.name} IS NOT NULL")
+      case "ts" => tsPred(qual, c, pools)
       case _ => numPred(qual, c, pools)
     }
 
@@ -136,12 +170,20 @@ object SqlFuzz {
 
   // ---- scalar projections ----------------------------------------
 
-  private def scalarExpr(qual: String, c: Col, i: Int): Gen[(String, String)] =
+  private def scalarExpr(qual: String, c: Col, i: Int,
+                         pools: Pools = Pools(Map.empty, Map.empty))
+      : Gen[(String, String)] =
     c.typ match {
-      case "string" => Gen.oneOf(
-        s"UPPER($qual${c.name})", s"LOWER($qual${c.name})",
-        s"CAST(LENGTH($qual${c.name}) AS INTEGER)",
-        s"SUBSTR($qual${c.name}, 1, 3)").map(e => (e, s"x$i"))
+      case "string" =>
+        val base = Gen.oneOf(
+          s"UPPER($qual${c.name})", s"LOWER($qual${c.name})",
+          s"CAST(LENGTH($qual${c.name}) AS INTEGER)",
+          s"SUBSTR($qual${c.name}, 1, 3)")
+        val withCase = pools.strings.get(c.name).filter(_.nonEmpty).fold(base)(
+          vs => Gen.frequency(3 -> base,
+            1 -> Gen.oneOf(vs).map(v =>
+              s"CASE WHEN $qual${c.name} = ${lit(v)} THEN 1 ELSE 0 END")))
+        withCase.map(e => (e, s"x$i"))
       case "ts" => Gen.oneOf(
         s"CAST(EXTRACT(YEAR FROM $qual${c.name}) AS INTEGER)",
         s"CAST(EXTRACT(MONTH FROM $qual${c.name}) AS INTEGER)")
@@ -149,9 +191,15 @@ object SqlFuzz {
       case "double" => Gen.oneOf(
         s"ABS($qual${c.name})",
         s"$qual${c.name} * 2").map(e => (e, s"x$i"))
-      case _ => Gen.oneOf(
-        s"$qual${c.name} + 1", s"$qual${c.name} % 7",
-        s"$qual${c.name} * 3").map(e => (e, s"x$i"))
+      case _ =>
+        val base = Gen.oneOf(
+          s"$qual${c.name} + 1", s"$qual${c.name} % 7",
+          s"$qual${c.name} * 3")
+        val withCase = pools.numbers.get(c.name).filter(_.nonEmpty).fold(base)(
+          ps => Gen.frequency(3 -> base,
+            1 -> Gen.oneOf(ps).map(p =>
+              s"CASE WHEN $qual${c.name} < $p THEN 0 ELSE 1 END")))
+        withCase.map(e => (e, s"x$i"))
     }
 
   // ---- statement shapes ------------------------------------------
@@ -171,7 +219,7 @@ object SqlFuzz {
     cols <- Gen.pick(k, t.cols)
     scalar <- Gen.option(Gen.oneOf(cols.toSeq))
     extra <- scalar.fold(Gen.const(Seq.empty[(String, String)]))(c =>
-      scalarExpr("", c, 0).map(Seq(_)))
+      scalarExpr("", c, 0, pools).map(Seq(_)))
     pred <- Gen.option(predicate("", t, pools))
     limit <- Gen.choose(1, 2000)
     proj = cols.map(_.name) ++ extra.map { case (e, a) => s"$e AS $a" }
@@ -245,6 +293,79 @@ object SqlFuzz {
       s" $ord LIMIT $limit"
   } yield sql
 
+  /** Three-table chains through the join graph: (t1, k1, t2, k2a,
+    * k2b, t3, k3) with t1.k1 = t2.k2a and t2.k2b = t3.k3.
+    */
+  val chains: Seq[(String, String, String, String, String, String, String)] =
+    Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey", "o_custkey",
+        "customer", "c_custkey"),
+      ("orders", "o_custkey", "customer", "c_custkey", "c_nationkey",
+        "nation", "n_nationkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey", "n_regionkey",
+        "region", "r_regionkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey", "n_regionkey",
+        "region", "r_regionkey"))
+
+  /** Shape 7: three-table join chain (grouped or projected). */
+  def joinChain(pools: Pools): Gen[String] = for {
+    ch <- Gen.oneOf(chains)
+    (t1, k1, t2, k2a, k2b, t3, k3) = ch
+    tab1 = tables.find(_.name == t1).get
+    tab3 = tables.find(_.name == t3).get
+    grouped <- Gen.oneOf(true, false)
+    pred <- Gen.option(Gen.oneOf(predicate("", tab1, pools),
+      predicate("", tab3, pools)))
+    from = s"FROM $t1 JOIN $t2 ON $k1 = $k2a JOIN $t3 ON $k2b = $k3"
+    sql <- if (grouped) for {
+      gc <- Gen.oneOf(tab3.cols.filter(c => c.typ == "string" ||
+        c.typ == "int").map(_.name) :+ k3)
+      agg1 <- aggExpr("", tab1, 1)
+      agg0 <- Gen.oneOf("COUNT(*)", s"MIN($k1)", s"MAX($k1)")
+      proj = Seq(s"$agg0 AS agg") :+
+        s"${agg1._1} AS ${agg1._2}" :+ gc
+      ord <- orderAll(proj.size, dir)
+    } yield s"SELECT ${proj.mkString(", ")} $from" +
+      pred.fold("")(p => s" WHERE $p") + s" GROUP BY $gc $ord"
+    else for {
+      lc <- Gen.pick(2, tab1.cols)
+      rc <- Gen.pick(1, tab3.cols)
+      limit <- Gen.choose(1, 2000)
+      proj = (lc.map(_.name) ++ rc.map(_.name)).distinct
+      ord <- orderAll(proj.size, dir)
+    } yield s"SELECT ${proj.mkString(", ")} $from" +
+      pred.fold("")(p => s" WHERE $p") + s" $ord LIMIT $limit"
+  } yield sql
+
+  /** Type-aligned column pairs for set operations. */
+  val setPairs: Seq[(String, String, String, String)] = Seq(
+    ("customer", "c_nationkey", "supplier", "s_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "event_type", "events", "event_type"))
+
+  /** Shape 8: INTERSECT / EXCEPT (set-distinct semantics on both
+    * engines; UNION is token-blocked by the validator so it never
+    * appears). Trailing ordinal ORDER BY binds the set-op result in
+    * both dialects, and dedup makes the result deterministic.
+    */
+  def setOp(pools: Pools): Gen[String] = for {
+    pr <- Gen.oneOf(setPairs)
+    (lt, lc, rt, rc) = pr
+    ltab = tables.find(_.name == lt).get
+    rtab = tables.find(_.name == rt).get
+    op <- Gen.oneOf("INTERSECT", "EXCEPT")
+    lp <- Gen.option(predicate("", ltab, pools))
+    rp <- if (lt == rt) predicate("", rtab, pools).map(Some(_))
+          else Gen.option(predicate("", rtab, pools))
+    d <- dir
+  } yield s"SELECT $lc AS k FROM $lt" +
+    lp.fold("")(p => s" WHERE $p") +
+    s" $op SELECT $rc AS k FROM $rt" +
+    rp.fold("")(p => s" WHERE $p") +
+    s" ORDER BY 1 $d"
+
   /** Shape 5: DISTINCT projection. */
   def distinct(pools: Pools): Gen[String] = for {
     t <- Gen.oneOf(tables)
@@ -288,5 +409,7 @@ object SqlFuzz {
     2 -> scalarAgg(pools),
     3 -> join(pools),
     1 -> distinct(pools),
-    2 -> window(pools))
+    2 -> window(pools),
+    2 -> joinChain(pools),
+    1 -> setOp(pools))
 }

@@ -1,5 +1,6 @@
 package graft.fuzz
 
+import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -35,10 +36,12 @@ class SqlFuzzSpec extends SparkSpec {
   private def samplePools(): SqlFuzz.Pools = {
     val strs = Map.newBuilder[String, Seq[String]]
     val nums = Map.newBuilder[String, Seq[String]]
+    val times = Map.newBuilder[String, Seq[String]]
     SqlFuzz.tables.foreach { t =>
       val df = spark.table(t.name)
       val strCols = t.cols.filter(_.typ == "string").map(_.name)
       val numCols = t.cols.filter(c => c.typ != "string" && c.typ != "ts")
+      val tsCols = t.cols.filter(_.typ == "ts").map(_.name)
       strCols.foreach { c =>
         val vs = df.select(c).distinct().orderBy(c).limit(8)
           .collect().map(_.getString(0)).toSeq
@@ -54,8 +57,20 @@ class SqlFuzzSpec extends SparkSpec {
           if (rendered.nonEmpty) nums += c.name -> rendered
         }
       }
+      tsCols.foreach { c =>
+        // cast handles both vintages (TimestampType and NTZ) uniformly
+        val qs = df.select(unix_micros(col(c).cast("timestamp"))
+            .cast("double").as("u"))
+          .stat.approxQuantile("u", Array(0.1, 0.5, 0.9), 0.05)
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss")
+          .withZone(java.time.ZoneOffset.UTC)
+        val rendered = qs.toSeq.map(v => fmt.format(
+          java.time.Instant.ofEpochSecond((v / 1e6).toLong))).distinct
+        if (rendered.nonEmpty) times += c -> rendered
+      }
     }
-    SqlFuzz.Pools(strs.result(), nums.result())
+    SqlFuzz.Pools(strs.result(), nums.result(), times.result())
   }
 
   test(s"$n generated admitted statements execute on Spark (dump for DuckDB gate)") {
