@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class SemDedupSpec extends SparkSpec {
@@ -47,6 +49,34 @@ class SemDedupSpec extends SparkSpec {
       threshold = 0.9, nCells = 2, iterations = 2)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(s == Set(1L, 8L, 99L))
+  }
+
+  test("auto-k sizes the cell count with the corpus (linear scale path)") {
+    // with nCells <= 0, k = max(16, ceil(N / targetCellSize)): per-cell
+    // population — and so the quadratic pair scan — stays bounded as
+    // the corpus grows, the property that keeps total pair work linear
+    val big = (0L until 4096L).map(i =>
+      (i, Array(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val v = SemDedup.verdicts(big, "vec_id", "embedding",
+      threshold = 0.999, targetCellSize = 256)
+    val cellSizes = v.groupBy("cell_id").count()
+      .collect().map(_.getLong(1))
+    assert(cellSizes.length > 8 && cellSizes.length <= 16, // k = 4096/256
+      s"auto-k chose ${cellSizes.length} populated cells of k=16")
+    assert(v.count() == 4096, "every document verdicted under auto-k")
+    // doubling the corpus doubles k — per-cell volume (the quadratic
+    // term) stays bounded instead of doubling
+    val bigger = big.unionAll(big.select(
+      (col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+    val v2 = SemDedup.verdicts(bigger, "vec_id", "embedding",
+      threshold = 0.999, targetCellSize = 256)
+    val sizes2 = v2.groupBy("cell_id").count().collect().map(_.getLong(1))
+    assert(sizes2.length > 16 && sizes2.length <= 32,
+      s"k scales with N (got ${sizes2.length} populated cells of k=32)")
+    assert(sizes2.max <= 8L * 256,
+      s"per-cell population stays bounded (max ${sizes2.max})")
   }
 
   test("oversized cells pair nothing (guard)") {
