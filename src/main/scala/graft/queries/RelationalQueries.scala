@@ -24,17 +24,31 @@ object RelationalQueries {
   val all: Seq[Q] = Seq(
 
     // ── whitelist shapes Q1–Q8 (query_whitelist.json:3-50) ──────────────
+    // ORDER BY must be TOTAL over the projected columns when a LIMIT
+    // cutoff can land inside a tie group: (l_orderkey, l_linenumber)
+    // is NOT unique in the driver data, and a boundary tie lets each
+    // engine keep a different member (caught at the local sf1 gate —
+    // row sets diverged past position ~2155). Ordering by every
+    // projected column makes boundary ties interchangeable rows, which
+    // the set-compare is insensitive to.
     Q("q01_select_all",
       (s, d) => t(s, d, "lineitem")
-        .orderBy("l_orderkey", "l_linenumber").limit(10000),
-      Some("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10000")),
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate").limit(10000),
+      Some("""SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber,
+              l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount,
+              l_tax, l_returnflag, l_linestatus, l_shipdate LIMIT 10000""")),
 
     Q("q02_select_columns",
       (s, d) => t(s, d, "lineitem")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+          "l_extendedprice")
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
         .limit(10000),
-      Some("SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10000")),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+              FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey,
+              l_quantity, l_extendedprice LIMIT 10000""")),
 
     Q("q03_count",
       (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("n")),
