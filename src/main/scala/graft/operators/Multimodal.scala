@@ -220,7 +220,10 @@ object Multimodal {
     * sample table), `javax.imageio` decodes actual pixels with no
     * external codec. Samples up to `maxFrames` evenly-spaced frames
     * and returns (width, height, framesDecoded, frame-averaged 8-bin
-    * luminance histogram); None when the payload isn't a parseable
+    * luminance histogram) — dims are the FIRST decoded frame's (the
+    * stream's nominal geometry; a mixed-dimension container would
+    * otherwise report whichever sampled frame decoded last); None
+    * when the payload isn't a parseable
     * container or no sampled frame decodes as an image (caller falls
     * back to `fakeDecode`). Non-MJPEG codecs (H.264 etc.) land on the
     * None path by construction — their samples aren't JPEGs.
@@ -245,7 +248,8 @@ object Multimodal {
               bytes, off.toInt, (off + sz).toInt)
             decodeImage(frame) match {
               case Some((fw, fh, feats)) =>
-                w = fw; h = fh; decoded += 1
+                if (decoded == 0) { w = fw; h = fh }
+                decoded += 1
                 var b = 0
                 while (b < 8) { acc(b) += feats(b); b += 1 }
               case None => ()

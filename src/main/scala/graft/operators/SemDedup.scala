@@ -32,6 +32,16 @@ import graft.functions.VectorKernels
   */
 object SemDedup {
 
+  /** The cell count the auto-k rule picks for a corpus of `n` vectors:
+    * the explicit `nCells` when positive, else `max(16, ceil(n /
+    * targetCellSize))`. Public and pure so callers (and the oracle SQL,
+    * which replays the same formula in DuckDB) can pin the chosen k
+    * directly rather than inferring it from populated-cell counts.
+    */
+  def chooseK(n: Long, nCells: Int, targetCellSize: Int): Int =
+    if (nCells > 0) nCells
+    else math.max(16, ((n + targetCellSize - 1) / targetCellSize).toInt)
+
   /** Per-document verdicts: (idCol, cell_id, kept).
     *
     * `nCells <= 0` auto-sizes k ∝ corpus (`ceil(N / targetCellSize)`,
@@ -47,12 +57,10 @@ object SemDedup {
                maxCellSize: Int = 100000,
                targetCellSize: Int = 2048): DataFrame = {
     val k =
-      if (nCells > 0) nCells
-      else {
-        // one count job; the fit below scans the corpus anyway
-        val n = corpus.count()
-        math.max(16, ((n + targetCellSize - 1) / targetCellSize).toInt)
-      }
+      // one count job when auto-sizing; the fit below scans the corpus
+      // anyway
+      chooseK(if (nCells > 0) 0L else corpus.count(), nCells,
+        targetCellSize)
     val cents = IvfAnn.centroids(corpus, idCol, vecCol, k, iterations)
     val cells = IvfAnn.assign(corpus, idCol, vecCol, cents)
 
@@ -78,9 +86,10 @@ object SemDedup {
   /** Only the surviving documents (the frame a pipeline feeds on). */
   def survivors(corpus: DataFrame, idCol: String, vecCol: String,
                 threshold: Double, nCells: Int = -1, iterations: Int = 1,
-                maxCellSize: Int = 100000): DataFrame =
+                maxCellSize: Int = 100000,
+                targetCellSize: Int = 2048): DataFrame =
     corpus.join(
       verdicts(corpus, idCol, vecCol, threshold, nCells, iterations,
-        maxCellSize).filter(col("kept")).select(idCol),
+        maxCellSize, targetCellSize).filter(col("kept")).select(idCol),
       Seq(idCol), "left_semi")
 }

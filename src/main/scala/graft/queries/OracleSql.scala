@@ -809,9 +809,15 @@ ORDER BY method, query_id"""
     * pairs above the cosine threshold mark the larger id dropped.
     * The cell-size guard mirrors the kernel's: singleton and
     * oversized cells pair nothing.
+    *
+    * `nCells <= 0` replays the kernel's auto-k rule IN SQL
+    * (`SemDedup.chooseK`: k = max(16, ceil(N / targetCellSize))) — the
+    * seed count becomes a scalar computed from the corpus, so the gated
+    * path is the linear-at-scale path at every SF without the oracle
+    * and the operator ever disagreeing on k.
     */
   def semanticDedup(threshold: Double, nCells: Int, iterations: Int,
-                    maxCellSize: Int): String = {
+                    maxCellSize: Int, targetCellSize: Int = 2048): String = {
     val lloyd = (1 to iterations).map { it =>
       val prev = if (it == 1) "seeds" else s"cents${it - 1}"
       s"""${assignCte(s"assign$it", prev)},
@@ -824,11 +830,23 @@ cents$it AS (
     GROUP BY cell_id, dim)
   GROUP BY cell_id)"""
     }.mkString(",\n")
-    s"""WITH ${xxhash64Ctes(42L)},
-seeds AS (
+    val seeds =
+      if (nCells > 0)
+        s"""seeds AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS INTEGER) AS cell_id,
     dv AS centroid
-  FROM (SELECT * FROM xh ORDER BY h LIMIT $nCells)),
+  FROM (SELECT * FROM xh ORDER BY h LIMIT $nCells))"""
+      else
+        // SemDedup.chooseK in SQL: integer-exact for N < 2^53
+        s"""kk AS (
+  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / $targetCellSize.0) AS INTEGER)) AS k
+  FROM xh),
+seeds AS (
+  SELECT CAST(rn - 1 AS INTEGER) AS cell_id, dv AS centroid
+  FROM (SELECT dv, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM xh) s, kk
+  WHERE s.rn <= kk.k)"""
+    s"""WITH ${xxhash64Ctes(42L)},
+$seeds,
 corpus AS (SELECT vec_id, dv FROM xh),
 $lloyd,
 ${assignCte("cells", s"cents$iterations")},

@@ -162,13 +162,18 @@ object VectorQueries {
 
     // SemDeDup (Abbas et al. 2023): k-means cells + within-cell cosine
     // pairs, min-id survivor — semantic dedup over embeddings, the
-    // cluster-bounded complement of e04's SRP-bucket pair sweep
+    // cluster-bounded complement of e04's SRP-bucket pair sweep.
+    // auto-k (nCells = -1): both engines compute k = max(16,
+    // ceil(N/2048)) from the corpus, so the gated path is the
+    // linear-at-scale path — a pinned k would make the per-cell pair
+    // scan N²/k (measured 15.6×/decade before this entry switched)
     Q("e08_semantic_dedup",
       (s, d) => graft.operators.SemDedup.verdicts(emb(s, d), "vec_id",
-        "embedding", threshold = 0.3, nCells = 16, iterations = 1)
+        "embedding", threshold = 0.3, nCells = -1, iterations = 1,
+        targetCellSize = 2048)
         .orderBy("vec_id"),
-      Some(OracleSql.semanticDedup(threshold = 0.3, nCells = 16,
-        iterations = 1, maxCellSize = 100000))),
+      Some(OracleSql.semanticDedup(threshold = 0.3, nCells = -1,
+        iterations = 1, maxCellSize = 100000, targetCellSize = 2048))),
 
     // exploded to scalar (label, dim, value) rows: the driver's pandas
     // compare cannot sort/hash array columns, and the long form is

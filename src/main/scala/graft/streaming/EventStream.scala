@@ -52,7 +52,20 @@ object EventStream {
     val sniffReader = glob.foldLeft(spark.read.format("parquet"))(
       (r, g) => r.option("pathGlobFilter", g))
     val tsType = scala.util.Try(sniffReader.load(dir).schema("ts").dataType)
-      .getOrElse(LongType: DataType)
+      .recover { case e =>
+        // an empty/not-yet-populated dir can't be sniffed; assume the
+        // legacy int64-nanos vintage but SAY so — if native
+        // TIMESTAMP(MICROS) files arrive later, the declared int64
+        // schema mismatches the physical type and the stream fails with
+        // an opaque parquet-conversion error, so the log line is the
+        // diagnosis trail
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ts vintage sniff failed for $dir (${e.getMessage}); assuming " +
+            "legacy int64 TIMESTAMP(NANOS). If files are native " +
+            "TIMESTAMP(MICROS)/NTZ the stream will fail on first batch — " +
+            "start it after at least one file exists to sniff the vintage.")
+        LongType: DataType
+      }.get
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val reader = spark.readStream.schema(schema).options(options)
