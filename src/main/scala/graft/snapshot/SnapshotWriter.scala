@@ -35,6 +35,27 @@ final class SnapshotWriter(store: SnapshotStore) {
               partitionBy: Map[String, Seq[String]] = Map.empty): Manifest = {
     val key = SnapshotStore.keyFor(now)
 
+    // Published timestamps must be INT64 TIMESTAMP(MICROS), never the
+    // INT96 Spark still defaults to: INT96 columns carry NO usable
+    // row-group min/max stats, so a ts predicate on a served snapshot
+    // (q29/q36-style time windows, incremental event reads) scans every
+    // row group — at 100 TB that is the difference between pruning to
+    // the probed window and a full-table scan. Scoped to this publish
+    // and restored so a caller session's own writes keep their setting.
+    val tsConf = "spark.sql.parquet.outputTimestampType"
+    val prior = tables.headOption.map(_._2.sparkSession.conf.get(tsConf))
+    tables.headOption.foreach(
+      _._2.sparkSession.conf.set(tsConf, "TIMESTAMP_MICROS"))
+    try publishTables(tables, key, sortCol, partitionBy, now, metadata)
+    finally prior.foreach(v =>
+      tables.head._2.sparkSession.conf.set(tsConf, v))
+  }
+
+  private def publishTables(tables: Map[String, DataFrame], key: String,
+                            sortCol: Option[String],
+                            partitionBy: Map[String, Seq[String]],
+                            now: Instant,
+                            metadata: Map[String, String]): Manifest = {
     val counts = tables.map { case (name, df) =>
       val sorted = df.schema.fieldNames.find(sortCol.contains) match {
         case Some(c) => df.sortWithinPartitions(c)
