@@ -402,6 +402,144 @@ object SqlFuzz {
     pred.fold("")(p => s" WHERE $p") +
     s" ORDER BY $key ASC NULLS FIRST LIMIT $limit"
 
+  /** Null-safe aggregate pool for outer-join groups (no division). */
+  private def outerSafeAgg(qual: String, t: Table, i: Int)
+      : Gen[(String, String)] = {
+    val nums = t.cols.filter(c => c.typ == "int" || c.typ == "long")
+    val strs = t.cols.filter(_.typ == "string")
+    val opts = Seq.newBuilder[Gen[String]]
+    opts += Gen.const("COUNT(*)")
+    if (nums.nonEmpty) opts += Gen.oneOf(nums).flatMap(c => Gen.oneOf(
+      s"CAST(SUM($qual${c.name}) AS BIGINT)",
+      s"MIN($qual${c.name})", s"MAX($qual${c.name})",
+      s"COUNT($qual${c.name})"))
+    if (strs.nonEmpty) opts += Gen.oneOf(strs).flatMap(c =>
+      Gen.oneOf(s"MIN($qual${c.name})", s"MAX($qual${c.name})",
+        s"COUNT(DISTINCT $qual${c.name})"))
+    val os = opts.result()
+    Gen.oneOf(os(0), os(1), os.drop(2): _*).map(e => (e, s"agg$i"))
+  }
+
+  /** Shape 9: LEFT / FULL outer join (projection or grouped). The
+    * richest null-semantics surface the validator admits: null-extended
+    * rows flow through predicates (NULL comparisons filter identically
+    * in both dialects), aggregates (COUNT(col) skips nulls, SUM/MIN/MAX
+    * ignore them — both engines ANSI here), and ordering (which is why
+    * every key carries its explicit NULLS directive — the engines'
+    * *defaults* differ, ASC NULLS FIRST in Spark vs NULLS LAST in
+    * DuckDB, and an outer join is exactly where naked ASC diverges).
+    * A WHERE predicate goes on the LEFT side only: a right-side
+    * predicate on a LEFT join just deletes the null-extended rows
+    * (valid but a degenerate inner join), while a left-side predicate
+    * keeps the outer semantics observable.
+    */
+  def outerJoin(pools: Pools): Gen[String] = for {
+    jn <- Gen.oneOf(joins)
+    (lt, lk, rt, rk) = jn
+    l = tables.find(_.name == lt).get
+    r = tables.find(_.name == rt).get
+    jt <- Gen.oneOf("LEFT JOIN", "FULL JOIN")
+    grouped <- Gen.oneOf(true, false)
+    pred <- Gen.option(predicate("", l, pools))
+    sql <- if (grouped) for {
+      gc <- Gen.oneOf(r.cols.filter(c => c.typ == "string" || c.typ == "int")
+        .map(_.name) :+ rk)
+      // no AVG-style division here: a group made ONLY of null-extended
+      // rows has COUNT(col)=0, and x/0 is the one spot where ANSI
+      // dialects may error instead of NULLing — COUNT/SUM/MIN/MAX over
+      // a null-extended group are NULL/0 on both engines, no edge
+      aggs <- Gen.sequence[Seq[(String, String)], (String, String)](
+        (0 until 2).map(i => outerSafeAgg("", l, i)))
+      agg0 <- Gen.oneOf("COUNT(*)", s"COUNT($lk)", s"MIN($lk)")
+      proj = Seq(s"$agg0 AS agg") ++
+        aggs.map { case (e, a) => s"$e AS $a" } ++ Seq(gc)
+      ord <- orderAll(proj.size, dir)
+    } yield s"SELECT ${proj.mkString(", ")} FROM $lt $jt $rt" +
+      s" ON $lk = $rk" + pred.fold("")(p => s" WHERE $p") +
+      s" GROUP BY $gc $ord"
+    else for {
+      lc <- Gen.pick(2, l.cols)
+      rc <- Gen.pick(1, r.cols)
+      limit <- Gen.choose(1, 2000)
+      proj = (lc.map(_.name) ++ rc.map(_.name)).distinct
+      ord <- orderAll(proj.size, dir)
+    } yield s"SELECT ${proj.mkString(", ")} FROM $lt $jt $rt" +
+      s" ON $lk = $rk" + pred.fold("")(p => s" WHERE $p") +
+      s" $ord LIMIT $limit"
+  } yield sql
+
+  /** Shape 10: IN / EXISTS subquery predicates over the join graph.
+    * [NOT] IN is restricted to the graph's KEY columns, which are
+    * non-null in this corpus — NOT IN against a subquery that can
+    * yield NULL is the classic three-valued-logic trap (the whole
+    * result goes empty); both engines implement that standard
+    * semantics, but pinning non-null keys keeps the fuzz signal on
+    * dialect divergence rather than on a designed-in footgun.
+    * EXISTS / NOT EXISTS use the same equality correlation Spark's
+    * subquery decorrelation requires.
+    */
+  def subqueryPred(pools: Pools): Gen[String] = for {
+    jn <- Gen.oneOf(joins)
+    (lt, lk, rt, rk) = jn
+    l = tables.find(_.name == lt).get
+    r = tables.find(_.name == rt).get
+    neg <- Gen.oneOf("", "NOT ")
+    exists <- Gen.oneOf(true, false)
+    innerPred <- Gen.option(predicate("", r, pools))
+    outerPred <- Gen.option(predicate("", l, pools))
+    k <- Gen.choose(1, math.min(3, l.cols.size))
+    cols <- Gen.pick(k, l.cols)
+    limit <- Gen.choose(1, 2000)
+    proj = cols.map(_.name)
+    ord <- orderAll(proj.size, dir)
+    sub = if (exists)
+      s"${neg}EXISTS (SELECT 1 FROM $rt WHERE $rk = $lk" +
+        innerPred.fold("")(p => s" AND $p") + ")"
+    else
+      s"$lk ${neg}IN (SELECT $rk FROM $rt" +
+        innerPred.fold("")(p => s" WHERE $p") + ")"
+  } yield s"SELECT ${proj.mkString(", ")} FROM $lt WHERE $sub" +
+    outerPred.fold("")(p => s" AND ($p)") + s" $ord LIMIT $limit"
+
+  /** Shape 11: aggregate windows with explicit ROWS frames. The frame
+    * surface is where dialect DEFAULTS diverge most (with an ORDER BY
+    * and no frame, both engines use RANGE UNBOUNDED PRECEDING..CURRENT
+    * ROW — but RANGE over ties vs ROWS is engine-visible the moment
+    * the order key repeats), so every generated window pins an
+    * explicit ROWS frame over a UNIQUE order key: deterministic on
+    * both engines, and the int-SUM CAST pins DuckDB's HUGEINT
+    * widening. FIRST_VALUE over a unique key with an explicit frame is
+    * deterministic too (naked FIRST_VALUE over a tied order is not).
+    */
+  def windowFrame(pools: Pools): Gen[String] = for {
+    tkp <- Gen.oneOf(
+      ("customer", "c_custkey", "c_mktsegment", "c_nationkey"),
+      ("orders", "o_orderkey", "o_orderstatus", "o_custkey"),
+      ("supplier", "s_suppkey", "s_nationkey", "s_nationkey"),
+      ("events", "event_id", "event_type", "user_id"),
+      ("part", "p_partkey", "p_brand", "p_size"))
+    (t, key, part, num) = tkp
+    tab = tables.find(_.name == t).get
+    d <- dir
+    frame <- Gen.oneOf(
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+      "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING",
+      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING")
+    // OVER binds to the bare function call; the single outer CAST pins
+    // DuckDB's HUGEINT int-SUM widening and the COUNT width at once
+    fn <- Gen.oneOf(
+      s"SUM($num)",
+      "COUNT(*)",
+      s"MIN($key)", s"MAX($key)",
+      s"FIRST_VALUE($key)")
+    pred <- Gen.option(predicate("", tab, pools))
+    limit <- Gen.choose(10, 2000)
+  } yield s"SELECT $key, $part, CAST($fn OVER " +
+    s"(PARTITION BY $part ORDER BY $key $d $frame) AS BIGINT) AS w FROM $t" +
+    pred.fold("")(p => s" WHERE $p") +
+    s" ORDER BY $key ASC NULLS FIRST LIMIT $limit"
+
   /** The full admitted-surface generator. */
   def statement(pools: Pools): Gen[String] = Gen.frequency(
     3 -> filterProject(pools),
@@ -411,5 +549,8 @@ object SqlFuzz {
     1 -> distinct(pools),
     2 -> window(pools),
     2 -> joinChain(pools),
-    1 -> setOp(pools))
+    1 -> setOp(pools),
+    2 -> outerJoin(pools),
+    2 -> subqueryPred(pools),
+    2 -> windowFrame(pools))
 }
