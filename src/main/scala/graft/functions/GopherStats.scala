@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * on \n, trimmed of ASCII SPACES ONLY (DuckDB `trim` semantics — NOT
   * Java's trim, which also strips tabs and \r), empties dropped.
   */
-case class GopherStatsExpr(child: Expression)
+case class GopherStatsExpr(child: Expression, asciiFast: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = GopherStatsExpr.schema
@@ -33,7 +33,9 @@ case class GopherStatsExpr(child: Expression)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val u = input.asInstanceOf[UTF8String]
+    if (asciiFast && u.isFullAscii) return evalAscii(u)
+    val s = u.toString
     val toks = Sketch.tokenize(s)
 
     // ── word counters ──
@@ -123,6 +125,137 @@ case class GopherStatsExpr(child: Expression)
         lineChars, dupLineChars))
   }
 
+  /** Byte-level evaluation for full-ASCII rows (the measured-win path;
+    * see OPERATORS.md "UTF8String byte-kernel A/B"). Bit-identical to
+    * the String path: for ASCII, bytes are chars, Character.toLowerCase
+    * is the +32 branch, and the packed "tok1 tok2 ..." buffer makes
+    * each bigram key an exact substring — same HashMap keys, same
+    * counters, no per-char decode and no full char[] materialization.
+    */
+  private def evalAscii(u: UTF8String): Any = {
+    val arr = u.getBytes
+    val n = arr.length
+
+    // ── tokenize into a packed lowercase buffer ──
+    // bound: token chars <= n, separators <= tokens - 1 <= (n-1)/2
+    val packed = new Array[Byte](n + (n >> 1) + 1)
+    var plen = 0
+    var nToks = 0
+    var tokOff = new Array[Int](16)
+    var tokLen = new Array[Int](16)
+    var tokenChars = 0L
+    var alphaWords = 0L
+    var inTok = false
+    var curStart = 0
+    var curAlpha = false
+
+    @inline def endToken(): Unit = {
+      if (nToks == tokOff.length) {
+        tokOff = java.util.Arrays.copyOf(tokOff, nToks * 2)
+        tokLen = java.util.Arrays.copyOf(tokLen, nToks * 2)
+      }
+      tokOff(nToks) = curStart
+      tokLen(nToks) = plen - curStart
+      tokenChars += plen - curStart
+      if (curAlpha) alphaWords += 1
+      nToks += 1
+      inTok = false
+    }
+
+    var i = 0
+    while (i < n) {
+      val b = arr(i)
+      val lower = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      val isAl = lower >= 'a' && lower <= 'z'
+      if (isAl || (lower >= '0' && lower <= '9')) {
+        if (!inTok) {
+          if (plen > 0) { packed(plen) = ' '; plen += 1 }
+          curStart = plen; inTok = true; curAlpha = false
+        }
+        packed(plen) = lower; plen += 1
+        if (isAl) curAlpha = true
+      } else if (inTok) endToken()
+      i += 1
+    }
+    if (inTok) endToken()
+
+    // ── distinct canonical stopwords present (bitmask over the 8) ──
+    val sw = GopherStatsExpr.stopwordBytes
+    var swMask = 0
+    var t = 0
+    while (t < nToks && swMask != 0xff) {
+      var w = 0
+      while (w < sw.length) {
+        val word = sw(w)
+        if (word.length == tokLen(t)) {
+          var j = 0
+          val off = tokOff(t)
+          while (j < word.length && packed(off + j) == word(j)) j += 1
+          if (j == word.length) { swMask |= 1 << w; w = sw.length }
+          else w += 1
+        } else w += 1
+      }
+      t += 1
+    }
+    val stopwordHits = Integer.bitCount(swMask).toLong
+
+    // ── most-repeated word bigram, by characters covered ──
+    var topBigramChars = 0L
+    if (nToks >= 2) {
+      val counts = new java.util.HashMap[String, Int]()
+      var k = 0
+      while (k < nToks - 1) {
+        val from = tokOff(k)
+        val until = tokOff(k + 1) + tokLen(k + 1)
+        counts.merge(new String(packed, from, until - from,
+          java.nio.charset.StandardCharsets.ISO_8859_1), 1, Integer.sum)
+        k += 1
+      }
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val covered = e.getValue.toLong * (e.getKey.length - 1)
+        if (covered > topBigramChars) topBigramChars = covered
+      }
+    }
+
+    // ── line counters (space-trimmed, non-empty lines) ──
+    var nLines = 0L; var bulletLines = 0L; var ellipsisLines = 0L
+    var lineChars = 0L
+    val lineCounts = new java.util.HashMap[String, Int]()
+    var start = 0
+    var pos = 0
+    while (pos <= n) {
+      if (pos == n || arr(pos) == '\n') {
+        var a = start; var b = pos
+        while (a < b && arr(a) == ' ') a += 1
+        while (b > a && arr(b - 1) == ' ') b -= 1
+        if (b > a) {
+          nLines += 1
+          lineChars += b - a
+          val c0 = arr(a)
+          if (c0 == '-' || c0 == '*') bulletLines += 1
+          if (b - a >= 3 && arr(b - 1) == '.' && arr(b - 2) == '.' &&
+            arr(b - 3) == '.') ellipsisLines += 1
+          lineCounts.merge(new String(arr, a, b - a,
+            java.nio.charset.StandardCharsets.ISO_8859_1), 1, Integer.sum)
+        }
+        start = pos + 1
+      }
+      pos += 1
+    }
+    val distinctLines = lineCounts.size.toLong
+    var distinctLineChars = 0L
+    val lit = lineCounts.keySet().iterator()
+    while (lit.hasNext) distinctLineChars += lit.next().length
+    val dupLineChars = lineChars - distinctLineChars
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nToks.toLong, tokenChars, alphaWords, stopwordHits,
+        topBigramChars, nLines, bulletLines, ellipsisLines, distinctLines,
+        lineChars, dupLineChars))
+  }
+
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
   override def prettyName: String = "gopher_stats"
@@ -134,6 +267,9 @@ object GopherStatsExpr {
     */
   val stopwords: IndexedSeq[String] =
     IndexedSeq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private[functions] val stopwordBytes: Array[Array[Byte]] =
+    stopwords.map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).toArray
 
   val schema: StructType = StructType(Seq(
     StructField("word_count", LongType, nullable = false),

@@ -116,8 +116,21 @@ class ServeSoakSpec extends SparkSpec {
     val total = counts.values.sum
     assert(unexpected.isEmpty, s"unexpected statuses: ${unexpected.keySet().asScala}")
     assert(!counts.keys.exists(_ >= 500), s"5xx under load: $counts")
-    assert(counts.getOrElse(429, 0L) > 0, s"rate limiter never engaged: $counts")
     assert(counts.getOrElse(200, 0L) > 0, s"nothing succeeded: $counts")
+    // Limiter engagement, deterministically: the mixed soak only trips
+    // 429s when throughput exceeds the ceiling, which a loaded host can
+    // suppress (observed: a co-tenant burst halved throughput and the
+    // soak ran 429-free). Drain whatever budget remains with cheap
+    // /schema requests — no Spark job, so ceiling+1 consecutive
+    // requests are guaranteed to cross the 60 s window's allowance
+    // regardless of machine speed.
+    var tripped = counts.getOrElse(429, 0L) > 0
+    var burst = 0
+    while (!tripped && burst <= 600) {
+      tripped = get("/schema") == 429
+      burst += 1
+    }
+    assert(tripped, s"rate limiter never engaged (mixed: $counts, burst: $burst)")
     // starvation-freedom: every client thread kept completing requests
     val progress = perThread.map(_.sum())
     assert(progress.forall(_ >= 10),
