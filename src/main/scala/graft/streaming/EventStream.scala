@@ -49,9 +49,21 @@ object EventStream {
                  glob: Option[String] = None,
                  options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sniffReader = glob.foldLeft(spark.read.format("parquet"))(
+    // `glob` names the table within `dir`. Two physical layouts exist:
+    // a single FILE `<dir>/<glob>` (driver testdata) and a Spark-written
+    // DIRECTORY `<dir>/<glob>/part-*.parquet` (ScaleUp and any
+    // production writer). pathGlobFilter matches LEAF file names only,
+    // so for the directory layout the filter would match nothing and
+    // the stream would silently read zero rows — point the source at
+    // the subdirectory itself instead.
+    val (path, filter) = glob match {
+      case Some(g) if new java.io.File(dir, g).isDirectory =>
+        (new java.io.File(dir, g).getPath, None)
+      case g => (dir, g)
+    }
+    val sniffReader = filter.foldLeft(spark.read.format("parquet"))(
       (r, g) => r.option("pathGlobFilter", g))
-    val tsType = scala.util.Try(sniffReader.load(dir).schema("ts").dataType)
+    val tsType = scala.util.Try(sniffReader.load(path).schema("ts").dataType)
       .recover { case e =>
         // an empty/not-yet-populated dir can't be sniffed; assume the
         // legacy int64-nanos vintage but SAY so — if native
@@ -60,7 +72,7 @@ object EventStream {
         // an opaque parquet-conversion error, so the log line is the
         // diagnosis trail
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"ts vintage sniff failed for $dir (${e.getMessage}); assuming " +
+          s"ts vintage sniff failed for $path (${e.getMessage}); assuming " +
             "legacy int64 TIMESTAMP(NANOS). If files are native " +
             "TIMESTAMP(MICROS)/NTZ the stream will fail on first batch — " +
             "start it after at least one file exists to sniff the vintage.")
@@ -69,8 +81,8 @@ object EventStream {
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val reader = spark.readStream.schema(schema).options(options)
-    val withGlob = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
-    val raw = withGlob.parquet(dir)
+    val withGlob = filter.fold(reader)(g => reader.option("pathGlobFilter", g))
+    val raw = withGlob.parquet(path)
     tsType match {
       case LongType => // legacy nanos layout
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -312,6 +324,13 @@ object EventStream {
     // short tmpfs-checkpointed replays)
     sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(p =>
       ss.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    // companion hook for provider-specific knobs (e.g. RocksDB
+    // changelog checkpointing, which uploads deltas instead of
+    // snapshotting the full store every commit): "k=v;k=v"
+    sys.env.get("SPARK_GRAFT_STATE_CONF").foreach(_.split(';').foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) ss.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
     ss
   }
 

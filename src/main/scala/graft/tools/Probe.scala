@@ -22,11 +22,22 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROBE_COUNT=1 swaps the noop sink for count() and
+    // prints result cardinality — a sanity check that repeated draws
+    // of stateful/streaming entries really re-execute the pipeline
+    val doCount = sys.env.get("SPARK_GRAFT_PROBE_COUNT").contains("1")
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      if (doCount) {
+        val n = df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[probe]   $name rows=$n")
+        dt
+      } else {
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
     }
     args.foreach { name =>
       val warm = exec(name)

@@ -44,6 +44,25 @@ class EventStreamSpec extends SparkSpec {
       s"stream/batch divergence: ${streamed.length} vs ${batch.length} rows")
   }
 
+  test("glob naming a Spark-written DIRECTORY streams its part files") {
+    // Two physical layouts ship for the same logical table: the driver
+    // testdata's single FILE `<sf>/events.parquet` and the Spark-written
+    // DIRECTORY `<sf>/events.parquet/part-*` (ScaleUp, production
+    // writers). pathGlobFilter matches leaf FILE names, so the directory
+    // layout read 0 rows silently until readEvents special-cased it —
+    // this pins both layouts to the same non-empty result.
+    val base = Files.createTempDirectory("graft-layout").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.limit(500).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    val streamed = EventStream.readEvents(spark, base,
+      glob = Some("events.parquet"))
+    EventStream.runToMemory(
+      streamed.groupBy().count(), "layout_out", OutputMode.Complete())
+    val n = spark.table("layout_out").collect()(0).getLong(0)
+    assert(n == 500, s"directory layout streamed $n of 500 rows")
+  }
+
   test("ts vintage matrix: ns-int64, µs-NTZ, µs-tz all stream identically") {
     // the driver's testdata has shipped events.ts as int64
     // TIMESTAMP(NANOS) and as native TIMESTAMP(MICROS) without tz
