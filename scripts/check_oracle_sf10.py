@@ -1,0 +1,304 @@
+#!/usr/bin/env python3
+"""sf10-scale (100x) correctness sweep: run every catalog oracle against
+DuckDB over localdata/sf10 and compare with the Spark Verify dump.
+
+At 100x data the DuckDB oracle -- not the engine -- is the bottleneck:
+the generated recursive-FNV CTEs retain every (row, char-position)
+intermediate and recursive CTEs don't spill (measured ~30 GB at sf1 for
+d18; d08's chain alone ran 25 minutes at sf1). The 13 recursion-bearing
+entries are therefore replayed with the same mechanical transformation
+the sf1 heavy script introduced: the recursive chain is swapped for a
+Python UDF that replays the identical xor-multiply recursion, leaving
+every other CTE of the generated SQL byte-for-byte intact.
+
+Three UDFs cover all 13 recursion shapes:
+  fnv2(s)      -- two multiplies per ASCII char   (shingle/token family)
+  fnv1(s)      -- one multiply per ASCII char     (simhash token family)
+  fnv_u16(s)   -- two rounds per UTF-16 code unit (lower(text) keys)
+plus mink_fp(s), which replays d10's whole per-document pipeline
+(k-gram fnv_u16 hashes -> distinct signed -> 8 smallest -> FNV fold).
+
+Gating (--gate): every rewritten oracle is validated 1:1 against the
+ORIGINAL generated SQL at sf0.1 before the sf10 run counts. At sf1 the
+standard sweep (check_oracle.py) already proves original == Spark, so
+the rewrite is additionally compared against the Spark sf1 dump --
+rewrite == Spark == original, closing the loop at 10x too.
+
+Results where DuckDB and pandas would need tens of GB (q21 at sf10 is
+~30M rows) are compared inside DuckDB: row count + order-insensitive
+sum(hash(row)) over identically-typed relations.
+
+Usage:
+  check_oracle_sf10.py --gate  <verify_sf01_dir> <sf01_dir> <verify_sf1_dir> <sf1_dir>
+  check_oracle_sf10.py --run   <verify_sf10_dir> <sf10_dir> [report_json] [only,names]
+
+Dev-only tooling (driver-side python env); not part of the shipped library.
+"""
+import sys, os, json, glob, threading, time
+import duckdb
+import pandas as pd
+
+MASK = (1 << 64) - 1
+PRIME = 1099511628211
+BASIS = 14695981039346656037
+ENTRY_TIMEOUT = int(os.environ.get("GRAFT_ORACLE_TIMEOUT", "1800"))
+
+
+def fnv2(s: str) -> int:
+    """Two multiplies per char: h = ((h ^ ascii(c)) * p % 2^64) * p % 2^64.
+    The ASCII-token/shingle family (tokens are [a-z0-9 ] only)."""
+    h = BASIS
+    for c in s:
+        h = (((h ^ ord(c)) * PRIME) & MASK) * PRIME & MASK
+    return h
+
+
+def fnv1(s: str) -> int:
+    """Single multiply per char (the simhash token chain)."""
+    h = BASIS
+    for c in s:
+        h = ((h ^ ord(c)) * PRIME) & MASK
+    return h
+
+
+def fnv_u16(s: str) -> int:
+    """Two rounds per UTF-16 code unit: low byte then high byte."""
+    h = BASIS
+    for c in s:
+        cp = ord(c)
+        h = ((h ^ (cp & 255)) * PRIME) & MASK
+        h = ((h ^ ((cp >> 8) & 255)) * PRIME) & MASK
+    return h
+
+
+def mink_fp(s: str) -> int:
+    """d10's whole pipeline on the already-normalized string: fnv_u16
+    over every 8-gram (clipped at the string end exactly as the
+    recursion's `pos + j <= len` guard does), distinct under SIGNED
+    order, 8 smallest, FNV-folded ascending."""
+    k, m = 8, 8
+    hs = set()
+    for pos in range(max(len(s) - k + 1, 1)):
+        h = fnv_u16(s[pos:pos + k])
+        hs.add(h - (1 << 64) if h >= (1 << 63) else h)
+    fp = BASIS
+    for v in sorted(hs)[:m]:
+        fp = ((fp ^ (v & MASK)) * PRIME) & MASK
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def connect(sf_dir):
+    con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='80GB'")
+    con.create_function("fnv2", fnv2, ["VARCHAR"], "UBIGINT")
+    con.create_function("fnv1", fnv1, ["VARCHAR"], "UBIGINT")
+    con.create_function("fnv_u16", fnv_u16, ["VARCHAR"], "UBIGINT")
+    con.create_function("mink_fp", mink_fp, ["VARCHAR"], "BIGINT")
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p)[:-8]
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+    return con
+
+
+def rewrite(sql, start, end, repl):
+    a = sql.index(start)
+    b = sql.index(end, a)
+    return sql[:a] + repl + sql[b:]
+
+
+# entry -> (start_marker, end_marker, replacement) over the generated SQL
+REWRITES = {
+    "d08_minhash_neardups": ("fnv AS ( WITH RECURSIVE", "), mixed AS (",
+        "fnv AS ( SELECT doc_id, sid, fnv2(s) AS h FROM sh"),
+    "d12_curation": ("fnv AS ( WITH RECURSIVE", "), mixed AS (",
+        "fnv AS ( SELECT doc_id, sid, fnv2(s) AS h FROM sh"),
+    "d17_decontamination": ("fnv AS ( WITH RECURSIVE", "), mixed AS (",
+        "fnv AS ( SELECT doc_id, sid, fnv2(s) AS h FROM sh"),
+    "d18_neardup_clusters": ("fnv AS ( WITH RECURSIVE", "), mixed AS (",
+        "fnv AS ( SELECT doc_id, sid, fnv2(s) AS h FROM sh"),
+    "d09_simhash_neardups": ("fnv AS ( WITH RECURSIVE", "), votes AS (",
+        "fnv AS ( SELECT tok, fnv1(tok) AS h FROM toku"),
+    "d25_dsir_importance": ("fnv AS ( WITH RECURSIVE", "), tb AS (",
+        "fnv AS ( SELECT tok, CAST(fnv2(tok) % 4096 AS BIGINT) AS bucket FROM toku"),
+    "d29_dsir_resample": ("fnv AS ( WITH RECURSIVE", "), tb AS (",
+        "fnv AS ( SELECT tok, CAST(fnv2(tok) % 4096 AS BIGINT) AS bucket FROM toku"),
+    "d33_nb_classifier": ("fnv AS ( WITH RECURSIVE", "), tb AS (",
+        "fnv AS ( SELECT tok, CAST(fnv2(tok) % 4096 AS BIGINT) AS bucket FROM toku"),
+    "d30_bigram_crossentropy": ("fnv AS ( WITH RECURSIVE", "), c2 AS (",
+        "fnv AS ( SELECT s, CAST(fnv2(s) % 4096 AS BIGINT) AS bucket FROM strs"),
+    "d31_repeated_spans": ("fnv AS ( WITH RECURSIVE", "), occ AS (",
+        "fnv AS ( SELECT s, fnv2(s) AS h FROM strs"),
+    "d32_ngram_contamination": ("fnv AS ( WITH RECURSIVE", "), bhash AS (",
+        "fnv AS ( SELECT s, fnv2(s) AS h FROM strs"),
+    "d22_bloom_incremental_dedup": ("fnv AS ( WITH RECURSIVE", "), h2c AS (",
+        "fnv AS ( SELECT doc_id, fnv_u16(key) AS h1 FROM kl"),
+}
+
+
+def rewritten(name, sql):
+    if name in REWRITES:
+        return rewrite(sql, *REWRITES[name])
+    if name == "d10_fingerprint_mink":
+        # replace everything from the grams recursion on with the
+        # per-document UDF; the norm CTE stays byte-identical
+        a = sql.index("), nl AS (")
+        return sql[:a] + \
+            ") SELECT doc_id, mink_fp(s) AS sketch_fp FROM norm ORDER BY doc_id"
+    return sql
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare_df(name, mine, orc):
+    mine, orc = canon(mine), canon(orc)
+    if list(mine.columns) != list(orc.columns):
+        return f"columns {list(mine.columns)} vs {list(orc.columns)}"
+    if len(mine) != len(orc):
+        return f"rows {len(mine)} vs {len(orc)}"
+    if [str(t) for t in mine.dtypes] != [str(t) for t in orc.dtypes]:
+        return f"dtype {[str(t) for t in mine.dtypes]} vs {[str(t) for t in orc.dtypes]}"
+    for c in mine.columns:
+        neq = ~(mine[c].eq(orc[c]) | (mine[c].isna() & orc[c].isna()))
+        if neq.any():
+            i = neq.idxmax()
+            return f"{c}[{i}]: {mine[c][i]!r} vs {orc[c][i]!r} (n={neq.sum()})"
+    return None
+
+
+def run_with_timeout(con, fn, seconds):
+    timer = threading.Timer(seconds, con.interrupt)
+    timer.start()
+    t0 = time.time()
+    try:
+        return fn(), time.time() - t0, None
+    except Exception as e:
+        msg = str(e)
+        kind = "TIMEOUT" if "INTERRUPT" in msg.upper() or \
+            time.time() - t0 >= seconds - 1 else msg[:300]
+        return None, time.time() - t0, kind
+    finally:
+        timer.cancel()
+
+
+BIG_ROWS = 10_000_000  # pandas compare above this -> in-DuckDB checksum
+
+
+def check_entry(con, name, sql, out_dir):
+    res_path = f"{out_dir}/{name}"
+    if not os.path.isdir(res_path):
+        return {"err": "no result dir"}
+    mine_rel = f"SELECT * FROM '{res_path}/*.parquet'"
+    n_mine = con.execute(f"SELECT COUNT(*) FROM ({mine_rel})").fetchone()[0]
+    if n_mine <= BIG_ROWS:
+        def fn():
+            orc = con.execute(sql).fetchdf()
+            mine = con.execute(mine_rel).fetchdf()
+            return compare_df(name, mine, orc)
+        diff, secs, err = run_with_timeout(con, fn, ENTRY_TIMEOUT)
+        if err:
+            return {"err": err, "secs": round(secs, 1)}
+        return {"err": diff, "rows": int(n_mine), "secs": round(secs, 1)}
+    # huge result: order-insensitive checksum entirely inside DuckDB.
+    # hash() is type-sensitive, so cast both sides through the Spark
+    # dump's schema (the smaller-SF sweeps already pin dtypes).
+    def fn():
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE {mine_rel}").fetchall()]
+        types = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE {mine_rel}").fetchall()}
+        sel = ", ".join(f'CAST("{c}" AS {types[c]}) AS "{c}"' for c in sorted(cols))
+        h = ", ".join(f'"{c}"' for c in sorted(cols))
+        qm = con.execute(
+            f"SELECT COUNT(*), SUM(hash({h})) FROM (SELECT {sel} FROM ({mine_rel}))"
+        ).fetchone()
+        qo = con.execute(
+            f"SELECT COUNT(*), SUM(hash({h})) FROM (SELECT {sel} FROM ({sql}))"
+        ).fetchone()
+        if qm[0] != qo[0]:
+            return f"rows {qm[0]} vs {qo[0]}"
+        if qm[1] != qo[1]:
+            return f"hashsum {qm[1]} vs {qo[1]}"
+        return None
+    diff, secs, err = run_with_timeout(con, fn, ENTRY_TIMEOUT)
+    if err:
+        return {"err": err, "secs": round(secs, 1)}
+    return {"err": diff, "rows": int(n_mine), "secs": round(secs, 1),
+            "mode": "checksum"}
+
+
+def gate(v01, sf01, v1, sf1):
+    """Validate every rewrite: vs the ORIGINAL SQL at sf0.1, and vs the
+    Spark dump at sf1 (original == Spark at sf1 is the standard sweep's
+    result, so rewrite == Spark closes rewrite == original at 10x)."""
+    oracle = json.load(open(f"{v01}/oracle_sql.json"))
+    names = list(REWRITES) + ["d10_fingerprint_mink"]
+    ok = True
+    con = connect(sf01)
+    for name in names:
+        orig = con.execute(oracle[name]).fetchdf()
+        mine = con.execute(rewritten(name, oracle[name])).fetchdf()
+        diff = compare_df(name, mine, orig)
+        print(f"{'PASS' if not diff else 'FAIL'} gate-sf0.1 {name}"
+              + (f": {diff}" if diff else f" ({len(orig)} rows)"), flush=True)
+        ok &= not diff
+    con.close()
+    con = connect(sf1)
+    oracle1 = json.load(open(f"{v1}/oracle_sql.json"))
+    for name in names:
+        mine = con.execute(rewritten(name, oracle1[name])).fetchdf()
+        spark = con.execute(f"SELECT * FROM '{v1}/{name}/*.parquet'").fetchdf()
+        diff = compare_df(name, mine, spark)
+        print(f"{'PASS' if not diff else 'FAIL'} gate-sf1 {name}"
+              + (f": {diff}" if diff else f" ({len(spark)} rows)"), flush=True)
+        ok &= not diff
+    con.close()
+    return ok
+
+
+def run(v10, sf10, report_path, only=None):
+    oracle = json.load(open(f"{v10}/oracle_sql.json"))
+    report = {}
+    if os.path.exists(report_path):
+        report = json.load(open(report_path))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        if report.get(name, {}).get("err") is None and name in report:
+            n_pass += 1
+            continue  # already green in a previous partial run
+        con = connect(sf10)
+        r = check_entry(con, name, rewritten(name, oracle[name]), v10)
+        con.close()
+        report[name] = r
+        ok = r.get("err") is None
+        n_pass += ok
+        n_fail += not ok
+        print(f"{'PASS' if ok else 'FAIL'} {name} "
+              f"({r.get('rows', '?')} rows, {r.get('secs', '?')}s)"
+              + ("" if ok else f": {r['err']}"), flush=True)
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=1)
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return n_fail == 0
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1]
+    if mode == "--gate":
+        sys.exit(0 if gate(*sys.argv[2:6]) else 1)
+    elif mode == "--run":
+        only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
+        path = sys.argv[4] if len(sys.argv) > 4 else "/tmp/sf10_report.json"
+        sys.exit(0 if run(sys.argv[2], sys.argv[3], path, only) else 1)
+    else:
+        print(__doc__)
+        sys.exit(2)

@@ -1,11 +1,18 @@
 #!/usr/bin/env python3
 """Rewrite a ScaleUp-generated events table to the driver testdata's
 exact physical layout (TESTDATA.md): ONE parquet FILE named
-events.parquet with TIMESTAMP(NANOS) ts. Two reasons:
- - EventStream.rawSchema reads ts as raw int64 nanos — a Spark-written
-   TIMESTAMP(MICROS) column fails that schema;
+events.parquet with TIMESTAMP(NANOS) ts.
+
+OBSOLETE as a prerequisite since round 8: EventStream.readEvents now
+sniffs the ts vintage per-footer AND special-cases a glob that names a
+Spark-written DIRECTORY, so scale points stream correctly in their raw
+ScaleUp layout. Kept for reproducing the round-7 measurement setup
+(which flattened events through this script) and as layout tooling.
+Original motivation, both halves since fixed in the reader:
+ - EventStream.rawSchema read ts as raw int64 nanos — a Spark-written
+   TIMESTAMP(MICROS) column failed that schema;
  - the streaming entries glob `events.parquet` as a file inside the sf
-   dir; a directory of part files would match nothing.
+   dir; a directory of part files matched nothing (SILENTLY zero rows).
 Multiple row groups keep batch scans parallelizable (Spark splits a
 single file on row-group boundaries).
 
