@@ -28,8 +28,12 @@ Results where DuckDB and pandas would need tens of GB (q21 at sf10 is
 ~30M rows) are compared inside DuckDB: row count + order-insensitive
 sum(hash(row)) over identically-typed relations.
 
+Two entries run through oracle_sf1_heavy's out-of-core forms (staged
+d18, doc_id-chunked d19) — that script gates each form 1:1 against the
+original SQL at sf0.1 whenever it runs.
+
 Usage:
-  check_oracle_sf10.py --gate  <verify_sf01_dir> <sf01_dir> <verify_sf1_dir> <sf1_dir>
+  check_oracle_sf10.py --gate  <verify_sf01_dir> <sf01_dir> <verify_sf1_dir> <sf1_dir> [only,names] [both|sf0.1|sf1]
   check_oracle_sf10.py --run   <verify_sf10_dir> <sf10_dir> [report_json] [only,names]
 
 Dev-only tooling (driver-side python env); not part of the shipped library.
@@ -87,19 +91,55 @@ def mink_fp(s: str) -> int:
     return fp - (1 << 64) if fp >= (1 << 63) else fp
 
 
-def connect(sf_dir):
-    con = duckdb.connect()
+# the validated out-of-core evaluators (staged d18, chunked d19) live in
+# the sf1 heavy script; reuse them verbatim rather than re-transcribing
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import oracle_sf1_heavy as heavy  # noqa: E402
+
+
+def connect(sf_dir, db=None):
+    # a disk-backed database lets staged CREATE TABLEs run out-of-core
+    # (one-shot queries spill via temp_directory either way, but
+    # recursive CTEs and list-agg intermediates do not — see the heavy
+    # script's docstring)
+    if db is not None and os.path.exists(db):
+        os.remove(db)
+    con = duckdb.connect(db) if db is not None else duckdb.connect()
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET memory_limit='80GB'")
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("GRAFT_ORACLE_MEM", "80GB"))
     con.create_function("fnv2", fnv2, ["VARCHAR"], "UBIGINT")
     con.create_function("fnv1", fnv1, ["VARCHAR"], "UBIGINT")
     con.create_function("fnv_u16", fnv_u16, ["VARCHAR"], "UBIGINT")
     con.create_function("mink_fp", mink_fp, ["VARCHAR"], "BIGINT")
+    # d18's staged t_fnv stage names the heavy script's UDF; it computes
+    # the identical two-multiply recursion as fnv2
+    con.create_function("fnv_d18", fnv2, ["VARCHAR"], "UBIGINT")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-8]
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     return con
+
+
+# entries whose ONE-SHOT oracle exceeds RAM even UDF-rewritten (list-agg
+# + candidate-sig peaks; recursive per-char d19): evaluated through the
+# heavy script's staged/chunked forms, which oracle_sf1_heavy gates 1:1
+# against the originals at sf0.1 on every run
+STAGED = {"d18_neardup_clusters"}
+CHUNKED = {"d19_gopher_quality"}
+CHUNK_STEP = 10_000_000  # ScaleUp replica key offset
+
+
+def oracle_df(con, name, sql):
+    """Evaluate the (rewritten) oracle as a DataFrame, via the validated
+    out-of-core strategy where the one-shot form exceeds RAM."""
+    if name in STAGED:
+        return heavy.d18_staged(con, sql, log=lambda m: print(m, flush=True))
+    if name in CHUNKED:
+        hi = con.execute("SELECT MAX(doc_id) FROM documents").fetchone()[0]
+        return heavy.d19_chunked(con, sql, 0, hi + 1, CHUNK_STEP)
+    return con.execute(sql).fetchdf()
 
 
 def rewrite(sql, start, end, repl):
@@ -199,7 +239,7 @@ def check_entry(con, name, sql, out_dir):
     n_mine = con.execute(f"SELECT COUNT(*) FROM ({mine_rel})").fetchone()[0]
     if n_mine <= BIG_ROWS:
         def fn():
-            orc = con.execute(sql).fetchdf()
+            orc = oracle_df(con, name, sql)
             mine = con.execute(mine_rel).fetchdf()
             return compare_df(name, mine, orc)
         diff, secs, err = run_with_timeout(con, fn, ENTRY_TIMEOUT)
@@ -209,6 +249,8 @@ def check_entry(con, name, sql, out_dir):
     # huge result: order-insensitive checksum entirely inside DuckDB.
     # hash() is type-sensitive, so cast both sides through the Spark
     # dump's schema (the smaller-SF sweeps already pin dtypes).
+    assert name not in STAGED | CHUNKED, \
+        f"{name}: staged/chunked oracle cannot take the checksum path"
     def fn():
         cols = [r[0] for r in con.execute(
             f"DESCRIBE {mine_rel}").fetchall()]
@@ -234,32 +276,48 @@ def check_entry(con, name, sql, out_dir):
             "mode": "checksum"}
 
 
-def gate(v01, sf01, v1, sf1):
+def gate(v01, sf01, v1, sf1, only=None, phase="both"):
     """Validate every rewrite: vs the ORIGINAL SQL at sf0.1, and vs the
     Spark dump at sf1 (original == Spark at sf1 is the standard sweep's
-    result, so rewrite == Spark closes rewrite == original at 10x)."""
+    result, so rewrite == Spark closes rewrite == original at 10x).
+
+    d18's sf1 half runs through the STAGED form on a disk-backed db —
+    its one-shot rewrite OOMs at 10x (list-agg + candidate-sig peaks,
+    which don't spill); the staged == original equivalence itself is
+    gated at sf0.1 by oracle_sf1_heavy on every run of that script.
+
+    `only` restricts to named entries, `phase` to one sf, so a crashed
+    run resumes without repaying the already-passed validations.
+    """
     oracle = json.load(open(f"{v01}/oracle_sql.json"))
-    names = list(REWRITES) + ["d10_fingerprint_mink"]
+    names = [n for n in list(REWRITES) + ["d10_fingerprint_mink"]
+             if not only or n in only]
     ok = True
-    con = connect(sf01)
-    for name in names:
-        orig = con.execute(oracle[name]).fetchdf()
-        mine = con.execute(rewritten(name, oracle[name])).fetchdf()
-        diff = compare_df(name, mine, orig)
-        print(f"{'PASS' if not diff else 'FAIL'} gate-sf0.1 {name}"
-              + (f": {diff}" if diff else f" ({len(orig)} rows)"), flush=True)
-        ok &= not diff
-    con.close()
-    con = connect(sf1)
-    oracle1 = json.load(open(f"{v1}/oracle_sql.json"))
-    for name in names:
-        mine = con.execute(rewritten(name, oracle1[name])).fetchdf()
-        spark = con.execute(f"SELECT * FROM '{v1}/{name}/*.parquet'").fetchdf()
-        diff = compare_df(name, mine, spark)
-        print(f"{'PASS' if not diff else 'FAIL'} gate-sf1 {name}"
-              + (f": {diff}" if diff else f" ({len(spark)} rows)"), flush=True)
-        ok &= not diff
-    con.close()
+    if phase in ("both", "sf0.1"):
+        con = connect(sf01)
+        for name in names:
+            orig = con.execute(oracle[name]).fetchdf()
+            mine = oracle_df(con, name, rewritten(name, oracle[name]))
+            diff = compare_df(name, mine, orig)
+            print(f"{'PASS' if not diff else 'FAIL'} gate-sf0.1 {name}"
+                  + (f": {diff}" if diff else f" ({len(orig)} rows)"),
+                  flush=True)
+            ok &= not diff
+        con.close()
+    if phase in ("both", "sf1"):
+        oracle1 = json.load(open(f"{v1}/oracle_sql.json"))
+        for name in names:
+            con = connect(sf1, db="/tmp/sf10_gate_stage.db"
+                          if name in STAGED else None)
+            mine = oracle_df(con, name, rewritten(name, oracle1[name]))
+            spark = con.execute(
+                f"SELECT * FROM '{v1}/{name}/*.parquet'").fetchdf()
+            diff = compare_df(name, mine, spark)
+            print(f"{'PASS' if not diff else 'FAIL'} gate-sf1 {name}"
+                  + (f": {diff}" if diff else f" ({len(spark)} rows)"),
+                  flush=True)
+            ok &= not diff
+            con.close()
     return ok
 
 
@@ -275,7 +333,8 @@ def run(v10, sf10, report_path, only=None):
         if report.get(name, {}).get("err") is None and name in report:
             n_pass += 1
             continue  # already green in a previous partial run
-        con = connect(sf10)
+        con = connect(sf10, db="/tmp/sf10_run_stage.db"
+                      if name in STAGED else None)
         r = check_entry(con, name, rewritten(name, oracle[name]), v10)
         con.close()
         report[name] = r
@@ -294,7 +353,9 @@ def run(v10, sf10, report_path, only=None):
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "--gate":
-        sys.exit(0 if gate(*sys.argv[2:6]) else 1)
+        only = set(sys.argv[6].split(",")) if len(sys.argv) > 6 else None
+        phase = sys.argv[7] if len(sys.argv) > 7 else "both"
+        sys.exit(0 if gate(*sys.argv[2:6], only=only, phase=phase) else 1)
     elif mode == "--run":
         only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
         path = sys.argv[4] if len(sys.argv) > 4 else "/tmp/sf10_report.json"
