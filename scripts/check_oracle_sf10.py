@@ -123,12 +123,70 @@ def connect(sf_dir, db=None):
 
 
 # entries whose ONE-SHOT oracle exceeds RAM even UDF-rewritten (list-agg
-# + candidate-sig peaks; recursive per-char d19): evaluated through the
-# heavy script's staged/chunked forms, which oracle_sf1_heavy gates 1:1
-# against the originals at sf0.1 on every run
+# + candidate-sig peaks; recursive per-char d19): evaluated through an
+# out-of-core form — d18 via the heavy script's marker-staged evaluator,
+# d19 via its doc_id-chunked evaluator (both gated there at sf0.1 on
+# every run), the rest via the generic CTE-materializing splitter below
+# (gated here by --gate: staged == one-shot original at sf0.1, staged ==
+# Spark dump at sf1)
 STAGED = {"d18_neardup_clusters"}
+GENERIC_STAGED = {"d08_minhash_neardups"}
 CHUNKED = {"d19_gopher_quality"}
 CHUNK_STEP = 10_000_000  # ScaleUp replica key offset
+
+import re  # noqa: E402
+
+
+def split_ctes(sql):
+    """Parse a linear top-level `WITH a AS (...), b AS (...) SELECT ...`
+    chain into ([(name, colAliases, body)], finalSelect). Paren-depth
+    scan with string-literal awareness — the generated oracles are one
+    flat WITH chain (any WITH RECURSIVE lives inside a body, where it
+    stays)."""
+    s = sql.strip()
+    assert s[:4].upper() == "WITH", s[:40]
+    i = 4
+    ctes = []
+    while True:
+        m = re.match(r"\s*(\w+)\s*(\([^)]*\))?\s+AS\s+\(", s[i:])
+        assert m, f"expected CTE at ...{s[i:i+80]!r}"
+        j = i + m.end()
+        depth, k, in_str = 1, j, False
+        while depth:
+            c = s[k]
+            if in_str:
+                if c == "'":
+                    in_str = False  # '' escapes toggle twice: net no-op
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        ctes.append((m.group(1), m.group(2) or "", s[j:k - 1]))
+        m2 = re.match(r"\s*,", s[k:])
+        if not m2:
+            return ctes, s[k:]
+        i = k + m2.end()
+
+
+def staged_generic(con, sql, log=lambda *a: None):
+    """Materialize every top-level CTE as a TABLE in order, then run the
+    final SELECT against them. On a disk-backed database each stage runs
+    out-of-core and the one-shot plan's live-everything peak never
+    forms. Equivalence to the one-shot form is exact by construction
+    (same SQL text per stage) and still gated empirically by --gate."""
+    import time
+    ctes, final = split_ctes(sql)
+    for name, cols, body in ctes:
+        t0 = time.time()
+        con.execute(f"DROP TABLE IF EXISTS {name}")
+        alias = f" AS _s{cols}" if cols else ""
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM ({body})" + alias)
+        n = con.execute(f"SELECT COUNT(*) FROM {name}").fetchone()[0]
+        log(f"  stage {name}: {n} rows in {time.time() - t0:.1f}s")
+    return con.execute(final).fetchdf()
 
 
 def oracle_df(con, name, sql):
@@ -136,6 +194,8 @@ def oracle_df(con, name, sql):
     out-of-core strategy where the one-shot form exceeds RAM."""
     if name in STAGED:
         return heavy.d18_staged(con, sql, log=lambda m: print(m, flush=True))
+    if name in GENERIC_STAGED:
+        return staged_generic(con, sql, log=lambda m: print(m, flush=True))
     if name in CHUNKED:
         hi = con.execute("SELECT MAX(doc_id) FROM documents").fetchone()[0]
         return heavy.d19_chunked(con, sql, 0, hi + 1, CHUNK_STEP)
@@ -249,7 +309,7 @@ def check_entry(con, name, sql, out_dir):
     # huge result: order-insensitive checksum entirely inside DuckDB.
     # hash() is type-sensitive, so cast both sides through the Spark
     # dump's schema (the smaller-SF sweeps already pin dtypes).
-    assert name not in STAGED | CHUNKED, \
+    assert name not in STAGED | GENERIC_STAGED | CHUNKED, \
         f"{name}: staged/chunked oracle cannot take the checksum path"
     def fn():
         cols = [r[0] for r in con.execute(
@@ -308,7 +368,7 @@ def gate(v01, sf01, v1, sf1, only=None, phase="both"):
         oracle1 = json.load(open(f"{v1}/oracle_sql.json"))
         for name in names:
             con = connect(sf1, db="/tmp/sf10_gate_stage.db"
-                          if name in STAGED else None)
+                          if name in STAGED | GENERIC_STAGED else None)
             mine = oracle_df(con, name, rewritten(name, oracle1[name]))
             spark = con.execute(
                 f"SELECT * FROM '{v1}/{name}/*.parquet'").fetchdf()
@@ -334,7 +394,7 @@ def run(v10, sf10, report_path, only=None):
             n_pass += 1
             continue  # already green in a previous partial run
         con = connect(sf10, db="/tmp/sf10_run_stage.db"
-                      if name in STAGED else None)
+                      if name in STAGED | GENERIC_STAGED else None)
         r = check_entry(con, name, rewritten(name, oracle[name]), v10)
         con.close()
         report[name] = r
