@@ -114,26 +114,35 @@ object Sampling {
     * — the corpus itself never shuffles.
     *
     * Determinism: alpha = 0.5 (the default) uses `sqrt`, which IEEE
-    * requires correctly rounded, and weights snap to a 6-dp grid
-    * before the exact-DECIMAL denominator sum — quotas are therefore
-    * bit-reproducible across engines. Other alphas go through `pow`,
-    * whose last-ulp behavior is libm-specific; fine operationally,
-    * but only 0.5 carries the cross-engine-exactness guarantee.
+    * requires correctly rounded, and weights snap to a 6-dp FIXED-POINT
+    * grid (micro-weight longs); the quota is then exact integer
+    * arithmetic `(total · wµ) div Σwµ` — bit-reproducible across
+    * engines. Double division here is NOT safe: a uniform corpus puts
+    * every quota exactly on a floor() boundary, and two engines' double
+    * →decimal conventions legitimately land on opposite sides (caught
+    * by the 100×-scale differential sweep, where ScaleUp's uniform
+    * replication made every stratum weight identical and Spark sampled
+    * 80 of the oracle's 100 rows). Other alphas go through `pow`,
+    * whose last-ulp behavior is libm-specific; fine operationally, but
+    * only 0.5 carries the cross-engine-exactness guarantee.
     */
   def temperatureMixture(df: DataFrame, stratumCol: String, keyCol: String,
                          total: Int, alpha: Double = 0.5): DataFrame = {
     if (total <= 0) return df.limit(0)
     val counts = df.groupBy(col(stratumCol).as("__strat2"))
       .agg(count(lit(1)).as("__c"))
-    val w = counts.withColumn("__w",
-      if (alpha == 0.5) round(sqrt(col("__c").cast("double")), 6)
-      else round(pow(col("__c").cast("double"), alpha), 6))
-    val wsum = w.agg(
-      sum(col("__w").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
-        .cast("double").as("__wsum"))
+    // micro-weight: round(c^alpha, 6dp) × 10^6 as an exact long
+    val w = counts.withColumn("__wu",
+      round((if (alpha == 0.5) sqrt(col("__c").cast("double"))
+             else pow(col("__c").cast("double"), alpha)) * 1e6)
+        .cast("long"))
+    val wsum = w.agg(sum(col("__wu")).as("__wsum"))
+    // (total * wµ) div Σwµ, widened through DECIMAL(38,0) so the
+    // product cannot overflow long for any realistic total × corpus
     val quotas = w.crossJoin(broadcast(wsum))
       .select(col("__strat2"),
-        floor((lit(total.toDouble) * col("__w")) / col("__wsum")).as("__quota"))
+        expr(s"CAST(CAST($total AS DECIMAL(38,0)) * __wu AS DECIMAL(38,0))" +
+          " DIV __wsum").as("__quota"))
     val dfq = df.join(broadcast(quotas), col(stratumCol) <=> col("__strat2"))
       .drop("__strat2")
     selectByHashRank(dfq, stratumCol, keyCol, total, col("__quota"))

@@ -367,10 +367,14 @@ object TextQueries {
         docs(s, d), "source", "doc_id", total = 100)
         .select("doc_id", "source", "lang", "n_chars")
         .orderBy("doc_id"),
+      // quota arithmetic is exact fixed-point (micro-weight longs +
+      // integer division) to mirror temperatureMixture: double FLOOR
+      // is engine-unstable when a uniform corpus puts every quota
+      // exactly on an integer boundary (caught at the sf10 sweep)
       Some("""WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
-              w AS (SELECT source, round(sqrt(CAST(c AS DOUBLE)), 6) AS w FROM c),
-              s AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE) AS wsum FROM w),
-              q AS (SELECT source, CAST(FLOOR((100.0 * w) / wsum) AS BIGINT) AS quota
+              w AS (SELECT source, CAST(round(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS wu FROM c),
+              s AS (SELECT SUM(wu) AS wsum FROM w),
+              q AS (SELECT source, CAST(CAST(100 AS HUGEINT) * wu // wsum AS BIGINT) AS quota
                     FROM w CROSS JOIN s),
               r AS (SELECT doc_id, source, lang, n_chars,
                       ROW_NUMBER() OVER (PARTITION BY source
