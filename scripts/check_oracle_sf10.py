@@ -130,7 +130,9 @@ def connect(sf_dir, db=None):
 # (gated here by --gate: staged == one-shot original at sf0.1, staged ==
 # Spark dump at sf1)
 STAGED = {"d18_neardup_clusters"}
-GENERIC_STAGED = {"d08_minhash_neardups"}
+GENERIC_STAGED = {"d08_minhash_neardups",
+                  # one-shot spill exceeded the 75G scratch volume at sf10
+                  "d09_simhash_neardups", "e08_semantic_dedup"}
 CHUNKED = {"d19_gopher_quality"}
 CHUNK_STEP = 10_000_000  # ScaleUp replica key offset
 
@@ -237,7 +239,37 @@ REWRITES = {
 }
 
 
+# e08's k-means assignment windows over corpus x centroids with the
+# 64-float vector as sort PAYLOAD (~90 GB of spill at sf10, past the
+# scratch volume). Mechanical projection-split: window over the scalar
+# similarity only, re-join dv afterwards -- identical rows by
+# construction (vec_id is unique), gated like every other transform.
+ASSIGN_RE = re.compile(
+    r"(\w+) AS \( SELECT vec_id, dv, cell_id FROM \( SELECT c\.vec_id, "
+    r"c\.dv, s\.cell_id, ROW_NUMBER\(\) OVER \(PARTITION BY c\.vec_id "
+    r"ORDER BY list_cosine_similarity\(c\.dv, s\.centroid\) DESC, "
+    r"s\.cell_id\) AS rn FROM corpus c CROSS JOIN (\w+) s\) "
+    r"WHERE rn = 1\)")
+
+
+def slim_assign(sql):
+    def rep(m):
+        name, cents = m.group(1), m.group(2)
+        return (
+            f"{name} AS ( SELECT c2.vec_id, c2.dv, w.cell_id FROM "
+            f"( SELECT vec_id, cell_id FROM ( SELECT c.vec_id, s.cell_id, "
+            f"ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY "
+            f"list_cosine_similarity(c.dv, s.centroid) DESC, s.cell_id) AS rn "
+            f"FROM corpus c CROSS JOIN {cents} s) WHERE rn = 1) w "
+            f"JOIN corpus c2 ON w.vec_id = c2.vec_id)")
+    out, n = ASSIGN_RE.subn(rep, sql)
+    assert n >= 1, "e08 assign pattern not found -- generator changed?"
+    return out
+
+
 def rewritten(name, sql):
+    if name == "e08_semantic_dedup":
+        return slim_assign(sql)
     if name in REWRITES:
         return rewrite(sql, *REWRITES[name])
     if name == "d10_fingerprint_mink":
@@ -350,8 +382,9 @@ def gate(v01, sf01, v1, sf1, only=None, phase="both"):
     run resumes without repaying the already-passed validations.
     """
     oracle = json.load(open(f"{v01}/oracle_sql.json"))
-    names = [n for n in list(REWRITES) + ["d10_fingerprint_mink"]
-             if not only or n in only]
+    gateable = list(REWRITES) + ["d10_fingerprint_mink"] + sorted(
+        (STAGED | GENERIC_STAGED | CHUNKED) - set(REWRITES))
+    names = [n for n in gateable if not only or n in only]
     ok = True
     if phase in ("both", "sf0.1"):
         con = connect(sf01)
