@@ -191,11 +191,52 @@ def staged_generic(con, sql, log=lambda *a: None):
     return con.execute(final).fetchdf()
 
 
+def d09_sliced(con, sql, log=lambda *a: None):
+    """d09 with the pair stage evaluated in (band x chunk-quarter)
+    slices: the one-shot `pairs` CTE materializes a DISTINCT over every
+    per-bucket candidate pair (~billions of rows at sf10) before the
+    hamming filter prunes them. Pushing the hamming predicate INSIDE
+    each slice commutes with the DISTINCT (hamming is a function of the
+    pair, and each doc has exactly one fingerprint), so slicing + a
+    global pandas dedup is row-identical to the original final."""
+    import time
+    ctes, final = split_ctes(sql)
+    bodies = {n: b for n, _, b in ctes}
+    for name, cols, body in ctes:
+        if name == "pairs":
+            break
+        t0 = time.time()
+        con.execute(f"DROP TABLE IF EXISTS {name}")
+        alias = f" AS _s{cols}" if cols else ""
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM ({body})" + alias)
+        n = con.execute(f"SELECT COUNT(*) FROM {name}").fetchone()[0]
+        log(f"  stage {name}: {n} rows in {time.time() - t0:.1f}s")
+    pb = bodies["pairs"]
+    assert pb.rstrip().endswith("WHERE a.doc_id < c.doc_id"), pb[-80:]
+    frames = []
+    for band in range(4):
+        for q in range(4):
+            lo, hi = q * 16384, (q + 1) * 16384
+            sliced = (pb + f" AND a.band = {band}"
+                      f" AND a.chunk >= {lo} AND a.chunk < {hi}"
+                      f" AND bit_count(xor(a.f, c.f)) <= 3")
+            t0 = time.time()
+            frames.append(con.execute(
+                "SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER)"
+                f" AS hamming FROM ({sliced}) t").fetchdf())
+            log(f"  slice band={band} chunk=[{lo},{hi}): "
+                f"{len(frames[-1])} rows in {time.time() - t0:.1f}s")
+    out = pd.concat(frames, ignore_index=True).drop_duplicates()
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 def oracle_df(con, name, sql):
     """Evaluate the (rewritten) oracle as a DataFrame, via the validated
     out-of-core strategy where the one-shot form exceeds RAM."""
     if name in STAGED:
         return heavy.d18_staged(con, sql, log=lambda m: print(m, flush=True))
+    if name == "d09_simhash_neardups":
+        return d09_sliced(con, sql, log=lambda m: print(m, flush=True))
     if name in GENERIC_STAGED:
         return staged_generic(con, sql, log=lambda m: print(m, flush=True))
     if name in CHUNKED:
@@ -414,6 +455,43 @@ def gate(v01, sf01, v1, sf1, only=None, phase="both"):
     return ok
 
 
+def _child_entry(name, sql, v10, sf10, out_path):
+    con = connect(sf10, db=f"/tmp/sf10_run_stage_{name}.db"
+                  if name in STAGED | GENERIC_STAGED else None)
+    r = check_entry(con, name, sql, v10)
+    con.close()
+    with open(out_path, "w") as f:
+        json.dump(r, f)
+
+
+def check_entry_isolated(name, sql, v10, sf10):
+    """One entry per child process: a DuckDB OutOfMemoryException has
+    been observed to leave the in-process global allocator unable to
+    serve even 8-byte blocks for the NEXT connection (two crashed
+    sweeps), so each entry gets a fresh address space and the parent
+    just reads the verdict. A kernel OOM-kill of the child is recorded
+    as that entry's failure instead of ending the sweep."""
+    import multiprocessing as mp
+    out_path = f"/tmp/sf10_entry_{os.getpid()}.json"
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    ctx = mp.get_context("fork")  # fork: child inherits loaded module
+    p = ctx.Process(target=_child_entry,
+                    args=(name, sql, v10, sf10, out_path))
+    t0 = time.time()
+    p.start()
+    p.join(ENTRY_TIMEOUT + 60)
+    if p.is_alive():
+        p.terminate()
+        p.join()
+        return {"err": "TIMEOUT (parent)", "secs": round(time.time() - t0, 1)}
+    if not os.path.exists(out_path):
+        return {"err": f"child died (exit {p.exitcode})",
+                "secs": round(time.time() - t0, 1)}
+    with open(out_path) as f:
+        return json.load(f)
+
+
 def run(v10, sf10, report_path, only=None):
     oracle = json.load(open(f"{v10}/oracle_sql.json"))
     report = {}
@@ -426,10 +504,8 @@ def run(v10, sf10, report_path, only=None):
         if report.get(name, {}).get("err") is None and name in report:
             n_pass += 1
             continue  # already green in a previous partial run
-        con = connect(sf10, db="/tmp/sf10_run_stage.db"
-                      if name in STAGED | GENERIC_STAGED else None)
-        r = check_entry(con, name, rewritten(name, oracle[name]), v10)
-        con.close()
+        r = check_entry_isolated(name, rewritten(name, oracle[name]),
+                                 v10, sf10)
         report[name] = r
         ok = r.get("err") is None
         n_pass += ok
