@@ -132,7 +132,8 @@ def connect(sf_dir, db=None):
 STAGED = {"d18_neardup_clusters"}
 GENERIC_STAGED = {"d08_minhash_neardups",
                   # one-shot spill exceeded the 75G scratch volume at sf10
-                  "d09_simhash_neardups", "e08_semantic_dedup"}
+                  "d09_simhash_neardups", "e08_semantic_dedup",
+                  "d12_curation", "d17_decontamination"}
 CHUNKED = {"d19_gopher_quality"}
 CHUNK_STEP = 10_000_000  # ScaleUp replica key offset
 
