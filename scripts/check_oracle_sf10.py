@@ -97,12 +97,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import oracle_sf1_heavy as heavy  # noqa: E402
 
 
-def connect(sf_dir, db=None):
+def connect(sf_dir, db=None, fresh=True):
     # a disk-backed database lets staged CREATE TABLEs run out-of-core
     # (one-shot queries spill via temp_directory either way, but
     # recursive CTEs and list-agg intermediates do not — see the heavy
-    # script's docstring)
-    if db is not None and os.path.exists(db):
+    # script's docstring); fresh=False reopens an existing stage db
+    # (the per-stage forked evaluator resumes where the last fork left)
+    if fresh and db is not None and os.path.exists(db):
         os.remove(db)
     con = duckdb.connect(db) if db is not None else duckdb.connect()
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
@@ -118,7 +119,7 @@ def connect(sf_dir, db=None):
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-8]
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{src}'")
     return con
 
 
@@ -231,14 +232,109 @@ def d09_sliced(con, sql, log=lambda *a: None):
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
-def oracle_df(con, name, sql):
+def _stage_child(sf_dir, db, stmts):
+    con = connect(sf_dir, db=db, fresh=False)
+    for stmt in stmts:
+        con.execute(stmt)
+    con.close()
+
+
+def _run_stages_forked(sf_dir, db, stages):
+    """Each stage in its own forked process. The 26M-row Python-UDF
+    stages leave tens of GB of address-space bloat behind (arrow
+    transfer buffers / allocator retention) that then OOMs a LATER
+    stage's DuckDB reservation in the same process — observed: d12's
+    trivial 16M-row sig aggregation failing at three different memory
+    limits right after the fnv stage, while the identical statement
+    succeeds instantly in a fresh process on the same stage db. The
+    stage tables live in the disk db, so a fresh process per stage
+    resets RSS to zero between stages."""
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    if os.path.exists(db):
+        os.remove(db)
+    for name, create in stages:
+        t0 = time.time()
+        p = ctx.Process(target=_stage_child, args=(sf_dir, db, [create]))
+        p.start()
+        p.join()
+        if p.exitcode != 0:
+            raise RuntimeError(f"stage {name}: child exit {p.exitcode}")
+        print(f"  stage {name}: {time.time() - t0:.1f}s (forked)", flush=True)
+
+
+def staged_forked(name, sql, sf_dir):
+    """staged_generic, but with per-stage process isolation (see
+    _run_stages_forked) — the sf10 form for the UDF-heavy entries."""
+    db = f"/tmp/sf10_stagefork_{name}.db"
+    ctes, final = split_ctes(sql)
+    stages = [(n, f"CREATE TABLE {n} AS SELECT * FROM ({body})"
+               + (f" AS _s{cols}" if cols else ""))
+              for n, cols, body in ctes]
+    _run_stages_forked(sf_dir, db, stages)
+    con = connect(sf_dir, db=db, fresh=False)
+    try:
+        return con.execute(final).fetchdf()
+    finally:
+        con.close()
+
+
+def d18_forked(sql, sf_dir):
+    """heavy.d18_staged's exact stage list (same markers over the same
+    generated SQL), executed with per-stage forks; the final comp
+    recursion runs over the small candidate tables as there."""
+    db = "/tmp/sf10_stagefork_d18.db"
+    b = lambda s_, e: heavy.cte_body(sql, s_, e)
+    stages = [
+        ("t_sh", "WITH toksrc(doc_id, t) AS ({}) {}".format(
+            b("WITH toksrc(doc_id, t) AS (", "), mixers"),
+            b("), sh AS (", "), fnv AS ("))),
+        ("t_fnv", "SELECT doc_id, sid, fnv_d18(s) AS h FROM t_sh"),
+        ("t_sig", ("WITH mixers(i, ahi, alo, bu) AS ({}), "
+                   "fnv AS (SELECT * FROM t_fnv), mixed AS ({}) {}").format(
+            b("mixers(i, ahi, alo, bu) AS (", "), sh AS ("),
+            b("), mixed AS (", "), sig AS ("),
+            b("), sig AS (", "), banded AS ("))),
+        ("t_banded", "WITH sig AS (SELECT * FROM t_sig) {}".format(
+            b("), banded AS (", "), keep AS ("))),
+        ("t_keep", "WITH banded AS (SELECT * FROM t_banded) {}".format(
+            b("), keep AS (", "), cand AS ("))),
+        ("t_cand", ("WITH banded AS (SELECT * FROM t_banded), "
+                    "keep AS (SELECT * FROM t_keep) {}").format(
+            b("), cand AS (", "), sets AS ("))),
+        ("t_sets", "WITH sh AS (SELECT * FROM t_sh) {}".format(
+            b("), sets AS (", "), est AS ("))),
+    ]
+    named = [(n, f"CREATE TABLE {n} AS {stage_sql}") for n, stage_sql in stages]
+    _run_stages_forked(sf_dir, db, named)
+    final = ("WITH cand AS (SELECT * FROM t_cand), "
+             "sets AS (SELECT * FROM t_sets), est AS ({}), pre AS ({}), "
+             "pairs AS ({}), comp AS ( WITH RECURSIVE {} {}").format(
+        b("), est AS (", "), pre AS ("),
+        b("), pre AS (", "), pairs AS ("),
+        b("), pairs AS (", "), comp AS ("),
+        b("), comp AS ( WITH RECURSIVE", ") SELECT id AS doc_id"),
+        ") SELECT id AS doc_id" + sql[sql.index(") SELECT id AS doc_id")
+                                      + len(") SELECT id AS doc_id"):])
+    con = connect(sf_dir, db=db, fresh=False)
+    try:
+        return con.execute(final).fetchdf()
+    finally:
+        con.close()
+
+
+def oracle_df(con, name, sql, sf_dir=None):
     """Evaluate the (rewritten) oracle as a DataFrame, via the validated
     out-of-core strategy where the one-shot form exceeds RAM."""
     if name in STAGED:
+        if sf_dir is not None:
+            return d18_forked(sql, sf_dir)
         return heavy.d18_staged(con, sql, log=lambda m: print(m, flush=True))
     if name == "d09_simhash_neardups":
         return d09_sliced(con, sql, log=lambda m: print(m, flush=True))
     if name in GENERIC_STAGED:
+        if sf_dir is not None:
+            return staged_forked(name, sql, sf_dir)
         return staged_generic(con, sql, log=lambda m: print(m, flush=True))
     if name in CHUNKED:
         hi = con.execute("SELECT MAX(doc_id) FROM documents").fetchone()[0]
@@ -365,7 +461,7 @@ def run_with_timeout(con, fn, seconds):
 BIG_ROWS = 10_000_000  # pandas compare above this -> in-DuckDB checksum
 
 
-def check_entry(con, name, sql, out_dir):
+def check_entry(con, name, sql, out_dir, sf_dir=None):
     res_path = f"{out_dir}/{name}"
     if not os.path.isdir(res_path):
         return {"err": "no result dir"}
@@ -373,7 +469,7 @@ def check_entry(con, name, sql, out_dir):
     n_mine = con.execute(f"SELECT COUNT(*) FROM ({mine_rel})").fetchone()[0]
     if n_mine <= BIG_ROWS:
         def fn():
-            orc = oracle_df(con, name, sql)
+            orc = oracle_df(con, name, sql, sf_dir=sf_dir)
             mine = con.execute(mine_rel).fetchdf()
             return compare_df(name, mine, orc)
         diff, secs, err = run_with_timeout(con, fn, ENTRY_TIMEOUT)
@@ -457,9 +553,8 @@ def gate(v01, sf01, v1, sf1, only=None, phase="both"):
 
 
 def _child_entry(name, sql, v10, sf10, out_path):
-    con = connect(sf10, db=f"/tmp/sf10_run_stage_{name}.db"
-                  if name in STAGED | GENERIC_STAGED else None)
-    r = check_entry(con, name, sql, v10)
+    con = connect(sf10)
+    r = check_entry(con, name, sql, v10, sf_dir=sf10)
     con.close()
     with open(out_path, "w") as f:
         json.dump(r, f)
