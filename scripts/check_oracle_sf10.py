@@ -239,6 +239,23 @@ def _stage_child(sf_dir, db, stmts):
     con.close()
 
 
+# stages whose hash-aggregate builds per-group ordered-list state for
+# EVERY group at once (DuckDB reserves ~256KB of sort state per group:
+# 500k docs -> >80GB however high the limit) — built in doc_id-range
+# chunks instead; the range predicate pushes below the GROUP BY (plan-
+# verified), so each chunk aggregates only its own groups
+CHUNKED_STAGES = {"sig", "t_sig"}
+
+
+def _doc_chunks(sf_dir):
+    con = connect(sf_dir)
+    hi = con.execute("SELECT MAX(doc_id) FROM documents").fetchone()[0]
+    con.close()
+    step = 50_000_000
+    return [(lo, min(lo + step, hi + 1))
+            for lo in range(0, hi + 1, step)]
+
+
 def _run_stages_forked(sf_dir, db, stages):
     """Each stage in its own forked process. The 26M-row Python-UDF
     stages leave tens of GB of address-space bloat behind (arrow
@@ -253,14 +270,26 @@ def _run_stages_forked(sf_dir, db, stages):
     ctx = mp.get_context("fork")
     if os.path.exists(db):
         os.remove(db)
-    for name, create in stages:
+
+    def run_child(label, stmts):
         t0 = time.time()
-        p = ctx.Process(target=_stage_child, args=(sf_dir, db, [create]))
+        p = ctx.Process(target=_stage_child, args=(sf_dir, db, stmts))
         p.start()
         p.join()
         if p.exitcode != 0:
-            raise RuntimeError(f"stage {name}: child exit {p.exitcode}")
-        print(f"  stage {name}: {time.time() - t0:.1f}s (forked)", flush=True)
+            raise RuntimeError(f"stage {label}: child exit {p.exitcode}")
+        print(f"  stage {label}: {time.time() - t0:.1f}s (forked)", flush=True)
+
+    for name, select in stages:
+        if name in CHUNKED_STAGES:
+            for i, (lo, hi) in enumerate(_doc_chunks(sf_dir)):
+                verb = (f"CREATE TABLE {name} AS" if i == 0
+                        else f"INSERT INTO {name}")
+                run_child(f"{name}[{lo},{hi})",
+                          [f"{verb} SELECT * FROM ({select}) "
+                           f"WHERE doc_id >= {lo} AND doc_id < {hi}"])
+        else:
+            run_child(name, [f"CREATE TABLE {name} AS {select}"])
 
 
 def staged_forked(name, sql, sf_dir):
@@ -268,7 +297,7 @@ def staged_forked(name, sql, sf_dir):
     _run_stages_forked) — the sf10 form for the UDF-heavy entries."""
     db = f"/tmp/sf10_stagefork_{name}.db"
     ctes, final = split_ctes(sql)
-    stages = [(n, f"CREATE TABLE {n} AS SELECT * FROM ({body})"
+    stages = [(n, f"SELECT * FROM ({body})"
                + (f" AS _s{cols}" if cols else ""))
               for n, cols, body in ctes]
     _run_stages_forked(sf_dir, db, stages)
@@ -305,8 +334,7 @@ def d18_forked(sql, sf_dir):
         ("t_sets", "WITH sh AS (SELECT * FROM t_sh) {}".format(
             b("), sets AS (", "), est AS ("))),
     ]
-    named = [(n, f"CREATE TABLE {n} AS {stage_sql}") for n, stage_sql in stages]
-    _run_stages_forked(sf_dir, db, named)
+    _run_stages_forked(sf_dir, db, stages)
     final = ("WITH cand AS (SELECT * FROM t_cand), "
              "sets AS (SELECT * FROM t_sets), est AS ({}), pre AS ({}), "
              "pairs AS ({}), comp AS ( WITH RECURSIVE {} {}").format(
