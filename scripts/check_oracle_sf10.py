@@ -149,6 +149,13 @@ def split_ctes(sql):
     stays)."""
     s = sql.strip()
     assert s[:4].upper() == "WITH", s[:40]
+    # the paren scan below understands single-quoted strings ONLY; a
+    # generated oracle containing a SQL comment or a double-quoted
+    # identifier would be silently mis-split into wrong stage SQL
+    # (caught only at --gate time, with a confusing failure) — fail
+    # loudly here instead if the grammar ever grows those
+    assert "--" not in s and "/*" not in s and '"' not in s, \
+        "split_ctes cannot parse comments or quoted identifiers"
     i = 4
     ctes = []
     while True:
@@ -215,13 +222,30 @@ def d09_sliced(con, sql, log=lambda *a: None):
         log(f"  stage {name}: {n} rows in {time.time() - t0:.1f}s")
     pb = bodies["pairs"]
     assert pb.rstrip().endswith("WHERE a.doc_id < c.doc_id"), pb[-80:]
+    # Derive the slicing constants from the SQL itself so a change to
+    # OracleSql.simhashNearDups (bands / chunk width / hamming budget)
+    # cannot silently drop candidate pairs here: the `banded` CTE names
+    # the band fan-out and the per-band bit shift, the final SELECT the
+    # hamming threshold.
+    bb = bodies["banded"]
+    m = re.search(r"unnest\(range\(0, (\d+)\)\)", bb)
+    assert m, f"banded CTE lost its range() fan-out: {bb[-120:]}"
+    n_bands = int(m.group(1))
+    m = re.search(r"band\*(\d+)", bb.replace(" ", ""))
+    assert m, f"banded CTE lost its band*bits shift: {bb[-120:]}"
+    chunk_domain = 1 << int(m.group(1))
+    m = re.search(r"bit_count\(xor\(fa, fb\)\) <= (\d+)", final)
+    assert m, f"final SELECT lost its hamming filter: {final[-120:]}"
+    max_hamming = int(m.group(1))
+    assert chunk_domain % 4 == 0, chunk_domain
+    quarter = chunk_domain // 4
     frames = []
-    for band in range(4):
+    for band in range(n_bands):
         for q in range(4):
-            lo, hi = q * 16384, (q + 1) * 16384
+            lo, hi = q * quarter, (q + 1) * quarter
             sliced = (pb + f" AND a.band = {band}"
                       f" AND a.chunk >= {lo} AND a.chunk < {hi}"
-                      f" AND bit_count(xor(a.f, c.f)) <= 3")
+                      f" AND bit_count(xor(a.f, c.f)) <= {max_hamming}")
             t0 = time.time()
             frames.append(con.execute(
                 "SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER)"
@@ -581,6 +605,11 @@ def gate(v01, sf01, v1, sf1, only=None, phase="both"):
 
 
 def _child_entry(name, sql, v10, sf10, out_path):
+    # own process group: STAGED/GENERIC_STAGED entries fork per-stage
+    # grandchildren (_run_stages_forked); on timeout the parent kills
+    # the whole group, so no orphan keeps burning memory/disk or holds
+    # the stage db while the sweep moves on
+    os.setsid()
     con = connect(sf10)
     r = check_entry(con, name, sql, v10, sf_dir=sf10)
     con.close()
@@ -606,7 +635,13 @@ def check_entry_isolated(name, sql, v10, sf10):
     p.start()
     p.join(ENTRY_TIMEOUT + 60)
     if p.is_alive():
-        p.terminate()
+        # kill the child's whole process group (it called os.setsid):
+        # terminate() alone would orphan the per-stage grandchild forks
+        import signal
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            p.terminate()
         p.join()
         return {"err": "TIMEOUT (parent)", "secs": round(time.time() - t0, 1)}
     if not os.path.exists(out_path):

@@ -136,7 +136,12 @@ object Sampling {
       round((if (alpha == 0.5) sqrt(col("__c").cast("double"))
              else pow(col("__c").cast("double"), alpha)) * 1e6)
         .cast("long"))
-    val wsum = w.agg(sum(col("__wu")).as("__wsum"))
+    // Σwµ through DECIMAL(38,0), not a long SUM: per-stratum __wu stays
+    // under 2^53, but a pathological stratum COUNT could push the long
+    // sum past 2^63, where Spark's non-ANSI mode wraps silently and
+    // corrupts every quota. Decimal overflows to null instead, and the
+    // DIV below then yields null quotas → zero rows, a loud failure.
+    val wsum = w.agg(sum(col("__wu").cast("decimal(38,0)")).as("__wsum"))
     // (total * wµ) div Σwµ, widened through DECIMAL(38,0) so the
     // product cannot overflow long for any realistic total × corpus
     val quotas = w.crossJoin(broadcast(wsum))

@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** Option key declaring the `ts` physical vintage for streams started
+    * over a directory the producer hasn't populated yet (nothing to
+    * sniff). Values: "legacy-nanos" | "micros" | "micros-ntz".
+    */
+  val VintageOption = "graft.assumeTsVintage"
+
   /** The events schema as the streaming source must declare it for the
     * legacy physical layout (TIMESTAMP(NANOS) arrives as raw int64;
     * converted exactly like Tables.load). The driver's testdata has
@@ -63,24 +69,35 @@ object EventStream {
     }
     val sniffReader = filter.foldLeft(spark.read.format("parquet"))(
       (r, g) => r.option("pathGlobFilter", g))
+    // An empty/not-yet-populated dir can't be sniffed. Guessing here is
+    // the worst option: if the guess mismatches the files that later
+    // arrive, the stream dies on first batch with an opaque
+    // parquet-conversion error far from the cause. So sniff failure is
+    // FAIL-FAST with the diagnosis in the message, unless the caller
+    // states the vintage explicitly via the `graft.assumeTsVintage`
+    // option ("legacy-nanos" | "micros" | "micros-ntz") — the only safe
+    // way to start a stream over a directory its producer hasn't
+    // populated yet.
     val tsType = scala.util.Try(sniffReader.load(path).schema("ts").dataType)
       .recover { case e =>
-        // an empty/not-yet-populated dir can't be sniffed; assume the
-        // legacy int64-nanos vintage but SAY so — if native
-        // TIMESTAMP(MICROS) files arrive later, the declared int64
-        // schema mismatches the physical type and the stream fails with
-        // an opaque parquet-conversion error, so the log line is the
-        // diagnosis trail
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"ts vintage sniff failed for $path (${e.getMessage}); assuming " +
-            "legacy int64 TIMESTAMP(NANOS). If files are native " +
-            "TIMESTAMP(MICROS)/NTZ the stream will fail on first batch — " +
-            "start it after at least one file exists to sniff the vintage.")
-        LongType: DataType
+        options.get(VintageOption) match {
+          case Some("legacy-nanos") => LongType: DataType
+          case Some("micros")       => TimestampType: DataType
+          case Some("micros-ntz")   => TimestampNTZType: DataType
+          case Some(other) => throw new IllegalArgumentException(
+            s"$VintageOption='$other' — expected legacy-nanos | micros | micros-ntz")
+          case None => throw new IllegalStateException(
+            s"cannot determine the physical type of `ts` for $path: no " +
+              s"parquet footer to sniff (${e.getMessage}). Either start the " +
+              "stream after the producer has written at least one file, or " +
+              s"declare the vintage explicitly with .option(\"$VintageOption" +
+              "\", \"legacy-nanos\"|\"micros\"|\"micros-ntz\").")
+        }
       }.get
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
-    val reader = spark.readStream.schema(schema).options(options)
+    val reader = spark.readStream.schema(schema)
+      .options(options - VintageOption)
     val withGlob = filter.fold(reader)(g => reader.option("pathGlobFilter", g))
     val raw = withGlob.parquet(path)
     tsType match {

@@ -63,6 +63,34 @@ class EventStreamSpec extends SparkSpec {
     assert(n == 500, s"directory layout streamed $n of 500 rows")
   }
 
+  test("empty-dir vintage sniff fails fast; explicit vintage overrides") {
+    // Nothing to sniff → a wrong guess would surface later as an opaque
+    // parquet-conversion error on the first batch; readEvents refuses
+    // instead, naming the escape hatch in the message.
+    val empty = Files.createTempDirectory("graft-empty").toString
+    val ex = intercept[IllegalStateException] {
+      EventStream.readEvents(spark, empty)
+    }
+    assert(ex.getMessage.contains(EventStream.VintageOption),
+      s"diagnosis must name the override option: ${ex.getMessage}")
+
+    // bogus override value → named rejection, not a silent default
+    intercept[IllegalArgumentException] {
+      EventStream.readEvents(spark, empty,
+        options = Map(EventStream.VintageOption -> "iso8601"))
+    }
+
+    // explicit vintage lets the stream start before the producer writes;
+    // files arriving later (matching the declared vintage) then stream
+    val declared = EventStream.readEvents(spark, empty,
+      options = Map(EventStream.VintageOption -> "micros"))
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(100).write.mode("append").parquet(empty)
+    EventStream.runToMemory(
+      declared.groupBy().count(), "empty_dir_out", OutputMode.Complete())
+    assert(spark.table("empty_dir_out").collect()(0).getLong(0) == 100)
+  }
+
   test("ts vintage matrix: ns-int64, µs-NTZ, µs-tz all stream identically") {
     // the driver's testdata has shipped events.ts as int64
     // TIMESTAMP(NANOS) and as native TIMESTAMP(MICROS) without tz
