@@ -289,9 +289,12 @@ object TextQueries {
         val (cur, release) = graft.operators.Curation.curateManaged(
           spread(s, d), "doc_id", "text",
           minQuality = 0.3, nearDupThreshold = 0.5)
-        val out = cur.select("doc_id", "lang", "n_chars")
-          .localCheckpoint(true)
-        release()
+        // release in finally: the eager checkpoint is where a job
+        // cancellation (FAIR-pool kill, serving timeout) lands, and the
+        // managed persist must not outlive the entry either way
+        val out =
+          try cur.select("doc_id", "lang", "n_chars").localCheckpoint(true)
+          finally release()
         out.orderBy("doc_id")
       },
       // the whole curation pipeline re-derived in SQL: unrounded d07

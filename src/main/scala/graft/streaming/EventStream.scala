@@ -336,9 +336,15 @@ object EventStream {
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // dev/bench hook: A/B the state-store backend without touching
     // callers (e.g. org.apache.spark.sql.execution.streaming.state
-    // .RocksDBStateStoreProvider — the bounded-JVM-memory production
-    // choice at real state volumes; the HDFS-backed default wins on
-    // short tmpfs-checkpointed replays)
+    // .RocksDBStateStoreProvider). MEASURED guidance (OPERATORS.md
+    // round-9 crossover table): the HDFS-backed default wins while
+    // state fits the executor heap (it held every sf10 A/B entry,
+    // 3-4x on interval joins), but its state is heap-resident and
+    // cannot spill — at ~720 B/key it dies by OOM once live keys
+    // approach ~1.4M per heap-GiB, where RocksDB (native memory +
+    // disk) completes the same load. Switch providers BEFORE state
+    // per executor approaches heap; it is a liveness cliff, not a
+    // perf trade, past that point.
     sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(p =>
       ss.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     // companion hook for provider-specific knobs (e.g. RocksDB

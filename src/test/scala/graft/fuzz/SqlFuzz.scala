@@ -209,8 +209,15 @@ object SqlFuzz {
       (1 to n).map(i => dirGen.map(d => s"$i $d")))
       .map(os => "ORDER BY " + os.mkString(", "))
 
+  /** All four explicit direction × null-placement combinations: the
+    * engines' DEFAULTS differ (Spark ASC=NULLS FIRST, DuckDB ASC=NULLS
+    * LAST), but an explicit directive must be honored identically —
+    * including the two "unnatural" pairings (ASC NULLS LAST / DESC
+    * NULLS FIRST) that neither engine would pick on its own.
+    */
   private val dir: Gen[String] =
-    Gen.oneOf("ASC NULLS FIRST", "DESC NULLS LAST")
+    Gen.oneOf("ASC NULLS FIRST", "ASC NULLS LAST",
+      "DESC NULLS FIRST", "DESC NULLS LAST")
 
   /** Shape 1: filtered projection with deterministic LIMIT. */
   def filterProject(pools: Pools): Gen[String] = for {
@@ -540,6 +547,69 @@ object SqlFuzz {
     pred.fold("")(p => s" WHERE $p") +
     s" ORDER BY $key ASC NULLS FIRST LIMIT $limit"
 
+  /** Shape 12: ROLLUP / CUBE / GROUPING SETS. The super-aggregate rows
+    * carry NULL group keys in both dialects, and since every generated
+    * group column is non-null in this corpus, a NULL key unambiguously
+    * marks a subtotal row; CAST(GROUPING(col) AS INTEGER) pins the flag
+    * dtype (Spark TINYINT vs DuckDB BIGINT) and makes the projection a
+    * candidate key, so the all-columns NULLS-explicit ORDER BY is
+    * total. This is exactly the null-group-labeling surface the
+    * dialect-gap note in §5.2 flags and the fixed catalog entries
+    * (q32/q33) pin only pointwise.
+    */
+  def rollupAgg(pools: Pools): Gen[String] = for {
+    t <- Gen.oneOf(tables)
+    gcands = t.cols.filter(c => c.typ == "string" || c.typ == "int")
+    g <- if (gcands.size >= 2) Gen.pick(2, gcands)
+         else Gen.pick(math.min(1, gcands.size), gcands)
+    gcols = g.map(_.name).toSeq
+    mode <- Gen.oneOf("ROLLUP", "CUBE", "GROUPING SETS")
+    nAgg <- Gen.choose(1, 2)
+    aggs <- Gen.sequence[Seq[(String, String)], (String, String)](
+      (0 until nAgg).map(i => aggExpr("", t, i)))
+    pred <- Gen.option(predicate("", t, pools))
+    groupClause = mode match {
+      case "GROUPING SETS" =>
+        val sets = (gcols.indices.map(i =>
+          s"(${gcols.take(i + 1).mkString(", ")})") :+ "()").mkString(", ")
+        s"GROUPING SETS ($sets)"
+      case m => s"$m(${gcols.mkString(", ")})"
+    }
+    flags = gcols.zipWithIndex.map { case (c, i) =>
+      s"CAST(GROUPING($c) AS INTEGER) AS g$i" }
+    proj = gcols ++ flags ++ aggs.map { case (e, a) => s"$e AS $a" }
+    ord <- orderAll(proj.size, dir)
+  } yield s"SELECT ${proj.mkString(", ")} FROM ${t.name}" +
+    pred.fold("")(p => s" WHERE $p") +
+    s" GROUP BY $groupClause $ord"
+
+  /** Shape 13: scalar subquery in the SELECT list, correlated through
+    * the join graph (outer = parent table, subquery aggregates the
+    * child rows matching the outer key). COUNT(*) is BIGINT on both
+    * engines; MIN/MAX of a key keep the column's own width; a
+    * correlated empty group yields 0 / NULL identically — and the NULL
+    * results are exactly what the four-way NULLS-explicit ORDER BY
+    * then has to place deterministically.
+    */
+  def scalarSubquery(pools: Pools): Gen[String] = for {
+    jn <- Gen.oneOf(joins)
+    (lt, lk, rt, rk) = jn
+    l = tables.find(_.name == lt).get
+    r = tables.find(_.name == rt).get
+    subAgg <- Gen.oneOf("COUNT(*)", s"MIN($lk)", s"MAX($lk)",
+      s"COUNT($lk)")
+    innerPred <- Gen.option(predicate("", l, pools))
+    outerPred <- Gen.option(predicate("", r, pools))
+    k <- Gen.choose(1, math.min(2, r.cols.size))
+    cols <- Gen.pick(k, r.cols)
+    limit <- Gen.choose(1, 2000)
+    proj = cols.map(_.name).toSeq :+
+      (s"(SELECT $subAgg FROM $lt WHERE $lk = $rk" +
+        innerPred.fold("")(p => s" AND $p") + ") AS sq")
+    ord <- orderAll(proj.size, dir)
+  } yield s"SELECT ${proj.mkString(", ")} FROM $rt" +
+    outerPred.fold("")(p => s" WHERE $p") + s" $ord LIMIT $limit"
+
   /** The full admitted-surface generator. */
   def statement(pools: Pools): Gen[String] = Gen.frequency(
     3 -> filterProject(pools),
@@ -552,5 +622,7 @@ object SqlFuzz {
     1 -> setOp(pools),
     2 -> outerJoin(pools),
     2 -> subqueryPred(pools),
-    2 -> windowFrame(pools))
+    2 -> windowFrame(pools),
+    2 -> rollupAgg(pools),
+    2 -> scalarSubquery(pools))
 }

@@ -1,0 +1,262 @@
+package graft.fuzz
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+
+/** Randomized-stream differential fuzzer for the streaming engine:
+  * generates event streams with shuffled arrival order, duplicates,
+  * and late rows (inside AND outside the watermark), replays them
+  * through the EventStream operators batch-by-batch (one file = one
+  * micro-batch, ordered by file mtime + maxFilesPerTrigger=1), and
+  * compares against an independent batch-semantics oracle over the
+  * SAME rows.
+  *
+  * Why this exists: two of this project's three scale bugs were
+  * streaming/sampling *semantics* (zero-row directory streams; quota
+  * floor boundaries) that 1950 batch-SQL fuzz statements could never
+  * touch. The batch gate entries (t01–t08) pin ONE arrival order per
+  * sf; this fuzzer pins that the incremental execution is
+  * order-insensitive and that late-row admission follows the
+  * documented watermark model.
+  *
+  * Determinism notes baked into the generator:
+  *  - `value` is always a multiple of 0.25 (exactly representable):
+  *    double sums of such values below 2^51 are exact, so order of
+  *    accumulation cannot produce last-ulp drift between stream and
+  *    oracle.
+  *  - event times are whole seconds, watermark delays are whole
+  *    seconds, and lateness boundaries avoid exact ties (see
+  *    `lateOutside`), so ms-truncation of the engine's watermark
+  *    cannot flip an admission decision.
+  *  - closer rows (negative ids, event_type "__closer") advance the
+  *    watermark far past all data so every append-mode result is
+  *    fully emitted before comparison; they are excluded from every
+  *    comparison.
+  */
+object StreamFuzz {
+
+  final case class Ev(eventId: Long, tsUs: Long, userId: Long,
+                      eventType: String, value: Double, props: String)
+
+  final case class Scenario(seed: Long, idx: Int, kind: String,
+                            latenessSec: Long, batches: Vector[Vector[Ev]])
+
+  private val EpochUs = 1700000000L * 1000000L // fixed base instant
+  private val Types = Vector("view", "click", "purchase", "refund")
+
+  /** One generated scenario. `kind` rotates through the operator
+    * families; the event-time spread adapts so that only the
+    * `windowed-late` kind produces beyond-watermark rows (the other
+    * oracles assume no drops and the generator enforces it by keeping
+    * the whole spread inside the lateness horizon).
+    */
+  def scenario(seed: Long, idx: Int): Scenario = {
+    val kinds = Vector("windowed", "windowed-late", "dedup", "session",
+      "interval-join", "activity")
+    val kind = kinds(idx % kinds.size)
+    val r = new Random(seed * 1000003L + idx)
+    val n = 200 + r.nextInt(400)
+    val nBatches = 3 + r.nextInt(3)
+    val users = 5 + r.nextInt(25)
+    val lateness = kind match {
+      case "windowed-late" => 600L // 10 min; spread exceeds it below
+      case _ => 7200L // 2h horizon over a <=30min spread: nothing drops
+    }
+    val spreadSec = kind match {
+      case "windowed-late" => 3 * 3600 // 3h: rows CAN be beyond-watermark
+      case _ => 1800
+    }
+    val base = (0 until n).map { i =>
+      Ev(i.toLong,
+        EpochUs + (r.nextInt(spreadSec).toLong * 1000000L),
+        r.nextInt(users).toLong,
+        Types(r.nextInt(Types.size)),
+        r.nextInt(400) / 4.0, // exact multiples of 0.25
+        "{}")
+    }.toVector
+    // shuffled arrival: event-time order and arrival order are unrelated
+    val arrival = r.shuffle(base)
+    // full-row duplicates (same event_id, same everything) sprinkled in
+    // LATER batches than the original — the dedup op must drop them,
+    // every other oracle sees them as real repeated rows
+    val withDups =
+      if (kind == "dedup") {
+        val dups = r.shuffle(arrival.take(n / 4)).take(n / 8)
+        arrival ++ dups
+      } else arrival
+    val batches = withDups.zipWithIndex
+      .groupBy { case (e, i) =>
+        if (kind == "dedup" && i >= arrival.size)
+          // duplicates land strictly after their original's batch
+          nBatches - 1
+        else i % nBatches
+      }
+      .toVector.sortBy(_._1)
+      .map(_._2.map(_._1))
+    Scenario(seed, idx, kind, lateness, batches)
+  }
+
+  // ── staging: one parquet file per micro-batch, mtime-ordered ───────
+
+  /** Writes each batch as a single parquet file with strictly
+    * increasing mtimes (FileStreamSource orders its listing by
+    * timestamp), plus two far-future closer batches that advance the
+    * watermark across two more micro-batches so every append-mode
+    * result settles.
+    */
+  def stage(spark: SparkSession, sc: Scenario): Path = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-streamfuzz")
+    val maxTs = sc.batches.flatten.map(_.tsUs).max
+    val closers = Vector(
+      Vector(Ev(-1L, maxTs + 10L * 86400000000L, -1L, "__closer", 0.0, "{}")),
+      Vector(Ev(-2L, maxTs + 20L * 86400000000L, -1L, "__closer", 0.0, "{}")))
+    (sc.batches ++ closers).zipWithIndex.foreach { case (batch, i) =>
+      val tmp = Files.createTempDirectory("graft-streamfuzz-tmp")
+      batch.toDF()
+        .select(col("eventId").as("event_id"),
+          expr("timestamp_micros(tsUs)").as("ts"),
+          col("userId").as("user_id"),
+          col("eventType").as("event_type"),
+          col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      val dest = dir.resolve(f"batch-$i%04d.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(1700000000000L + i * 60000L))
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(tmp.toFile)
+    }
+    dir
+  }
+
+  /** Replays `op(stream)` over the staged directory one file per
+    * micro-batch and returns the settled memory-sink table.
+    */
+  def replay(spark: SparkSession, dir: Path, name: String,
+             op: DataFrame => DataFrame,
+             mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val events = EventStream.readEvents(spark, dir.toString,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    EventStream.runToMemory(op(events), name, mode)
+    spark.table(name)
+  }
+
+  def cleanup(dir: Path): Unit =
+    try org.apache.spark.network.util.JavaUtils.deleteRecursively(dir.toFile)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  // ── the watermark model (shared by the late-aware oracles) ─────────
+
+  /** Watermark GOVERNING admission during batch i (0-based): the value
+    * computed from data seen through batch i-2 (max event time minus
+    * delay, never decreasing; 0 before any data).
+    *
+    * Why i-2 and not i-1: Spark's MicroBatchExecution computes the
+    * updated watermark from batch i-1's event-time stats and REPORTS it
+    * in batch i's progress, but batch i's offsets/metadata were already
+    * constructed with the previous value — the update only governs
+    * filtering and eviction from batch i+1 on. Measured, not assumed:
+    * replaying a 5-batch shuffled stream shows rows admitted in batch 1
+    * for windows the batch-0-derived watermark had already passed
+    * (StreamFuzzSpec's windowed-late scenarios pin this continuously).
+    */
+  def activeWatermarks(sc: Scenario): Vector[Long] = {
+    val delayUs = sc.latenessSec * 1000000L
+    val afterBatch = sc.batches.scanLeft(0L) { (wm, batch) =>
+      math.max(wm, batch.map(_.tsUs).max - delayUs)
+    } // afterBatch(j) = wm from data through batch j-1
+    sc.batches.indices.toVector.map(i => if (i == 0) 0L else afterBatch(i - 1))
+  }
+
+  // ── oracles ────────────────────────────────────────────────────────
+
+  /** Tumbling-window agg with the documented late-row model: a row in
+    * batch i is admitted iff its window END is strictly above the
+    * watermark active during batch i; the closers then emit every real
+    * window. Returns (window_start_us, event_type) -> (n, v).
+    */
+  def windowedOracle(sc: Scenario, windowSec: Long = 3600L)
+      : Map[(Long, String), (Long, Double)] = {
+    val winUs = windowSec * 1000000L
+    val wms = activeWatermarks(sc)
+    val admitted = sc.batches.zipWithIndex.flatMap { case (batch, i) =>
+      batch.filter { e =>
+        val winEnd = (e.tsUs / winUs + 1L) * winUs
+        winEnd > wms(i)
+      }
+    }
+    admitted.groupBy(e => ((e.tsUs / winUs) * winUs, e.eventType))
+      .map { case (k, evs) =>
+        k -> (evs.size.toLong, evs.map(_.value).sum) }
+  }
+
+  /** Session windows (gap-merged) over all rows — valid because the
+    * generator keeps non-late kinds inside the horizon (no drops).
+    * Returns (user_id, session_start_us, session_end_us) -> (n, v).
+    */
+  def sessionOracle(sc: Scenario, gapSec: Long = 1800L)
+      : Map[(Long, Long, Long), (Long, Double)] = {
+    val gapUs = gapSec * 1000000L
+    sc.batches.flatten.groupBy(_.userId).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(_.tsUs)
+      val sessions = sorted.foldLeft(Vector.empty[Vector[Ev]]) { (acc, e) =>
+        acc.lastOption match {
+          case Some(cur) if e.tsUs < cur.last.tsUs + gapUs =>
+            acc.init :+ (cur :+ e)
+          case _ => acc :+ Vector(e)
+        }
+      }
+      sessions.map { s =>
+        (uid, s.head.tsUs, s.last.tsUs + gapUs) ->
+          (s.size.toLong, s.map(_.value).sum)
+      }
+    }
+  }
+
+  /** Watermark dedup: duplicates are full-row copies arriving within
+    * the horizon, so the settled output is exactly the distinct
+    * event_id set.
+    */
+  def dedupOracle(sc: Scenario): Set[Long] =
+    sc.batches.flatten.map(_.eventId).toSet
+
+  /** Interval join (views ⟕ preceding purchases by same user): batch
+    * semantics over all rows — valid inside the horizon.
+    * Returns the set of (user_id, l_event_id, r_event_id).
+    */
+  def intervalJoinOracle(sc: Scenario, maxAgeSec: Long = 1200L)
+      : Set[(Long, Long, Long)] = {
+    val maxAgeUs = maxAgeSec * 1000000L
+    val all = sc.batches.flatten
+    val left = all.filter(_.eventType == "purchase")
+    val right = all.filter(_.eventType == "view")
+    (for {
+      l <- left
+      r <- right
+      if r.userId == l.userId && r.tsUs >= l.tsUs - maxAgeUs && r.tsUs <= l.tsUs
+    } yield (l.userId, l.eventId, r.eventId)).toSet
+  }
+
+  /** Final per-user activity state: every field is a pure function of
+    * the event SET (the order-independence claim under test).
+    * Returns user_id -> (n, v, first_us, last_us, last_type).
+    */
+  def activityOracle(sc: Scenario)
+      : Map[Long, (Long, Double, Long, Long, String)] =
+    sc.batches.flatten.groupBy(_.userId).map { case (uid, evs) =>
+      val cents = evs.map(e => Math.round(e.value * 100.0)).sum
+      val last = evs.maxBy(e => (e.tsUs, e.eventId))
+      uid -> (evs.size.toLong, cents / 100.0,
+        evs.map(_.tsUs).min, last.tsUs, last.eventType)
+    }
+}

@@ -1,0 +1,118 @@
+package graft.fuzz
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.EventStream
+
+/** Streaming differential fuzz (see [[StreamFuzz]]): per seed, ~48
+  * randomized scenarios rotate through the five streaming operator
+  * families — tumbling windows (with and without beyond-watermark late
+  * rows), watermark dedup, session windows, stream-stream interval
+  * join, and flatMapGroupsWithState custom state — each replayed
+  * file-per-micro-batch and compared against an independent
+  * batch-semantics oracle over the same rows.
+  */
+class StreamFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scenariosPerSeed =
+    sys.env.get("GRAFT_STREAM_FUZZ_N").map(_.toInt).getOrElse(48)
+
+  private def check(sc: StreamFuzz.Scenario): Unit = {
+    val dir = StreamFuzz.stage(spark, sc)
+    val sink = s"sf_${sc.seed}_${sc.idx}"
+    try sc.kind match {
+      case "windowed" | "windowed-late" =>
+        val got = StreamFuzz.replay(spark, dir, sink, ev =>
+            EventStream.windowedAgg(ev, "1 hour",
+              lateness = s"${sc.latenessSec} seconds"))
+          .filter(col("event_type") =!= "__closer")
+          .select(expr("unix_micros(window_start)"), col("event_type"),
+            col("n"), col("v"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) ->
+            (r.getLong(2), r.getDouble(3))).toMap
+        assert(got == StreamFuzz.windowedOracle(sc),
+          s"windowed divergence (${sc.kind}, seed=${sc.seed}, idx=${sc.idx}): " +
+            diff(got, StreamFuzz.windowedOracle(sc)))
+      case "dedup" =>
+        val rows = StreamFuzz.replay(spark, dir, sink, ev =>
+            EventStream.dedupStream(ev, Seq("event_id"),
+              lateness = s"${sc.latenessSec} seconds"))
+          .filter(col("event_id") >= 0)
+          .select("event_id").as[Long].collect()
+        assert(rows.length == rows.distinct.length,
+          s"dedup double-emitted (seed=${sc.seed}, idx=${sc.idx})")
+        assert(rows.toSet == StreamFuzz.dedupOracle(sc),
+          s"dedup divergence (seed=${sc.seed}, idx=${sc.idx}): " +
+            s"missing=${StreamFuzz.dedupOracle(sc) -- rows.toSet} " +
+            s"extra=${rows.toSet -- StreamFuzz.dedupOracle(sc)}")
+      case "session" =>
+        val got = StreamFuzz.replay(spark, dir, sink, ev =>
+            EventStream.sessionAgg(ev, gap = "30 minutes",
+              lateness = s"${sc.latenessSec} seconds"))
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), expr("unix_micros(session_start)"),
+            expr("unix_micros(session_end)"), col("n_events"),
+            col("session_value"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+            (r.getLong(3), r.getDouble(4))).toMap
+        assert(got == StreamFuzz.sessionOracle(sc),
+          s"session divergence (seed=${sc.seed}, idx=${sc.idx}): " +
+            diff(got, StreamFuzz.sessionOracle(sc)))
+      case "interval-join" =>
+        val got = StreamFuzz.replay(spark, dir, sink, ev =>
+            EventStream.intervalJoin(
+              ev.filter(col("event_type") === "purchase"),
+              ev.filter(col("event_type") === "view"),
+              "user_id", maxAge = "20 minutes",
+              lateness = s"${sc.latenessSec} seconds"))
+          .select("user_id", "l_event_id", "r_event_id")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == StreamFuzz.intervalJoinOracle(sc),
+          s"interval-join divergence (seed=${sc.seed}, idx=${sc.idx}): " +
+            s"missing=${StreamFuzz.intervalJoinOracle(sc) -- got} " +
+            s"extra=${got -- StreamFuzz.intervalJoinOracle(sc)}")
+      case "activity" =>
+        val toTyped: DataFrame => DataFrame = ev =>
+          EventStream.userActivity(
+            ev.select(col("user_id"), col("event_id"),
+                expr("unix_micros(ts)").as("ts_us"),
+                col("event_type"), col("value"))
+              .as[EventStream.ProfiledEvent]).toDF()
+        // append emits one row per (user, batch); the FINAL state per
+        // user is the row with the highest n_events
+        val got = StreamFuzz.replay(spark, dir, sink, toTyped)
+          .filter(col("user_id") >= 0)
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+            r.getLong(3), r.getLong(4), r.getString(5))))
+          .groupBy(_._1)
+          .map { case (uid, rows) => uid -> rows.map(_._2).maxBy(_._1) }
+        assert(got == StreamFuzz.activityOracle(sc),
+          s"activity divergence (seed=${sc.seed}, idx=${sc.idx}): " +
+            diff(got, StreamFuzz.activityOracle(sc)))
+      case other => fail(s"unknown scenario kind $other")
+    } finally StreamFuzz.cleanup(dir)
+  }
+
+  private def diff[K, V](got: Map[K, V], want: Map[K, V]): String = {
+    val missing = want.keySet -- got.keySet
+    val extra = got.keySet -- want.keySet
+    val changed = (got.keySet & want.keySet).filter(k => got(k) != want(k))
+    s"missing=${missing.take(3)} extra=${extra.take(3)} " +
+      changed.take(3).map(k => s"$k: got=${got(k)} want=${want(k)}").mkString("; ")
+  }
+
+  Seq(20260901L, 20260902L, 20260903L).foreach { seed =>
+    test(s"stream fuzz seed $seed: $scenariosPerSeed scenarios settle to batch semantics") {
+      (0 until scenariosPerSeed).foreach { idx =>
+        check(StreamFuzz.scenario(seed, idx))
+      }
+    }
+  }
+}

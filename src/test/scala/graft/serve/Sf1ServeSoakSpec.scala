@@ -131,6 +131,73 @@ class Sf1ServeSoakSpec extends SparkSpec {
     assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
       "storage memory not back at baseline")
 
+    // ── cancel round: kill a pipeline mid-flight under serving load ──
+    // d12 is the victim on purpose: it's the entry with a managed
+    // persist, so a cancellation that skipped its release path would
+    // park the cached survivors in the block manager for the session.
+    val cancelPool = Executors.newFixedThreadPool(3)
+    val cancelStatus = new ConcurrentHashMap[Int, LongAdder]()
+    val stopSoak = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cancelSoakers = (0 until 2).map { t =>
+      cancelPool.submit(new Runnable {
+        def run(): Unit = {
+          val rnd = new scala.util.Random(100 + t)
+          while (!stopSoak.get()) {
+            val code = q(shapes(rnd.nextInt(shapes.size)))
+            cancelStatus.computeIfAbsent(code, _ => new LongAdder).increment()
+          }
+        }
+      })
+    }
+    val victimOutcome = new java.util.concurrent.atomic.AtomicReference[String]()
+    val victim = cancelPool.submit(new Runnable {
+      def run(): Unit = {
+        spark.sparkContext.setJobGroup("graft-soak-victim",
+          "cancel-round victim", interruptOnCancel = true)
+        spark.sparkContext.setLocalProperty(
+          "spark.scheduler.pool", "graft-batch-victim")
+        try {
+          graft.SparkEntry.queries("d12_curation")(spark, sf1).count()
+          victimOutcome.set("completed")
+        } catch {
+          case e: Throwable => victimOutcome.set(s"cancelled: $e")
+        } finally {
+          spark.sparkContext.clearJobGroup()
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        }
+      }
+    })
+    Thread.sleep(1500) // let the victim get airborne (d12 runs ~7s at sf1)
+    spark.sparkContext.cancelJobGroup("graft-soak-victim")
+    victim.get(120, TimeUnit.SECONDS)
+    stopSoak.set(true)
+    cancelSoakers.foreach(_.get(60, TimeUnit.SECONDS))
+    cancelPool.shutdown()
+
+    assert(victimOutcome.get() != null &&
+        victimOutcome.get().startsWith("cancelled"),
+      s"victim was not cancelled mid-flight: ${victimOutcome.get()} — " +
+        "raise the entry cost or shorten the pre-cancel sleep")
+    val cancelCounts =
+      cancelStatus.asScala.map { case (k, v) => k -> v.sum() }.toMap
+    assert(!cancelCounts.keys.exists(_ >= 500),
+      s"5xx while a pipeline was being cancelled: $cancelCounts")
+    assert(cancelCounts.getOrElse(200, 0L) > 0,
+      s"serving starved during the cancel round: $cancelCounts")
+    // storage must return to baseline even though the victim died
+    // mid-checkpoint: the entry releases its managed persist in a
+    // finally, and the ContextCleaner reaps the orphaned checkpoint
+    // RDD once unreferenced — poke GC and wait for it
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    var leaked = spark.sparkContext.getPersistentRDDs.keySet -- rddBaseline
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(500)
+      leaked = spark.sparkContext.getPersistentRDDs.keySet -- rddBaseline
+    }
+    assert(leaked.isEmpty,
+      s"cancelled pipeline leaked persisted RDDs: ${leaked.mkString(",")}")
+
     api.stop()
   }
 }
