@@ -18,7 +18,7 @@ class StreamFuzzSpec extends SparkSpec {
   import spark.implicits._
 
   private val scenariosPerSeed =
-    sys.env.get("GRAFT_STREAM_FUZZ_N").map(_.toInt).getOrElse(48)
+    sys.env.get("GRAFT_STREAM_FUZZ_N").map(_.toInt).getOrElse(51)
 
   private def check(sc: StreamFuzz.Scenario): Unit = {
     val dir = StreamFuzz.stage(spark, sc)
@@ -110,9 +110,21 @@ class StreamFuzzSpec extends SparkSpec {
 
   Seq(20260901L, 20260902L, 20260903L).foreach { seed =>
     test(s"stream fuzz seed $seed: $scenariosPerSeed scenarios settle to batch semantics") {
-      (0 until scenariosPerSeed).foreach { idx =>
-        check(StreamFuzz.scenario(seed, idx))
-      }
+      // scenarios are independent (own staging dir, sink name,
+      // checkpoint): replay a few concurrently — the cost is almost
+      // entirely per-micro-batch fixed overhead, and the FAIR
+      // scheduler interleaves the tiny jobs cleanly
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val runs = (0 until scenariosPerSeed).map { idx =>
+          Future(check(StreamFuzz.scenario(seed, idx)))
+        }
+        Await.result(Future.sequence(runs), Duration.Inf)
+      } finally pool.shutdown()
     }
   }
 }
