@@ -60,18 +60,19 @@ object StreamFuzz {
     */
   def scenario(seed: Long, idx: Int): Scenario = {
     val kinds = Vector("windowed", "windowed-late", "dedup", "session",
-      "interval-join", "activity")
+      "interval-join", "activity", "sliding-late")
     val kind = kinds(idx % kinds.size)
     val r = new Random(seed * 1000003L + idx)
     val n = 200 + r.nextInt(400)
     val nBatches = 3 + r.nextInt(3)
     val users = 5 + r.nextInt(25)
     val lateness = kind match {
-      case "windowed-late" => 600L // 10 min; spread exceeds it below
+      case "windowed-late" | "sliding-late" => 600L // 10 min; spread exceeds it
       case _ => 7200L // 2h horizon over a <=30min spread: nothing drops
     }
     val spreadSec = kind match {
-      case "windowed-late" => 3 * 3600 // 3h: rows CAN be beyond-watermark
+      case "windowed-late" | "sliding-late" =>
+        3 * 3600 // 3h: rows CAN be beyond-watermark
       case _ => 1800
     }
     val base = (0 until n).map { i =>
@@ -198,6 +199,36 @@ object StreamFuzz {
     admitted.groupBy(e => ((e.tsUs / winUs) * winUs, e.eventType))
       .map { case (k, evs) =>
         k -> (evs.size.toLong, evs.map(_.value).sum) }
+  }
+
+  /** Sliding windows (hour window, 20-min slide): each row maps to the
+    * THREE windows covering its timestamp, and the late filter applies
+    * per (row, window) PAIR — the window projection expands before the
+    * stateful operator, so one physical row can be admitted into its
+    * still-open windows while being dropped from the already-closed
+    * ones in the same micro-batch. Same i−2 watermark model as
+    * [[windowedOracle]]. Returns (window_start_us, event_type) -> (n, v).
+    */
+  def slidingOracle(sc: Scenario, windowSec: Long = 3600L,
+                    slideSec: Long = 1200L)
+      : Map[(Long, String), (Long, Double)] = {
+    val winUs = windowSec * 1000000L
+    val slideUs = slideSec * 1000000L
+    val wms = activeWatermarks(sc)
+    def windowsOf(tsUs: Long): Seq[Long] = {
+      // starts of all windows [s, s+win) containing tsUs, slide-aligned
+      val lastStart = (tsUs / slideUs) * slideUs
+      Iterator.iterate(lastStart)(_ - slideUs)
+        .takeWhile(s => s > lastStart - winUs).toSeq
+    }
+    val admitted = sc.batches.zipWithIndex.flatMap { case (batch, i) =>
+      batch.flatMap { e =>
+        windowsOf(e.tsUs).filter(_ + winUs > wms(i)).map(ws => (ws, e))
+      }
+    }
+    admitted.groupBy { case (ws, e) => (ws, e.eventType) }
+      .map { case (k, pairs) =>
+        k -> (pairs.size.toLong, pairs.map(_._2.value).sum) }
   }
 
   /** Session windows (gap-merged) over all rows — valid because the

@@ -37,6 +37,19 @@ class StreamFuzzSpec extends SparkSpec {
         assert(got == StreamFuzz.windowedOracle(sc),
           s"windowed divergence (${sc.kind}, seed=${sc.seed}, idx=${sc.idx}): " +
             diff(got, StreamFuzz.windowedOracle(sc)))
+      case "sliding-late" =>
+        val got = StreamFuzz.replay(spark, dir, sink, ev =>
+            EventStream.windowedAgg(ev, "1 hour", slide = Some("20 minutes"),
+              lateness = s"${sc.latenessSec} seconds"))
+          .filter(col("event_type") =!= "__closer")
+          .select(expr("unix_micros(window_start)"), col("event_type"),
+            col("n"), col("v"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) ->
+            (r.getLong(2), r.getDouble(3))).toMap
+        assert(got == StreamFuzz.slidingOracle(sc),
+          s"sliding divergence (seed=${sc.seed}, idx=${sc.idx}): " +
+            diff(got, StreamFuzz.slidingOracle(sc)))
       case "dedup" =>
         val rows = StreamFuzz.replay(spark, dir, sink, ev =>
             EventStream.dedupStream(ev, Seq("event_id"),
