@@ -90,15 +90,7 @@ final class SyncManager(spark: SparkSession, source: Source,
                 val delta = deltas(t)
                 if (!prev.columns.contains(keyCol)
                   || !delta.columns.contains(keyCol)) source.read(spark, t)
-                else {
-                  // upsert: previous rows not touched by the delta,
-                  // plus the delta (anti-join on the key = MERGE INTO
-                  // WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT)
-                  import org.apache.spark.sql.functions.col
-                  prev.join(delta.select(col(keyCol)), Seq(keyCol),
-                    "left_anti").unionByName(delta.select(prev.columns
-                    .map(col): _*))
-                }
+                else SyncManager.mergeUpsert(prev, delta, keyCol)
               case None => source.read(spark, t) // bootstrap generation
             }
         }
@@ -133,4 +125,26 @@ final class SyncManager(spark: SparkSession, source: Source,
       if (i < cycles) Thread.sleep(intervalSeconds * 1000)
       r
     }
+}
+
+object SyncManager {
+  /** MERGE INTO as composed plans: previous-generation rows not
+    * touched by the delta (left anti on the key) plus the delta
+    * (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT).
+    *
+    * Scale shape: at 100 TB `prev` is the full snapshot and `delta`
+    * the change rate — normally orders of magnitude smaller. The join
+    * is left UNHINTED on purpose so AQE broadcasts the delta's key
+    * projection when it is small (pinned by SnapshotSyncSpec's plan
+    * assert) but can still fall back to a shuffled join for a
+    * backfill-scale delta, where a forced broadcast would OOM the
+    * executors.
+    */
+  private[graft] def mergeUpsert(prev: org.apache.spark.sql.DataFrame,
+                                 delta: org.apache.spark.sql.DataFrame,
+                                 keyCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    prev.join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(delta.select(prev.columns.map(col): _*))
+  }
 }

@@ -173,6 +173,72 @@ class SnapshotSyncSpec extends SparkSpec {
       merged.mkString(";")) // update applied, insert applied, rest kept
   }
 
+  test("merge upsert: AQE broadcasts a small delta against a big prev") {
+    // the scale-critical plan shape: prev is the full snapshot (huge at
+    // 100 TB), delta the change rate — the anti-join must NOT shuffle
+    // prev on the key when the delta is broadcastable
+    import org.apache.spark.sql.functions._
+    val prev = spark.range(200000).select(col("id"),
+      (col("id") % 97).as("quantity"))
+    val delta = spark.range(50).select((col("id") * 1000).as("id"),
+      lit(7L).as("quantity"))
+    val merged = graft.ingest.SyncManager.mergeUpsert(prev, delta, "id")
+    // every delta id (0, 1000, …, 49000) matches a prev row: pure upsert
+    assert(merged.count() == 200000)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"small-delta MERGE should broadcast the delta keys:\n$plan")
+  }
+
+  test("failed publish leaves the watermark behind — no skipped rows") {
+    // The T2 invariant SyncManager claims in code: watermarks advance
+    // ONLY after a publish lands. If a cycle computed the new watermark
+    // from its delta, then failed to publish, and STILL advanced, every
+    // row in (old, new] would be skipped forever — silent data loss on
+    // any transient publish failure at 100 TB.
+    val srcDir = Files.createTempDirectory("graft-wmfail-src").toString
+    val snapDir = Files.createTempDirectory("graft-wmfail-snap").toString
+    def writeSource(rows: Seq[(Long, Long, Timestamp)]): Unit =
+      rows.toDF("id", "quantity", "updated_at")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$srcDir/inventory.parquet")
+    writeSource(Seq((1L, 5L, ts("2024-01-01 00:00:00"))))
+    val store = new SnapshotStore(spark, snapDir)
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), store,
+      mode = SyncMode.Merge)
+    val r1 = mgr.runCycle(Instant.parse("2024-07-01T00:00:00Z"))
+    assert(r1.success)
+    val wm1 = new WatermarkStore(store).load()("inventory")
+
+    // a new row arrives; then the previous generation is damaged so the
+    // MERGE's publish phase fails AFTER change detection computed the
+    // would-be watermark
+    writeSource(Seq(
+      (1L, 5L, ts("2024-01-01 00:00:00")),
+      (2L, 9L, ts("2024-02-01 00:00:00"))))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val gen1Table = store.tableDir(r1.manifest.get.version, "inventory")
+    val aside = new org.apache.hadoop.fs.Path(gen1Table.toString + ".aside")
+    assert(fs.rename(gen1Table, aside))
+    val r2 = mgr.runCycle(Instant.parse("2024-07-01T01:00:00Z"))
+    assert(!r2.success, "publish should have failed against the damaged prev")
+    assert(new WatermarkStore(store).load()("inventory") == wm1,
+      "watermark advanced past a FAILED publish — rows in (old, new] " +
+        "would be skipped forever")
+
+    // repair: the next tick retries from scratch and the delta row lands
+    assert(fs.rename(aside, gen1Table))
+    val r3 = mgr.runCycle(Instant.parse("2024-07-01T02:00:00Z"))
+    assert(r3.success, r3.error)
+    assert(r3.changedCounts("inventory") == 1L, s"delta lost: $r3")
+    val merged = spark.read.parquet(
+      store.tableDir(r3.manifest.get.version, "inventory").toString)
+    assert(merged.filter($"id" === 2L).count() == 1L,
+      "the row from the failed cycle never arrived")
+  }
+
   test("csv and json sources feed the same sync pipeline") {
     import graft.ingest.{CsvSource, JsonSource}
     val srcDir = Files.createTempDirectory("graft-fmt").toString
