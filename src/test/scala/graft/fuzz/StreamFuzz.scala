@@ -60,18 +60,19 @@ object StreamFuzz {
     */
   def scenario(seed: Long, idx: Int): Scenario = {
     val kinds = Vector("windowed", "windowed-late", "dedup", "session",
-      "interval-join", "activity", "sliding-late")
+      "interval-join", "activity", "sliding-late", "dedup-late")
     val kind = kinds(idx % kinds.size)
     val r = new Random(seed * 1000003L + idx)
     val n = 200 + r.nextInt(400)
     val nBatches = 3 + r.nextInt(3)
     val users = 5 + r.nextInt(25)
     val lateness = kind match {
-      case "windowed-late" | "sliding-late" => 600L // 10 min; spread exceeds it
+      case "windowed-late" | "sliding-late" | "dedup-late" =>
+        600L // 10 min; spread exceeds it
       case _ => 7200L // 2h horizon over a <=30min spread: nothing drops
     }
     val spreadSec = kind match {
-      case "windowed-late" | "sliding-late" =>
+      case "windowed-late" | "sliding-late" | "dedup-late" =>
         3 * 3600 // 3h: rows CAN be beyond-watermark
       case _ => 1800
     }
@@ -92,10 +93,41 @@ object StreamFuzz {
       if (kind == "dedup") {
         val dups = r.shuffle(arrival.take(n / 4)).take(n / 8)
         arrival ++ dups
+      } else if (kind == "dedup-late") {
+        // redeliveries carry a LATER event time (the at-least-once
+        // ingest shape): same key, ts bumped by up to 2× the delay, so
+        // a redelivery can find its original's state expired while
+        // still being admitted — the RE-EMISSION path. Identical-ts
+        // copies can never reach it (admitted ∧ expired is
+        // contradictory for equal timestamps). Originals are sampled
+        // from EARLY batches so redeliveries (batch n−2) and
+        // double-redelivery chains (batch n−1) arrive strictly later —
+        // the chain is the only shape that distinguishes whether a
+        // DROPPED duplicate refreshes the stored expiry (the model
+        // says no: expiry is fixed at emission, so a third copy after
+        // the original's expiry re-emits even though the second copy
+        // arrived in between).
+        def bump(e: Ev): Ev = e.copy(tsUs = e.tsUs +
+          (r.nextInt((2 * lateness).toInt).toLong * 1000000L))
+        val earlyZone = math.max(1, nBatches - 2)
+        val sampled = r.shuffle(arrival.zipWithIndex
+          .filter(_._2 % nBatches < earlyZone).map(_._1)).take(n / 8)
+        val dups = sampled.map(bump)
+        val chains = dups.take(n / 32).map(bump)
+        arrival ++ dups ++ chains
       } else arrival
+    val nDups =
+      if (kind == "dedup-late")
+        math.min(n / 8, arrival.zipWithIndex
+          .count(_._2 % nBatches < math.max(1, nBatches - 2)))
+      else 0
     val batches = withDups.zipWithIndex
-      .groupBy { case (e, i) =>
-        if (kind == "dedup" && i >= arrival.size)
+      .groupBy { case (_, i) =>
+        if (kind == "dedup-late" && i >= arrival.size)
+          // redeliveries in batch n−2, chain copies in batch n−1
+          (if (i >= arrival.size + nDups) nBatches - 1
+           else math.max(1, nBatches - 2))
+        else if (kind == "dedup" && i >= arrival.size)
           // duplicates land strictly after their original's batch
           nBatches - 1
         else i % nBatches
@@ -260,6 +292,38 @@ object StreamFuzz {
     */
   def dedupOracle(sc: Scenario): Set[Long] =
     sc.batches.flatten.map(_.eventId).toSet
+
+  /** Watermark dedup over a stream where rows AND their duplicates can
+    * be late: models the full state lifecycle of
+    * `dropDuplicatesWithinWatermark` —
+    *   1. batch i admits a row iff its ts is not behind the governing
+    *      watermark (same i−2 stream as the window oracles);
+    *   2. expired keys (stored ts + delay < wm) are gone before the
+    *      batch's rows are matched;
+    *   3. an admitted row whose key is absent EMITS and stores its ts —
+    *      so a duplicate arriving after its original's state expired
+    *      RE-EMITS. That is the documented guarantee ("duplicates
+    *      within the delay of each other are dropped", nothing more),
+    *      and exactly what a 100 TB ingest must size the delay around.
+    * Returns the emitted event_id MULTISET (re-emissions counted).
+    */
+  def dedupLateOracle(sc: Scenario): Seq[Long] = {
+    val delayUs = sc.latenessSec * 1000000L
+    val wms = activeWatermarks(sc)
+    val state = scala.collection.mutable.Map.empty[Long, Long] // id -> ts
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sc.batches.zipWithIndex.foreach { case (batch, i) =>
+      val wm = wms(i)
+      state.filterInPlace { case (_, ts) => ts + delayUs >= wm }
+      batch.foreach { e =>
+        if (e.tsUs >= wm && !state.contains(e.eventId)) {
+          emitted += e.eventId
+          state(e.eventId) = e.tsUs
+        }
+      }
+    }
+    emitted.sorted.toSeq
+  }
 
   /** Interval join (views ⟕ preceding purchases by same user): batch
     * semantics over all rows — valid inside the horizon.

@@ -62,6 +62,18 @@ class StreamFuzzSpec extends SparkSpec {
           s"dedup divergence (seed=${sc.seed}, idx=${sc.idx}): " +
             s"missing=${StreamFuzz.dedupOracle(sc) -- rows.toSet} " +
             s"extra=${rows.toSet -- StreamFuzz.dedupOracle(sc)}")
+      case "dedup-late" =>
+        val rows = StreamFuzz.replay(spark, dir, sink, ev =>
+            EventStream.dedupStream(ev, Seq("event_id"),
+              lateness = s"${sc.latenessSec} seconds"))
+          .filter(col("event_id") >= 0)
+          .select("event_id").as[Long].collect().sorted.toSeq
+        assert(rows == StreamFuzz.dedupLateOracle(sc),
+          s"dedup-late divergence (seed=${sc.seed}, idx=${sc.idx}): " +
+            s"got ${rows.size} emitted, want " +
+            s"${StreamFuzz.dedupLateOracle(sc).size}; " +
+            s"multiset diff ${(rows.diff(StreamFuzz.dedupLateOracle(sc)) ++
+              StreamFuzz.dedupLateOracle(sc).diff(rows)).take(6)}")
       case "session" =>
         val got = StreamFuzz.replay(spark, dir, sink, ev =>
             EventStream.sessionAgg(ev, gap = "30 minutes",
@@ -119,6 +131,31 @@ class StreamFuzzSpec extends SparkSpec {
     val changed = (got.keySet & want.keySet).filter(k => got(k) != want(k))
     s"missing=${missing.take(3)} extra=${extra.take(3)} " +
       changed.take(3).map(k => s"$k: got=${got(k)} want=${want(k)}").mkString("; ")
+  }
+
+  test("dedup-late scenarios are non-vacuous: re-emission AND late-drop occur") {
+    // pure-model check (no Spark): across the seeds' dedup-late
+    // scenarios, at least one key must be emitted TWICE (redelivery
+    // after its original's state expired) and at least one key dropped
+    // entirely (every occurrence behind the watermark) — otherwise the
+    // lifecycle oracle's interesting branches are dead code
+    val scs = for {
+      seed <- Seq(20260901L, 20260902L, 20260903L)
+      idx <- 0 until scenariosPerSeed
+      sc = StreamFuzz.scenario(seed, idx)
+      if sc.kind == "dedup-late"
+    } yield sc
+    assert(scs.nonEmpty)
+    val reEmitted = scs.exists { sc =>
+      val e = StreamFuzz.dedupLateOracle(sc)
+      e.size != e.distinct.size
+    }
+    val dropped = scs.exists { sc =>
+      StreamFuzz.dedupLateOracle(sc).distinct.size <
+        sc.batches.flatten.map(_.eventId).distinct.size
+    }
+    assert(reEmitted, "no dedup-late scenario exercises re-emission")
+    assert(dropped, "no dedup-late scenario exercises late-drop")
   }
 
   Seq(20260901L, 20260902L, 20260903L).foreach { seed =>
