@@ -60,19 +60,22 @@ object StreamFuzz {
     */
   def scenario(seed: Long, idx: Int): Scenario = {
     val kinds = Vector("windowed", "windowed-late", "dedup", "session",
-      "interval-join", "activity", "sliding-late", "dedup-late")
+      "interval-join", "activity", "sliding-late", "dedup-late",
+      "session-late")
     val kind = kinds(idx % kinds.size)
     val r = new Random(seed * 1000003L + idx)
     val n = 200 + r.nextInt(400)
     val nBatches = 3 + r.nextInt(3)
     val users = 5 + r.nextInt(25)
     val lateness = kind match {
-      case "windowed-late" | "sliding-late" | "dedup-late" =>
+      case "windowed-late" | "sliding-late" | "dedup-late" |
+           "session-late" =>
         600L // 10 min; spread exceeds it
       case _ => 7200L // 2h horizon over a <=30min spread: nothing drops
     }
     val spreadSec = kind match {
-      case "windowed-late" | "sliding-late" | "dedup-late" =>
+      case "windowed-late" | "sliding-late" | "dedup-late" |
+           "session-late" =>
         3 * 3600 // 3h: rows CAN be beyond-watermark
       case _ => 1800
     }
@@ -292,6 +295,63 @@ object StreamFuzz {
     */
   def dedupOracle(sc: Scenario): Set[Long] =
     sc.batches.flatten.map(_.eventId).toSet
+
+  /** Session windows over a stream with beyond-watermark rows: models
+    * the session state lifecycle on the same i−2 watermark stream —
+    *   1. batch i admits a row iff its own session interval's end
+    *      (ts + gap) is strictly above the governing watermark;
+    *   2. admitted rows merge into the user's LIVE sessions by
+    *      interval overlap (a late-but-admitted row can extend a live
+    *      session backwards);
+    *   3. at the end of batch i, sessions whose end ≤ the same
+    *      governing watermark are emitted and leave the state — so a
+    *      later admitted row for that time range starts a NEW session:
+    *      the output can contain two overlapping sessions for one
+    *      user, which is exactly what downstream consumers of
+    *      session_window output must tolerate under late data.
+    * Returns (user_id, start_us, end_us) -> (n, v) with multiplicity
+    * impossible (distinct (user,start,end) per emission by
+    * construction of interval merging).
+    */
+  def sessionLateOracle(sc: Scenario, gapSec: Long = 1800L)
+      : Map[(Long, Long, Long), (Long, Double)] = {
+    val gapUs = gapSec * 1000000L
+    val wms = activeWatermarks(sc)
+    final case class Sess(startUs: Long, endUs: Long, n: Long, v: Double)
+    val live = scala.collection.mutable.Map.empty[Long, Vector[Sess]]
+    val out = scala.collection.mutable.Map
+      .empty[(Long, Long, Long), (Long, Double)]
+    def emit(uid: Long, s: Sess): Unit =
+      out((uid, s.startUs, s.endUs)) = (s.n, s.v)
+    sc.batches.zipWithIndex.foreach { case (batch, i) =>
+      // eviction runs BEFORE the batch's rows are merged, with the same
+      // lag-2 watermark the late filter uses — measured, not assumed:
+      // evict-after-merge lets a same-batch late row resurrect a
+      // session the engine provably emitted closed (the engine's
+      // output then shows two overlapping sessions where that model
+      // shows one merged), and an evict-with-fresher-wm model splits
+      // pairs the engine provably merged. Same rule as the dedup state
+      // lifecycle: expiry precedes matching, one watermark per batch.
+      live.mapValuesInPlace { (uid, ss) =>
+        val (done, keep) = ss.partition(_.endUs <= wms(i))
+        done.foreach(emit(uid, _))
+        keep
+      }
+      batch.filter(e => e.tsUs + gapUs > wms(i)).foreach { e =>
+        val cur = live.getOrElse(e.userId, Vector.empty)
+        val (overlap, rest) = cur.partition(s =>
+          e.tsUs < s.endUs && e.tsUs + gapUs > s.startUs)
+        val merged = overlap.foldLeft(
+          Sess(e.tsUs, e.tsUs + gapUs, 1L, e.value)) { (a, s) =>
+          Sess(math.min(a.startUs, s.startUs), math.max(a.endUs, s.endUs),
+            a.n + s.n, a.v + s.v)
+        }
+        live(e.userId) = rest :+ merged
+      }
+    }
+    live.foreach { case (uid, ss) => ss.foreach(emit(uid, _)) }
+    out.toMap
+  }
 
   /** Watermark dedup over a stream where rows AND their duplicates can
     * be late: models the full state lifecycle of

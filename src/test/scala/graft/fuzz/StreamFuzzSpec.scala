@@ -88,6 +88,20 @@ class StreamFuzzSpec extends SparkSpec {
         assert(got == StreamFuzz.sessionOracle(sc),
           s"session divergence (seed=${sc.seed}, idx=${sc.idx}): " +
             diff(got, StreamFuzz.sessionOracle(sc)))
+      case "session-late" =>
+        val got = StreamFuzz.replay(spark, dir, sink, ev =>
+            EventStream.sessionAgg(ev, gap = "30 minutes",
+              lateness = s"${sc.latenessSec} seconds"))
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), expr("unix_micros(session_start)"),
+            expr("unix_micros(session_end)"), col("n_events"),
+            col("session_value"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+            (r.getLong(3), r.getDouble(4))).toMap
+        assert(got == StreamFuzz.sessionLateOracle(sc),
+          s"session-late divergence (seed=${sc.seed}, idx=${sc.idx}): " +
+            diff(got, StreamFuzz.sessionLateOracle(sc)))
       case "interval-join" =>
         val got = StreamFuzz.replay(spark, dir, sink, ev =>
             EventStream.intervalJoin(
