@@ -61,7 +61,7 @@ object StreamFuzz {
   def scenario(seed: Long, idx: Int): Scenario = {
     val kinds = Vector("windowed", "windowed-late", "dedup", "session",
       "interval-join", "activity", "sliding-late", "dedup-late",
-      "session-late")
+      "session-late", "join-late")
     val kind = kinds(idx % kinds.size)
     val r = new Random(seed * 1000003L + idx)
     val n = 200 + r.nextInt(400)
@@ -69,13 +69,13 @@ object StreamFuzz {
     val users = 5 + r.nextInt(25)
     val lateness = kind match {
       case "windowed-late" | "sliding-late" | "dedup-late" |
-           "session-late" =>
+           "session-late" | "join-late" =>
         600L // 10 min; spread exceeds it
       case _ => 7200L // 2h horizon over a <=30min spread: nothing drops
     }
     val spreadSec = kind match {
       case "windowed-late" | "sliding-late" | "dedup-late" |
-           "session-late" =>
+           "session-late" | "join-late" =>
         3 * 3600 // 3h: rows CAN be beyond-watermark
       case _ => 1800
     }
@@ -400,6 +400,49 @@ object StreamFuzz {
       r <- right
       if r.userId == l.userId && r.tsUs >= l.tsUs - maxAgeUs && r.tsUs <= l.tsUs
     } yield (l.userId, l.eventId, r.eventId)).toSet
+  }
+
+  /** Stream-stream interval join with beyond-watermark rows on BOTH
+    * sides. Two measured facts make the oracle exact without modeling
+    * buffer eviction at all:
+    *  - each side's watermark advances from ITS OWN rows only (the
+    *    event-type filter precedes withWatermark), and the query-level
+    *    value that governs late-row admission is the MIN of the two,
+    *    on the same lag-2 stream as every other operator;
+    *  - Spark's join-state eviction bounds are derived from the join
+    *    condition so that no pair of ADMITTED rows can lose its match
+    *    (a buffered left with l_ts ≥ wm is exactly the left a future
+    *    admitted right r_ts ≤ l_ts can still need, and symmetrically
+    *    right rows down to wm − maxAge) — so the inner join's settled
+    *    output is precisely "all condition-satisfying pairs whose two
+    *    rows were each admitted at their own arrival batch".
+    * Returns the set of (user_id, l_event_id, r_event_id).
+    */
+  def intervalJoinLateOracle(sc: Scenario, maxAgeSec: Long = 1200L)
+      : Set[(Long, Long, Long)] = {
+    val delayUs = sc.latenessSec * 1000000L
+    val maxAgeUs = maxAgeSec * 1000000L
+    def sideWms(pred: Ev => Boolean): Vector[Long] = {
+      val afterBatch = sc.batches.scanLeft(0L) { (wm, b) =>
+        val ts = b.filter(pred).map(_.tsUs)
+        if (ts.isEmpty) wm else math.max(wm, ts.max - delayUs)
+      }
+      sc.batches.indices.toVector.map(i =>
+        if (i == 0) 0L else afterBatch(i - 1))
+    }
+    val wms = sideWms(_.eventType == "purchase")
+      .zip(sideWms(_.eventType == "view")).map { case (a, b) => math.min(a, b) }
+    def admitted(t: String): Vector[Ev] =
+      sc.batches.zipWithIndex.flatMap { case (b, i) =>
+        b.filter(e => e.eventType == t && e.tsUs >= wms(i)) }.toVector
+    val lefts = admitted("purchase")
+    val rights = admitted("view")
+    (for {
+      l <- lefts
+      rr <- rights
+      if rr.userId == l.userId &&
+        rr.tsUs >= l.tsUs - maxAgeUs && rr.tsUs <= l.tsUs
+    } yield (l.userId, l.eventId, rr.eventId)).toSet
   }
 
   /** Final per-user activity state: every field is a pure function of

@@ -116,6 +116,20 @@ class StreamFuzzSpec extends SparkSpec {
           s"interval-join divergence (seed=${sc.seed}, idx=${sc.idx}): " +
             s"missing=${StreamFuzz.intervalJoinOracle(sc) -- got} " +
             s"extra=${got -- StreamFuzz.intervalJoinOracle(sc)}")
+      case "join-late" =>
+        val got = StreamFuzz.replay(spark, dir, sink, ev =>
+            EventStream.intervalJoin(
+              ev.filter(col("event_type") === "purchase"),
+              ev.filter(col("event_type") === "view"),
+              "user_id", maxAge = "20 minutes",
+              lateness = s"${sc.latenessSec} seconds"))
+          .select("user_id", "l_event_id", "r_event_id")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == StreamFuzz.intervalJoinLateOracle(sc),
+          s"join-late divergence (seed=${sc.seed}, idx=${sc.idx}): " +
+            s"missing=${(StreamFuzz.intervalJoinLateOracle(sc) -- got).take(4)} " +
+            s"extra=${(got -- StreamFuzz.intervalJoinLateOracle(sc)).take(4)}")
       case "activity" =>
         val toTyped: DataFrame => DataFrame = ev =>
           EventStream.userActivity(
@@ -170,6 +184,31 @@ class StreamFuzzSpec extends SparkSpec {
     }
     assert(reEmitted, "no dedup-late scenario exercises re-emission")
     assert(dropped, "no dedup-late scenario exercises late-drop")
+
+    // join-late: at least one scenario must LOSE matches to the late
+    // filter (admitted-pairs oracle < all-pairs), or the kind only
+    // re-proves the no-drop regime the plain interval-join kind covers
+    val joinScs = for {
+      seed <- Seq(20260901L, 20260902L, 20260903L)
+      idx <- 0 until scenariosPerSeed
+      sc = StreamFuzz.scenario(seed, idx)
+      if sc.kind == "join-late"
+    } yield sc
+    assert(joinScs.nonEmpty)
+    val lostMatches = joinScs.exists { sc =>
+      val all = {
+        val rows = sc.batches.flatten
+        val ls = rows.filter(_.eventType == "purchase")
+        val rs = rows.filter(_.eventType == "view")
+        (for {
+          l <- ls; rr <- rs
+          if rr.userId == l.userId &&
+            rr.tsUs >= l.tsUs - 1200000000L && rr.tsUs <= l.tsUs
+        } yield (l.userId, l.eventId, rr.eventId)).toSet
+      }
+      StreamFuzz.intervalJoinLateOracle(sc).size < all.size
+    }
+    assert(lostMatches, "no join-late scenario loses a match to lateness")
   }
 
   Seq(20260901L, 20260902L, 20260903L).foreach { seed =>
