@@ -61,7 +61,7 @@ object StreamFuzz {
   def scenario(seed: Long, idx: Int): Scenario = {
     val kinds = Vector("windowed", "windowed-late", "dedup", "session",
       "interval-join", "activity", "sliding-late", "dedup-late",
-      "session-late", "join-late")
+      "session-late", "join-late", "outer-join-late")
     val kind = kinds(idx % kinds.size)
     val r = new Random(seed * 1000003L + idx)
     val n = 200 + r.nextInt(400)
@@ -69,13 +69,13 @@ object StreamFuzz {
     val users = 5 + r.nextInt(25)
     val lateness = kind match {
       case "windowed-late" | "sliding-late" | "dedup-late" |
-           "session-late" | "join-late" =>
+           "session-late" | "join-late" | "outer-join-late" =>
         600L // 10 min; spread exceeds it
       case _ => 7200L // 2h horizon over a <=30min spread: nothing drops
     }
     val spreadSec = kind match {
       case "windowed-late" | "sliding-late" | "dedup-late" |
-           "session-late" | "join-late" =>
+           "session-late" | "join-late" | "outer-join-late" =>
         3 * 3600 // 3h: rows CAN be beyond-watermark
       case _ => 1800
     }
@@ -152,9 +152,21 @@ object StreamFuzz {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-streamfuzz")
     val maxTs = sc.batches.flatten.map(_.tsUs).max
-    val closers = Vector(
-      Vector(Ev(-1L, maxTs + 10L * 86400000000L, -1L, "__closer", 0.0, "{}")),
-      Vector(Ev(-2L, maxTs + 20L * 86400000000L, -1L, "__closer", 0.0, "{}")))
+    // The outer-join kind needs closers that REACH both join sides
+    // (the event-type filters precede withWatermark, so a "__closer"
+    // row advances neither side's watermark and the left-outer null
+    // rows would never settle in a bounded replay): one far-future
+    // purchase + view per closer batch, user −1, excluded from every
+    // comparison.
+    def closerRows(day: Int, idBase: Long): Vector[Ev] =
+      if (sc.kind == "outer-join-late")
+        Vector(
+          Ev(idBase, maxTs + day.toLong * 86400000000L, -1L, "purchase", 0.0, "{}"),
+          Ev(idBase - 1, maxTs + day.toLong * 86400000000L + 3600000000L,
+            -1L, "view", 0.0, "{}"))
+      else Vector(Ev(idBase, maxTs + day.toLong * 86400000000L, -1L,
+        "__closer", 0.0, "{}"))
+    val closers = Vector(closerRows(10, -1L), closerRows(20, -3L))
     (sc.batches ++ closers).zipWithIndex.foreach { case (batch, i) =>
       val tmp = Files.createTempDirectory("graft-streamfuzz-tmp")
       batch.toDF()
@@ -443,6 +455,34 @@ object StreamFuzz {
       if rr.userId == l.userId &&
         rr.tsUs >= l.tsUs - maxAgeUs && rr.tsUs <= l.tsUs
     } yield (l.userId, l.eventId, rr.eventId)).toSet
+  }
+
+  /** Left-outer interval join under late data: the match set is
+    * exactly the inner oracle's (null-extension changes nothing about
+    * which pairs join), and a null row settles for every ADMITTED left
+    * with no admitted match — provided something advances both sides'
+    * watermarks past the data, which the kind's typed closer rows do.
+    * Returns (matches, settledNullLeftIds).
+    */
+  def outerJoinLateOracle(sc: Scenario, maxAgeSec: Long = 1200L)
+      : (Set[(Long, Long, Long)], Set[Long]) = {
+    val matches = intervalJoinLateOracle(sc, maxAgeSec)
+    val delayUs = sc.latenessSec * 1000000L
+    def sideWms(pred: Ev => Boolean): Vector[Long] = {
+      val afterBatch = sc.batches.scanLeft(0L) { (wm, b) =>
+        val ts = b.filter(pred).map(_.tsUs)
+        if (ts.isEmpty) wm else math.max(wm, ts.max - delayUs)
+      }
+      sc.batches.indices.toVector.map(i =>
+        if (i == 0) 0L else afterBatch(i - 1))
+    }
+    val wms = sideWms(_.eventType == "purchase")
+      .zip(sideWms(_.eventType == "view")).map { case (a, b) => math.min(a, b) }
+    val admittedLeftIds = sc.batches.zipWithIndex.flatMap { case (b, i) =>
+      b.filter(e => e.eventType == "purchase" && e.tsUs >= wms(i))
+    }.map(_.eventId).toSet
+    val matchedLeftIds = matches.map(_._2)
+    (matches, admittedLeftIds -- matchedLeftIds)
   }
 
   /** Final per-user activity state: every field is a pure function of

@@ -130,6 +130,29 @@ class StreamFuzzSpec extends SparkSpec {
           s"join-late divergence (seed=${sc.seed}, idx=${sc.idx}): " +
             s"missing=${(StreamFuzz.intervalJoinLateOracle(sc) -- got).take(4)} " +
             s"extra=${(got -- StreamFuzz.intervalJoinLateOracle(sc)).take(4)}")
+      case "outer-join-late" =>
+        val rows = StreamFuzz.replay(spark, dir, sink, ev =>
+            EventStream.intervalJoin(
+              ev.filter(col("event_type") === "purchase"),
+              ev.filter(col("event_type") === "view"),
+              "user_id", maxAge = "20 minutes",
+              lateness = s"${sc.latenessSec} seconds",
+              joinType = "leftOuter"))
+          .filter(col("user_id") >= 0)
+          .select("user_id", "l_event_id", "r_event_id")
+          .collect()
+        val gotMatches = rows.filter(!_.isNullAt(2))
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val gotNulls = rows.filter(_.isNullAt(2)).map(_.getLong(1)).toSet
+        val (wantMatches, wantNulls) = StreamFuzz.outerJoinLateOracle(sc)
+        assert(gotMatches == wantMatches,
+          s"outer-join-late match divergence (seed=${sc.seed}, idx=${sc.idx}): " +
+            s"missing=${(wantMatches -- gotMatches).take(4)} " +
+            s"extra=${(gotMatches -- wantMatches).take(4)}")
+        assert(gotNulls == wantNulls,
+          s"outer-join-late null divergence (seed=${sc.seed}, idx=${sc.idx}): " +
+            s"missing=${(wantNulls -- gotNulls).take(6)} " +
+            s"extra=${(gotNulls -- wantNulls).take(6)}")
       case "activity" =>
         val toTyped: DataFrame => DataFrame = ev =>
           EventStream.userActivity(
