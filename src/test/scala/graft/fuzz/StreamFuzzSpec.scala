@@ -232,6 +232,24 @@ class StreamFuzzSpec extends SparkSpec {
       StreamFuzz.intervalJoinLateOracle(sc).size < all.size
     }
     assert(lostMatches, "no join-late scenario loses a match to lateness")
+
+    // outer-join-late: scenarios must produce BOTH settled null rows
+    // and real matches, and at least one admitted-but-matchless left
+    // must coexist with a late-dropped left (otherwise the null oracle
+    // only re-proves the inner kind)
+    val outerScs = for {
+      seed <- Seq(20260901L, 20260902L, 20260903L)
+      idx <- 0 until scenariosPerSeed
+      sc = StreamFuzz.scenario(seed, idx)
+      if sc.kind == "outer-join-late"
+    } yield sc
+    assert(outerScs.nonEmpty)
+    assert(outerScs.exists { sc =>
+      val (m, nulls) = StreamFuzz.outerJoinLateOracle(sc)
+      val allLeft = sc.batches.flatten.count(_.eventType == "purchase")
+      m.nonEmpty && nulls.nonEmpty &&
+        nulls.size + m.map(_._2).size < allLeft // some lefts late-dropped
+    }, "no outer-join-late scenario has matches + nulls + dropped lefts")
   }
 
   Seq(20260901L, 20260902L, 20260903L).foreach { seed =>
