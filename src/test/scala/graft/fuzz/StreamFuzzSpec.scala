@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.streaming.EventStream
 
-/** Streaming differential fuzz (see [[StreamFuzz]]): per seed, ~48
-  * randomized scenarios rotate through the five streaming operator
-  * families — tumbling windows (with and without beyond-watermark late
-  * rows), watermark dedup, session windows, stream-stream interval
-  * join, and flatMapGroupsWithState custom state — each replayed
-  * file-per-micro-batch and compared against an independent
-  * batch-semantics oracle over the same rows.
+/** Streaming differential fuzz (see [[StreamFuzz]]): per seed, 51
+  * randomized scenarios rotate through eleven operator kinds covering
+  * all four stateful streaming families with and without
+  * beyond-watermark data — tumbling/sliding windows, watermark dedup
+  * (incl. late redeliveries), session windows, stream-stream interval
+  * joins (inner and left-outer), and flatMapGroupsWithState custom
+  * state — each replayed file-per-micro-batch and compared against an
+  * independent lifecycle oracle over the same rows.
   */
 class StreamFuzzSpec extends SparkSpec {
   import spark.implicits._
@@ -20,9 +21,27 @@ class StreamFuzzSpec extends SparkSpec {
   private val scenariosPerSeed =
     sys.env.get("GRAFT_STREAM_FUZZ_N").map(_.toInt).getOrElse(51)
 
-  private def check(sc: StreamFuzz.Scenario): Unit = {
+  /** One scenario, with a single retry for exactly one failure class:
+    * Spark's planner has been observed (once, across thousands of
+    * replays) to throw a transient [INTERNAL_ERROR] "planning failed"
+    * under concurrent streaming-query planning. A divergence ASSERTION
+    * never retries — only the planner race does, and the retry replays
+    * the identical deterministic scenario.
+    */
+  private def check(sc: StreamFuzz.Scenario): Unit =
+    try checkOnce(sc, "")
+    catch {
+      case e: org.apache.spark.SparkException
+          if e.getMessage != null && e.getMessage.contains("INTERNAL_ERROR") =>
+        info(s"retrying scenario (${sc.seed}, ${sc.idx}) after transient " +
+          s"planner INTERNAL_ERROR: ${e.getMessage.linesIterator.next()}")
+        checkOnce(sc, "_retry") // fresh sink: the failed attempt's
+                                // memory table may linger half-filled
+    }
+
+  private def checkOnce(sc: StreamFuzz.Scenario, suffix: String): Unit = {
     val dir = StreamFuzz.stage(spark, sc)
-    val sink = s"sf_${sc.seed}_${sc.idx}"
+    val sink = s"sf_${sc.seed}_${sc.idx}$suffix"
     try sc.kind match {
       case "windowed" | "windowed-late" =>
         val got = StreamFuzz.replay(spark, dir, sink, ev =>
