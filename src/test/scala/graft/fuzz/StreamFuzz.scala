@@ -5,7 +5,7 @@ import java.nio.file.attribute.FileTime
 
 import scala.util.Random
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -202,6 +202,107 @@ object StreamFuzz {
   def cleanup(dir: Path): Unit =
     try org.apache.spark.network.util.JavaUtils.deleteRecursively(dir.toFile)
     catch { case scala.util.control.NonFatal(_) => () }
+
+  // ── checkpoint-restart replay ──────────────────────────────────────
+
+  /** Replays `op` with a STOP/RESTART in the middle: the first
+    * `splitAt` staged files stream through a query that is then
+    * gracefully stopped mid-scenario; the remaining files (incl. the
+    * closers) arrive and a NEW query resumes from the SAME checkpoint,
+    * so every stateful operator must reload its live state (open
+    * windows, dedup keys, buffered join rows, custom state) from the
+    * state store. Output is collected through an idempotent
+    * foreachBatch sink keyed by batchId — the memory sink refuses
+    * append-mode recovery, and id-keyed upsert is exactly how a
+    * production sink absorbs Spark's at-least-once seam.
+    *
+    * `crashReplay = true` additionally deletes the newest commit-log
+    * entry between the runs (the crash-between-offset-write-and-commit
+    * shape), forcing the restart to REPLAY that batch against the
+    * state version from before it; the collector asserts the replayed
+    * emission is multiset-identical to the original before
+    * overwriting — the determinism that makes id-keyed sinks
+    * exactly-once.
+    */
+  def replayRestart(session: SparkSession, sc: Scenario,
+                    op: DataFrame => DataFrame, splitAt: Int,
+                    crashReplay: Boolean = false,
+                    mode: OutputMode = OutputMode.Append()): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    require(splitAt >= 1 && splitAt < sc.batches.size,
+      s"splitAt=$splitAt outside [1, ${sc.batches.size})")
+    val full = stage(session, sc)
+    val live = Files.createTempDirectory("graft-streamfuzz-live")
+    val shm = new java.io.File("/dev/shm")
+    val ckptBase =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else Paths.get(sys.props("java.io.tmpdir"))
+    val ckpt = Files.createTempDirectory(ckptBase, "graft-restart-ckpt-")
+    try {
+      val files = Files.list(full).iterator().asScala.toVector
+        .sortBy(_.getFileName.toString)
+      val (pre, post) = files.splitAt(splitAt)
+      def moveIn(fs: Vector[Path]): Unit = fs.foreach { f =>
+        val mtime = Files.getLastModifiedTime(f)
+        val dest = live.resolve(f.getFileName)
+        Files.move(f, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest, mtime)
+      }
+      val buf = scala.collection.concurrent.TrieMap.empty[Long, Seq[Row]]
+      @volatile var schema: org.apache.spark.sql.types.StructType = null
+      @volatile var replayedBatches = 0
+      val sinkFn: (Dataset[Row], Long) => Unit = { (b, id) =>
+        val rows = b.collect().toSeq
+        schema = b.schema
+        buf.put(id, rows).foreach { prev =>
+          // a replayed batch (crash shape) must re-emit EXACTLY the
+          // rows of the original attempt: same offsets, same restored
+          // watermark, state rolled back to the pre-batch version
+          val a = prev.groupBy(identity).view.mapValues(_.size).toMap
+          val c = rows.groupBy(identity).view.mapValues(_.size).toMap
+          assert(a == c, s"replayed batch $id diverged from its " +
+            s"original emission: ${a.size} distinct rows before, " +
+            s"${c.size} after")
+          replayedBatches += 1
+        }
+      }
+      def runOnce(): Unit = {
+        val events = EventStream.readEvents(session, live.toString,
+          options = Map("maxFilesPerTrigger" -> "1"))
+        val q = op(events).writeStream.outputMode(mode)
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch(sinkFn)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      moveIn(pre)
+      runOnce()
+      if (crashReplay) {
+        // drop the newest commit-log entry: offsets for that batch
+        // exist but its commit doesn't — on restart the engine must
+        // re-execute it (HDFSMetadataLog files are named by batch id;
+        // the newest is usually the no-data batch the drain ran).
+        // The checksum sidecar must go with it: Hadoop's local FS
+        // renames the rewritten commit over the old name and refuses
+        // when a dangling .N.crc remains (a real crash loses both).
+        val commits = ckpt.resolve("commits")
+        val entries = Files.list(commits).iterator().asScala.toVector
+          .filter(_.getFileName.toString.matches("\\d+"))
+        val newest = entries.maxBy(_.getFileName.toString.toLong)
+        Files.delete(newest)
+        Files.deleteIfExists(
+          commits.resolve(s".${newest.getFileName}.crc"))
+      }
+      moveIn(post)
+      runOnce()
+      if (crashReplay)
+        assert(replayedBatches >= 1,
+          "crash shape staged but the restart replayed no batch")
+      session.createDataFrame(buf.values.flatten.toSeq.asJava, schema)
+    } finally {
+      cleanup(full); cleanup(live); cleanup(ckpt)
+    }
+  }
 
   // ── the watermark model (shared by the late-aware oracles) ─────────
 

@@ -1,0 +1,288 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.EventStream
+
+/** Checkpoint-restart recovery fuzz: every stateful family replayed
+  * with a mid-scenario stop/restart (see [[StreamFuzz.replayRestart]]),
+  * so open windows, dedup keys, buffered join rows, session state, and
+  * flatMapGroupsWithState custom state must all survive a state-store
+  * reload — on BOTH providers. The HDFS-backed default is what the
+  * catalog runs; RocksDB is what OPERATORS.md tells operators to
+  * switch to once state approaches heap, and before this spec nothing
+  * exercised ITS recovery path at all. A third axis exercises the
+  * crash shape: the newest commit-log entry is deleted between the
+  * runs, forcing the restart to replay a batch against the pre-batch
+  * state version (the at-least-once seam an idempotent sink absorbs).
+  *
+  * Kinds are the no-drop families (2 h horizon, nothing late): their
+  * oracles are watermark-independent, so the assertions isolate STATE
+  * RECOVERY from the (separately fuzzed, lag-2) admission model — a
+  * restart resumes with the drain's caught-up watermark (see the
+  * dedicated probe test), which must not change any answer when
+  * nothing is near the boundary.
+  */
+class StreamRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val restartKinds =
+    Set("windowed", "dedup", "session", "interval-join", "activity")
+  private val seeds = Seq(20260915L, 20260916L)
+  // 33 = three kind-rotations: every kind sees both providers, and the
+  // crash shape lands on all five kinds across the two seeds
+  private val perSeed =
+    sys.env.get("GRAFT_RESTART_FUZZ_N").map(_.toInt).getOrElse(33)
+
+  private def scenarios(seed: Long): Seq[StreamFuzz.Scenario] =
+    (0 until perSeed).map(StreamFuzz.scenario(seed, _))
+      .filter(sc => restartKinds(sc.kind))
+
+  /** Stop/restart point: always ≥1 batch before and ≥1 after, rotated
+    * across scenarios so every split position occurs.
+    */
+  private def splitAt(sc: StreamFuzz.Scenario): Int =
+    1 + (((sc.idx * 7 + sc.seed) % (sc.batches.size - 1)).toInt)
+
+  private def rocks(sc: StreamFuzz.Scenario): Boolean = sc.idx % 2 == 0
+  private def crash(sc: StreamFuzz.Scenario): Boolean = sc.idx % 3 == 0
+  // the production-recommended RocksDB mode (deltas uploaded per
+  // commit instead of full-store snapshots) has a distinct recovery
+  // path — replaying the changelog on top of the last snapshot — so
+  // half the RocksDB scenarios run with it on
+  private def changelog(sc: StreamFuzz.Scenario): Boolean =
+    rocks(sc) && sc.idx % 4 == 0
+
+  /** Child session so the provider choice is per-scenario: the
+    * providerClass conf is captured at query start from the owning
+    * session, and scenarios run concurrently.
+    */
+  private def sessionFor(sc: StreamFuzz.Scenario): SparkSession = {
+    val s = spark.newSession()
+    if (rocks(sc))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    if (changelog(sc))
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
+    s
+  }
+
+  private def check(sc: StreamFuzz.Scenario): Unit = {
+    val ss = sessionFor(sc)
+    val k = splitAt(sc)
+    def replay(op: DataFrame => DataFrame): DataFrame =
+      StreamFuzz.replayRestart(ss, sc, op, k, crashReplay = crash(sc))
+    val tag = s"(kind=${sc.kind}, seed=${sc.seed}, idx=${sc.idx}, " +
+      s"split=$k, rocks=${rocks(sc)}, changelog=${changelog(sc)}, " +
+      s"crash=${crash(sc)})"
+    sc.kind match {
+      case "windowed" =>
+        val got = replay(ev => EventStream.windowedAgg(ev, "1 hour",
+            lateness = s"${sc.latenessSec} seconds"))
+          .filter(col("event_type") =!= "__closer")
+          .select(expr("unix_micros(window_start)"), col("event_type"),
+            col("n"), col("v"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) ->
+            (r.getLong(2), r.getDouble(3))).toMap
+        assert(got == StreamFuzz.windowedOracle(sc),
+          s"windowed restart divergence $tag")
+      case "dedup" =>
+        val rows = replay(ev => EventStream.dedupStream(ev, Seq("event_id"),
+            lateness = s"${sc.latenessSec} seconds"))
+          .filter(col("event_id") >= 0)
+          .select("event_id").as[Long].collect()
+        assert(rows.length == rows.distinct.length,
+          s"dedup double-emitted across restart $tag — recovered state " +
+            "lost keys")
+        assert(rows.toSet == StreamFuzz.dedupOracle(sc),
+          s"dedup restart divergence $tag: " +
+            s"missing=${StreamFuzz.dedupOracle(sc) -- rows.toSet}")
+      case "session" =>
+        val got = replay(ev => EventStream.sessionAgg(ev, gap = "30 minutes",
+            lateness = s"${sc.latenessSec} seconds"))
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), expr("unix_micros(session_start)"),
+            expr("unix_micros(session_end)"), col("n_events"),
+            col("session_value"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+            (r.getLong(3), r.getDouble(4))).toMap
+        assert(got == StreamFuzz.sessionOracle(sc),
+          s"session restart divergence $tag: got=${got.size} " +
+            s"want=${StreamFuzz.sessionOracle(sc).size} sessions")
+      case "interval-join" =>
+        val got = replay(ev => EventStream.intervalJoin(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "view"),
+            "user_id", maxAge = "20 minutes",
+            lateness = s"${sc.latenessSec} seconds"))
+          .select("user_id", "l_event_id", "r_event_id")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == StreamFuzz.intervalJoinOracle(sc),
+          s"interval-join restart divergence $tag: " +
+            s"missing=${(StreamFuzz.intervalJoinOracle(sc) -- got).take(4)} " +
+            s"extra=${(got -- StreamFuzz.intervalJoinOracle(sc)).take(4)}")
+      case "activity" =>
+        val got = replay(ev => EventStream.userActivity(
+            ev.select(col("user_id"), col("event_id"),
+                expr("unix_micros(ts)").as("ts_us"),
+                col("event_type"), col("value"))
+              .as[EventStream.ProfiledEvent]).toDF())
+          .filter(col("user_id") >= 0)
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+            r.getLong(3), r.getLong(4), r.getString(5))))
+          .groupBy(_._1)
+          .map { case (uid, rs) => uid -> rs.map(_._2).maxBy(_._1) }
+        assert(got == StreamFuzz.activityOracle(sc),
+          s"activity restart divergence $tag — custom state reset")
+      case other => fail(s"unexpected restart kind $other")
+    }
+  }
+
+  test("restart splits are load-bearing: live state spans every kind's split") {
+    // pure-model check: for each kind, at least one scenario (at ITS
+    // chosen split) has state the restart must recover — a window /
+    // session / join pair / dedup original-dup straddling the split.
+    // Otherwise a provider that dropped all state on reload would
+    // still pass the comparisons.
+    val scs = seeds.flatMap(scenarios)
+    def batchOf(sc: StreamFuzz.Scenario): Map[Long, Int] =
+      sc.batches.zipWithIndex
+        .flatMap { case (b, i) => b.map(e => e.eventId -> i) }
+        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).min }
+    val winSpans = scs.filter(_.kind == "windowed").exists { sc =>
+      val k = splitAt(sc)
+      sc.batches.flatten.groupBy(e => (e.tsUs / 3600000000L, e.eventType))
+        .exists { case (_, evs) =>
+          val bs = evs.map(e => batchOf(sc)(e.eventId))
+          bs.exists(_ < k) && bs.exists(_ >= k)
+        }
+    }
+    assert(winSpans, "no windowed scenario has a window spanning its split")
+    val dedupSpans = scs.filter(_.kind == "dedup").exists { sc =>
+      val k = splitAt(sc)
+      // duplicates all land in the last batch (>= split by
+      // construction); at least one original must precede the split
+      val ids = sc.batches.flatten.map(_.eventId)
+      val dupIds = ids.groupBy(identity).filter(_._2.size > 1).keySet
+      dupIds.exists(id => batchOf(sc)(id) < k)
+    }
+    assert(dedupSpans, "no dedup scenario has an original before its split")
+    val sessSpans = scs.filter(_.kind == "session").exists { sc =>
+      val k = splitAt(sc)
+      val bo = batchOf(sc)
+      StreamFuzz.sessionOracle(sc).keys.exists { case (uid, s, e) =>
+        val members = sc.batches.flatten.filter(ev =>
+          ev.userId == uid && ev.tsUs >= s && ev.tsUs < e)
+        val bs = members.map(ev => bo(ev.eventId))
+        bs.exists(_ < k) && bs.exists(_ >= k)
+      }
+    }
+    assert(sessSpans, "no session scenario has a session spanning its split")
+    val joinSpans = scs.filter(_.kind == "interval-join").exists { sc =>
+      val k = splitAt(sc)
+      val bo = batchOf(sc)
+      StreamFuzz.intervalJoinOracle(sc, maxAgeSec = 1200L).exists {
+        case (_, lId, rId) => (bo(lId) < k) != (bo(rId) < k)
+      }
+    }
+    assert(joinSpans,
+      "no interval-join scenario has a pair straddling its split")
+    val actSpans = scs.filter(_.kind == "activity").exists { sc =>
+      val k = splitAt(sc)
+      val bo = batchOf(sc)
+      sc.batches.flatten.groupBy(_.userId).exists { case (_, evs) =>
+        val bs = evs.map(e => bo(e.eventId))
+        bs.exists(_ < k) && bs.exists(_ >= k)
+      }
+    }
+    assert(actSpans, "no activity scenario has a user spanning its split")
+    // both providers and the crash shape must each be exercised
+    assert(scs.exists(rocks) && scs.exists(!rocks(_)),
+      "provider axis collapsed")
+    assert(scs.exists(crash) && scs.exists(!crash(_)),
+      "crash axis collapsed")
+    assert(restartKinds.forall(k =>
+      scs.exists(sc => sc.kind == k && crash(sc))),
+      "some kind never crash-replays")
+    assert(scs.exists(sc => rocks(sc) && crash(sc)),
+      "no scenario crash-replays on RocksDB")
+    assert(scs.exists(changelog) && scs.exists(sc => rocks(sc) && !changelog(sc)),
+      "changelog axis collapsed")
+  }
+
+  test("restart drain catches the watermark up — the lag-2 admission slack does not survive a restart") {
+    // The no-drop fuzz kinds isolate state recovery; this probe
+    // isolates the WATERMARK's restart behavior, measured (not
+    // assumed) from the offset log:
+    //   - the metadata stored with batch i carries the lag-1 value
+    //     (through batch i−1), one batch FRESHER than the lag-2 value
+    //     that governs admission during continuous operation;
+    //   - a graceful stop drains with a NO-DATA batch whose metadata
+    //     carries the fully-caught-up watermark (through ALL data);
+    //   - restart restores the last committed batch's metadata.
+    // So the first post-restart batch admits with the caught-up
+    // watermark: a restart can only DROP late rows a continuous run
+    // would have admitted, never admit more. The lag-2 slack is an
+    // artifact of back-to-back arrival, not a guarantee — a pipeline
+    // must size the delay so correctness holds WITHOUT it.
+    //
+    // Probe: batches 10000 s / 20000 s / 30000 s, restart before the
+    // 4th, whose row at 22000 s has window [20800, 24400) (the hour
+    // grid is epoch-aligned; base ≡ 800 mod 3600):
+    //   uninterrupted: batch 3 admission governed by the lag-2 value
+    //                  wm(≤batch 1) = 20000−600 = 19400 → ADMITTED
+    //   restarted:     governed by the drain's caught-up
+    //                  wm(≤batch 2) = 30000−600 = 29400 → DROPPED
+    val base = 1700000000L * 1000000L
+    def ev(id: Long, sec: Long) =
+      StreamFuzz.Ev(id, base + sec * 1000000L, 1L, "view", 1.0, "{}")
+    val sc = StreamFuzz.Scenario(0L, 0, "windowed-late", 600L, Vector(
+      Vector(ev(1, 10000)), Vector(ev(2, 20000)), Vector(ev(3, 30000)),
+      Vector(ev(4, 22000)))) // probe: window [20800, 24400)
+    def winMap(df: DataFrame): Map[Long, Long] = df
+      .filter(col("event_type") =!= "__closer")
+      .select(expr("unix_micros(window_start) div 1000000"), col("n"))
+      .collect().map(r => r.getLong(0) - base / 1000000L -> r.getLong(1))
+      .toMap
+    val op: DataFrame => DataFrame =
+      EventStream.windowedAgg(_, "1 hour", lateness = "600 seconds")
+    val dir = StreamFuzz.stage(spark, sc)
+    val uninterrupted =
+      try winMap(StreamFuzz.replay(spark, dir, "wm_restart_a", op))
+      finally StreamFuzz.cleanup(dir)
+    val restarted =
+      winMap(StreamFuzz.replayRestart(spark.newSession(), sc, op, splitAt = 3))
+    // sanity: the uninterrupted run matches the lag-2 oracle (probe kept)
+    assert(uninterrupted ==
+      Map(10000L -> 1L, 17200L -> 1L, 20800L -> 1L, 28000L -> 1L),
+      s"uninterrupted=$uninterrupted")
+    // the measurement: the restart drops exactly the probe row
+    assert(restarted == uninterrupted - 20800L, s"restarted=$restarted")
+    // the general direction of the effect: restart never ADMITS a row
+    // the continuous run dropped
+    assert(restarted.forall { case (k, n) =>
+      uninterrupted.getOrElse(k, 0L) >= n })
+  }
+
+  seeds.foreach { seed =>
+    test(s"restart fuzz seed $seed: state survives stop/restart on both providers") {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val runs = scenarios(seed).map(sc => Future(check(sc)))
+        Await.result(Future.sequence(runs), Duration.Inf)
+      } finally pool.shutdown()
+    }
+  }
+}
