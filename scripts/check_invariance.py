@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Partition-count invariance gate: compare two graft.Verify dumps of the
+same catalog at the same SF but DIFFERENT parallelism / shuffle-partition
+configs (graft.Verify sets spark.sql.shuffle.partitions = SPARK_GRAFT_CPUS).
+
+Why this exists: the DuckDB oracle pins Spark == DuckDB at ONE partition
+config. A 1000-executor cluster runs the same plans at a very different
+partitioning; any entry whose result depends on partition count (unstable
+top-k tie-breaks, order-sensitive double accumulation, per-partition rng)
+is wrong at scale in a way the single-config gate cannot see. Two dumps at
+coprime widths (e.g. 8 and 5) must be value-identical after the same
+canonicalization the oracle gate uses.
+
+Usage: check_invariance.py dump_a dump_b
+
+Dev-only tooling (driver-side python env); not part of the shipped library.
+"""
+import sys, os, json
+import duckdb
+import pandas as pd
+
+dump_a, dump_b = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+names = sorted(json.load(open(f"{dump_a}/oracle_sql.json")))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+n_pass = n_fail = 0
+for name in names:
+    pa, pb = f"{dump_a}/{name}", f"{dump_b}/{name}"
+    if not (os.path.isdir(pa) and os.path.isdir(pb)):
+        print(f"FAIL {name}: missing result dir"); n_fail += 1; continue
+    try:
+        a = canon(con.execute(f"SELECT * FROM '{pa}/*.parquet'").fetchdf())
+        b = canon(con.execute(f"SELECT * FROM '{pb}/*.parquet'").fetchdf())
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); n_fail += 1; continue
+    if list(a.columns) != list(b.columns):
+        print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+        n_fail += 1; continue
+    if len(a) != len(b):
+        print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
+    bad = []
+    for c in a.columns:
+        neq = ~(a[c].eq(b[c]) | (a[c].isna() & b[c].isna()))
+        if neq.any():
+            i = neq.idxmax()
+            bad.append(f"{c}[{i}]: {a[c][i]!r} vs {b[c][i]!r} (n={neq.sum()})")
+    if bad:
+        print(f"FAIL {name}: " + "; ".join(bad[:3])); n_fail += 1; continue
+    print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
+
+print(f"\n{n_pass} pass / {n_fail} fail / {len(names)} total")
+sys.exit(1 if n_fail else 0)
