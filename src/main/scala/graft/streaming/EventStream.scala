@@ -333,7 +333,13 @@ object EventStream {
     */
   def replaySession(spark: SparkSession, statePartitions: Int = 8): SparkSession = {
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // dev/gate hook: override the state fan-out without touching
+    // callers — the invariance sweep replays the t-entries at coprime
+    // state-partition counts to prove results don't depend on how the
+    // state store is sharded (what a cluster rescale changes)
+    val parts = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .map(_.toInt).getOrElse(statePartitions)
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // dev/bench hook: A/B the state-store backend without touching
     // callers (e.g. org.apache.spark.sql.execution.streaming.state
     // .RocksDBStateStoreProvider). MEASURED guidance (OPERATORS.md
