@@ -227,7 +227,8 @@ object StreamFuzz {
   def replayRestart(session: SparkSession, sc: Scenario,
                     op: DataFrame => DataFrame, splitAt: Int,
                     crashReplay: Boolean = false,
-                    mode: OutputMode = OutputMode.Append()): DataFrame = {
+                    mode: OutputMode = OutputMode.Append(),
+                    restartWith: Option[SparkSession] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     require(splitAt >= 1 && splitAt < sc.batches.size,
       s"splitAt=$splitAt outside [1, ${sc.batches.size})")
@@ -266,8 +267,8 @@ object StreamFuzz {
           replayedBatches += 1
         }
       }
-      def runOnce(): Unit = {
-        val events = EventStream.readEvents(session, live.toString,
+      def runOnce(s: SparkSession): Unit = {
+        val events = EventStream.readEvents(s, live.toString,
           options = Map("maxFilesPerTrigger" -> "1"))
         val q = op(events).writeStream.outputMode(mode)
           .option("checkpointLocation", ckpt.toString)
@@ -276,7 +277,7 @@ object StreamFuzz {
         try q.processAllAvailable() finally q.stop()
       }
       moveIn(pre)
-      runOnce()
+      runOnce(session)
       if (crashReplay) {
         // drop the newest commit-log entry: offsets for that batch
         // exist but its commit doesn't — on restart the engine must
@@ -294,7 +295,11 @@ object StreamFuzz {
           commits.resolve(s".${newest.getFileName}.crc"))
       }
       moveIn(post)
-      runOnce()
+      // `restartWith` restarts under a DIFFERENT session (e.g. a
+      // mismatched shuffle-partition conf): stateful confs are
+      // restored from the checkpoint's offset metadata, and the spec
+      // pins that the mismatch cannot re-shard state
+      runOnce(restartWith.getOrElse(session))
       if (crashReplay)
         assert(replayedBatches >= 1,
           "crash shape staged but the restart replayed no batch")

@@ -272,6 +272,37 @@ class StreamRestartSpec extends SparkSpec {
       uninterrupted.getOrElse(k, 0L) >= n })
   }
 
+  test("a mismatched shuffle-partition conf on restart cannot re-shard state") {
+    // Operationally tempting and silently dangerous at scale: "the job
+    // is bigger now, raise spark.sql.shuffle.partitions and bounce".
+    // For a stateful streaming query the state fan-out is pinned by
+    // the FIRST run — Spark restores stateful confs from the
+    // checkpoint's offset metadata on restart, precisely because
+    // honoring the new conf would hash keys to different store shards
+    // and quietly corrupt every aggregate. This pins that restore:
+    // the restarted half runs under a session configured with a
+    // different (coprime) width, and the settled output must still
+    // match the oracle exactly. Re-sharding state needs an offline
+    // state rewrite, not a conf change — if Spark ever stops
+    // restoring the conf, this fails loudly.
+    val sc = StreamFuzz.scenario(seeds.head, 0) // "windowed" kind
+    assert(sc.kind == "windowed")
+    val mismatched = spark.newSession()
+    mismatched.conf.set("spark.sql.shuffle.partitions", "9")
+    val got = StreamFuzz.replayRestart(spark.newSession(), sc,
+        ev => EventStream.windowedAgg(ev, "1 hour",
+          lateness = s"${sc.latenessSec} seconds"),
+        splitAt = splitAt(sc), restartWith = Some(mismatched))
+      .filter(col("event_type") =!= "__closer")
+      .select(expr("unix_micros(window_start)"), col("event_type"),
+        col("n"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == StreamFuzz.windowedOracle(sc),
+      "restart under a different shuffle-partition conf diverged")
+  }
+
   seeds.foreach { seed =>
     test(s"restart fuzz seed $seed: state survives stop/restart on both providers") {
       import java.util.concurrent.Executors
