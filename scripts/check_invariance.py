@@ -21,8 +21,19 @@ import pandas as pd
 
 dump_a, dump_b = sys.argv[1], sys.argv[2]
 
+# guard the two easy ways to "prove" invariance vacuously: comparing a
+# dump against itself (the recipe generates the dumps in two separate
+# manual steps), and a dump_b whose extra entries would be silently
+# ignored by iterating only dump_a's list
+assert os.path.realpath(dump_a) != os.path.realpath(dump_b), \
+    "dump_a and dump_b are the same directory — nothing is being compared"
+
 con = duckdb.connect()
 names = sorted(json.load(open(f"{dump_a}/oracle_sql.json")))
+names_b = sorted(json.load(open(f"{dump_b}/oracle_sql.json")))
+assert names == names_b, \
+    f"entry sets differ: only_a={sorted(set(names) - set(names_b))[:5]} " \
+    f"only_b={sorted(set(names_b) - set(names))[:5]}"
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:

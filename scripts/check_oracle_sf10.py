@@ -153,8 +153,13 @@ def split_ctes(sql):
     # generated oracle containing a SQL comment or a double-quoted
     # identifier would be silently mis-split into wrong stage SQL
     # (caught only at --gate time, with a confusing failure) — fail
-    # loudly here instead if the grammar ever grows those
-    assert "--" not in s and "/*" not in s and '"' not in s, \
+    # loudly here instead if the grammar ever grows those. Strip
+    # single-quoted literal bodies first so a literal like '%--%' or
+    # a regexp containing '/*' doesn't trip the guard on valid SQL
+    # the scanner handles fine.
+    outside = re.sub(r"'(?:[^']|'')*'", "''", s)
+    assert ("--" not in outside and "/*" not in outside
+            and '"' not in outside), \
         "split_ctes cannot parse comments or quoted identifiers"
     i = 4
     ctes = []

@@ -371,13 +371,20 @@ object EventStream {
     * on a disk-backed /tmp are the dominant fixed cost of a short
     * replay — and is deleted on stop either way.
     */
+  /** tmpfs-backed scratch base when the host has one, else
+    * java.io.tmpdir — the ONE copy of the detection (the fuzz
+    * harness and forked probes use it for their checkpoints too).
+    */
+  def scratchBase: java.nio.file.Path = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.toPath
+    else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+  }
+
   def runToMemory(df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Append()): Unit = {
-    val shm = new java.io.File("/dev/shm")
-    val base =
-      if (shm.isDirectory && shm.canWrite) shm.toPath
-      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    val ckpt = java.nio.file.Files.createTempDirectory(base, "graft-ckpt-")
+    val ckpt =
+      java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt-")
     val q = df.writeStream.outputMode(outputMode)
       .option("checkpointLocation", ckpt.toString)
       .format("memory").queryName(name).start()

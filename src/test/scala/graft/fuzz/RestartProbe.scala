@@ -27,8 +27,7 @@ object RestartProbe {
     val full = StreamFuzz.stage(spark, sc0)
     val live = Files.createTempDirectory("probe-live")
     val ckpt = Files.createTempDirectory("probe-ckpt")
-    val files = Files.list(full).iterator().asScala.toVector
-      .sortBy(_.getFileName.toString)
+    val files = StreamFuzz.listDir(full).sortBy(_.getFileName.toString)
     val (pre, post) = files.splitAt(3)
     def moveIn(fs: Vector[Path]): Unit = fs.foreach { f =>
       val t = Files.getLastModifiedTime(f)
@@ -49,8 +48,7 @@ object RestartProbe {
     moveIn(pre)
     runOnce()
     println("=== offset metadata after run1 ===")
-    def dumpOffsets(): Unit = Files.list(ckpt.resolve("offsets")).iterator()
-      .asScala.toVector
+    def dumpOffsets(): Unit = StreamFuzz.listDir(ckpt.resolve("offsets"))
       .filter(_.getFileName.toString.matches("\\d+"))
       .sortBy(_.getFileName.toString.toLong)
       .foreach { p =>

@@ -501,7 +501,7 @@ object SqlFuzz {
     ord <- orderAll(proj.size, dir)
     sub = if (exists)
       s"${neg}EXISTS (SELECT 1 FROM $rt WHERE $rk = $lk" +
-        innerPred.fold("")(p => s" AND $p") + ")"
+        innerPred.fold("")(p => s" AND ($p)") + ")"
     else
       s"$lk ${neg}IN (SELECT $rk FROM $rt" +
         innerPred.fold("")(p => s" WHERE $p") + ")"
@@ -605,7 +605,7 @@ object SqlFuzz {
     limit <- Gen.choose(1, 2000)
     proj = cols.map(_.name).toSeq :+
       (s"(SELECT $subAgg FROM $lt WHERE $lk = $rk" +
-        innerPred.fold("")(p => s" AND $p") + ") AS sq")
+        innerPred.fold("")(p => s" AND ($p)") + ") AS sq")
     ord <- orderAll(proj.size, dir)
   } yield s"SELECT ${proj.mkString(", ")} FROM $rt" +
     outerPred.fold("")(p => s" WHERE $p") + s" $ord LIMIT $limit"

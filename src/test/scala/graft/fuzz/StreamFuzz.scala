@@ -3,6 +3,7 @@ package graft.fuzz
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.file.attribute.FileTime
 
+import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
@@ -32,10 +33,13 @@ import graft.streaming.EventStream
   *    double sums of such values below 2^51 are exact, so order of
   *    accumulation cannot produce last-ulp drift between stream and
   *    oracle.
-  *  - event times are whole seconds, watermark delays are whole
-  *    seconds, and lateness boundaries avoid exact ties (see
-  *    `lateOutside`), so ms-truncation of the engine's watermark
-  *    cannot flip an admission decision.
+  *  - event times are whole seconds and watermark delays are whole
+  *    seconds, so ms-truncation of the engine's watermark cannot
+  *    flip an admission decision. Exact `ts == wm` ties DO occur;
+  *    the oracles encode Spark's measured tie behavior (`ts >= wm`
+  *    is admitted; a window/session survives only while its end is
+  *    strictly above the watermark) rather than avoiding ties, so a
+  *    boundary flip in a future Spark would be caught, not masked.
   *  - closer rows (negative ids, event_type "__closer") advance the
   *    watermark far past all data so every append-mode result is
   *    fully emitted before comparison; they are excluded from every
@@ -148,6 +152,14 @@ object StreamFuzz {
     * watermark across two more micro-batches so every append-mode
     * result settles.
     */
+  /** `Files.list` drained AND closed (the javadoc requires closing the
+    * backing DirectoryStream; a leaked handle per scenario adds up
+    * across the 4-way-concurrent fuzz suites on a ulimit-bound box). */
+  def listDir(p: Path): Vector[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
   def stage(spark: SparkSession, sc: Scenario): Path = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-streamfuzz")
@@ -176,8 +188,7 @@ object StreamFuzz {
           col("eventType").as("event_type"),
           col("value"), col("props"))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow()
+      val part = listDir(tmp).find(_.toString.endsWith(".parquet")).get
       val dest = dir.resolve(f"batch-$i%04d.parquet")
       Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dest,
@@ -234,14 +245,10 @@ object StreamFuzz {
       s"splitAt=$splitAt outside [1, ${sc.batches.size})")
     val full = stage(session, sc)
     val live = Files.createTempDirectory("graft-streamfuzz-live")
-    val shm = new java.io.File("/dev/shm")
-    val ckptBase =
-      if (shm.isDirectory && shm.canWrite) shm.toPath
-      else Paths.get(sys.props("java.io.tmpdir"))
-    val ckpt = Files.createTempDirectory(ckptBase, "graft-restart-ckpt-")
+    val ckpt = Files.createTempDirectory(EventStream.scratchBase,
+      "graft-restart-ckpt-")
     try {
-      val files = Files.list(full).iterator().asScala.toVector
-        .sortBy(_.getFileName.toString)
+      val files = listDir(full).sortBy(_.getFileName.toString)
       val (pre, post) = files.splitAt(splitAt)
       def moveIn(fs: Vector[Path]): Unit = fs.foreach { f =>
         val mtime = Files.getLastModifiedTime(f)
@@ -287,7 +294,7 @@ object StreamFuzz {
         // renames the rewritten commit over the old name and refuses
         // when a dangling .N.crc remains (a real crash loses both).
         val commits = ckpt.resolve("commits")
-        val entries = Files.list(commits).iterator().asScala.toVector
+        val entries = listDir(commits)
           .filter(_.getFileName.toString.matches("\\d+"))
         val newest = entries.maxBy(_.getFileName.toString.toLong)
         Files.delete(newest)
@@ -536,10 +543,15 @@ object StreamFuzz {
     *    rows were each admitted at their own arrival batch".
     * Returns the set of (user_id, l_event_id, r_event_id).
     */
-  def intervalJoinLateOracle(sc: Scenario, maxAgeSec: Long = 1200L)
-      : Set[(Long, Long, Long)] = {
+  /** The lag-2 MIN-of-sides governing watermark per batch for the
+    * purchase⋈view join kinds: each side's watermark advances from
+    * ITS OWN rows only (the event-type filter precedes
+    * withWatermark); the query-level value is the min of the two.
+    * ONE copy shared by both join oracles — the measured lag lives
+    * here and nowhere else.
+    */
+  private def joinWms(sc: Scenario): Vector[Long] = {
     val delayUs = sc.latenessSec * 1000000L
-    val maxAgeUs = maxAgeSec * 1000000L
     def sideWms(pred: Ev => Boolean): Vector[Long] = {
       val afterBatch = sc.batches.scanLeft(0L) { (wm, b) =>
         val ts = b.filter(pred).map(_.tsUs)
@@ -548,13 +560,23 @@ object StreamFuzz {
       sc.batches.indices.toVector.map(i =>
         if (i == 0) 0L else afterBatch(i - 1))
     }
-    val wms = sideWms(_.eventType == "purchase")
+    sideWms(_.eventType == "purchase")
       .zip(sideWms(_.eventType == "view")).map { case (a, b) => math.min(a, b) }
-    def admitted(t: String): Vector[Ev] =
-      sc.batches.zipWithIndex.flatMap { case (b, i) =>
-        b.filter(e => e.eventType == t && e.tsUs >= wms(i)) }.toVector
-    val lefts = admitted("purchase")
-    val rights = admitted("view")
+  }
+
+  /** Rows of `eventType == t` admitted at their own arrival batch
+    * under the join kinds' governing watermark. */
+  private def joinAdmitted(sc: Scenario, t: String): Vector[Ev] = {
+    val wms = joinWms(sc)
+    sc.batches.zipWithIndex.flatMap { case (b, i) =>
+      b.filter(e => e.eventType == t && e.tsUs >= wms(i)) }.toVector
+  }
+
+  def intervalJoinLateOracle(sc: Scenario, maxAgeSec: Long = 1200L)
+      : Set[(Long, Long, Long)] = {
+    val maxAgeUs = maxAgeSec * 1000000L
+    val lefts = joinAdmitted(sc, "purchase")
+    val rights = joinAdmitted(sc, "view")
     (for {
       l <- lefts
       rr <- rights
@@ -573,20 +595,7 @@ object StreamFuzz {
   def outerJoinLateOracle(sc: Scenario, maxAgeSec: Long = 1200L)
       : (Set[(Long, Long, Long)], Set[Long]) = {
     val matches = intervalJoinLateOracle(sc, maxAgeSec)
-    val delayUs = sc.latenessSec * 1000000L
-    def sideWms(pred: Ev => Boolean): Vector[Long] = {
-      val afterBatch = sc.batches.scanLeft(0L) { (wm, b) =>
-        val ts = b.filter(pred).map(_.tsUs)
-        if (ts.isEmpty) wm else math.max(wm, ts.max - delayUs)
-      }
-      sc.batches.indices.toVector.map(i =>
-        if (i == 0) 0L else afterBatch(i - 1))
-    }
-    val wms = sideWms(_.eventType == "purchase")
-      .zip(sideWms(_.eventType == "view")).map { case (a, b) => math.min(a, b) }
-    val admittedLeftIds = sc.batches.zipWithIndex.flatMap { case (b, i) =>
-      b.filter(e => e.eventType == "purchase" && e.tsUs >= wms(i))
-    }.map(_.eventId).toSet
+    val admittedLeftIds = joinAdmitted(sc, "purchase").map(_.eventId).toSet
     val matchedLeftIds = matches.map(_._2)
     (matches, admittedLeftIds -- matchedLeftIds)
   }

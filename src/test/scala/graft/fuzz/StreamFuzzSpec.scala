@@ -21,6 +21,14 @@ class StreamFuzzSpec extends SparkSpec {
   private val scenariosPerSeed =
     sys.env.get("GRAFT_STREAM_FUZZ_N").map(_.toInt).getOrElse(51)
 
+  /** The non-vacuity meta test is a pure-model check on the GENERATOR
+    * (no Spark), so it always enumerates at least three full kind
+    * rotations — lowering GRAFT_STREAM_FUZZ_N below a rotation speeds
+    * up the replays without making the meta test fail confusingly on
+    * an empty kind pool.
+    */
+  private val metaScenariosPerSeed = math.max(scenariosPerSeed, 33)
+
   /** One scenario, with a single retry for exactly one failure class:
     * Spark's planner has been observed (once, across thousands of
     * replays) to throw a transient [INTERNAL_ERROR] "planning failed"
@@ -211,7 +219,7 @@ class StreamFuzzSpec extends SparkSpec {
     // lifecycle oracle's interesting branches are dead code
     val scs = for {
       seed <- Seq(20260901L, 20260902L, 20260903L)
-      idx <- 0 until scenariosPerSeed
+      idx <- 0 until metaScenariosPerSeed
       sc = StreamFuzz.scenario(seed, idx)
       if sc.kind == "dedup-late"
     } yield sc
@@ -232,7 +240,7 @@ class StreamFuzzSpec extends SparkSpec {
     // re-proves the no-drop regime the plain interval-join kind covers
     val joinScs = for {
       seed <- Seq(20260901L, 20260902L, 20260903L)
-      idx <- 0 until scenariosPerSeed
+      idx <- 0 until metaScenariosPerSeed
       sc = StreamFuzz.scenario(seed, idx)
       if sc.kind == "join-late"
     } yield sc
@@ -258,7 +266,7 @@ class StreamFuzzSpec extends SparkSpec {
     // only re-proves the inner kind)
     val outerScs = for {
       seed <- Seq(20260901L, 20260902L, 20260903L)
-      idx <- 0 until scenariosPerSeed
+      idx <- 0 until metaScenariosPerSeed
       sc = StreamFuzz.scenario(seed, idx)
       if sc.kind == "outer-join-late"
     } yield sc

@@ -152,7 +152,12 @@ class StreamRestartSpec extends SparkSpec {
     // session / join pair / dedup original-dup straddling the split.
     // Otherwise a provider that dropped all state on reload would
     // still pass the comparisons.
-    val scs = seeds.flatMap(scenarios)
+    // pure-model pool: at least one full kind rotation per seed even
+    // when GRAFT_RESTART_FUZZ_N is lowered for a quick replay run —
+    // this test checks the GENERATOR, not the replays
+    val scs = seeds.flatMap(seed =>
+      (0 until math.max(perSeed, 33)).map(StreamFuzz.scenario(seed, _))
+        .filter(sc => restartKinds(sc.kind)))
     def batchOf(sc: StreamFuzz.Scenario): Map[Long, Int] =
       sc.batches.zipWithIndex
         .flatMap { case (b, i) => b.map(e => e.eventId -> i) }

@@ -150,6 +150,19 @@ class Sf1ServeSoakSpec extends SparkSpec {
       })
     }
     val victimOutcome = new java.util.concurrent.atomic.AtomicReference[String]()
+    // cancel on the victim's FIRST JobStart, not after a fixed sleep:
+    // a warmed page cache or a faster plan must not let the victim
+    // finish before the cancel lands (and AndFutureJobs closes the
+    // race where its first job completes between JobStart and cancel)
+    val victimAirborne = new java.util.concurrent.CountDownLatch(1)
+    val airborneListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            "graft-soak-victim" == js.properties.getProperty(
+              "spark.jobGroup.id")) victimAirborne.countDown()
+    }
+    spark.sparkContext.addSparkListener(airborneListener)
     val victim = cancelPool.submit(new Runnable {
       def run(): Unit = {
         spark.sparkContext.setJobGroup("graft-soak-victim",
@@ -167,9 +180,11 @@ class Sf1ServeSoakSpec extends SparkSpec {
         }
       }
     })
-    Thread.sleep(1500) // let the victim get airborne (d12 runs ~7s at sf1)
-    spark.sparkContext.cancelJobGroup("graft-soak-victim")
+    assert(victimAirborne.await(60, TimeUnit.SECONDS),
+      "victim never started a job")
+    spark.sparkContext.cancelJobGroupAndFutureJobs("graft-soak-victim")
     victim.get(120, TimeUnit.SECONDS)
+    spark.sparkContext.removeSparkListener(airborneListener)
     stopSoak.set(true)
     cancelSoakers.foreach(_.get(60, TimeUnit.SECONDS))
     cancelPool.shutdown()

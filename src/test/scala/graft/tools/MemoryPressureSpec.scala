@@ -1,10 +1,6 @@
 package graft.tools
 
-import java.lang.management.ManagementFactory
 import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-import scala.sys.process._
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -54,24 +50,8 @@ class MemoryPressureSpec extends AnyFunSuite {
 
   private def runProbe(heap: String, entries: Seq[String])
       : (Int, String, Map[String, Line], Long) = {
-    val java = System.getProperty("java.home") + "/bin/java"
-    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
-    val moduleFlags = jvmArgs.zipWithIndex.collect {
-      case (a, i) if a == "--add-opens" || a == "--add-exports" =>
-        Seq(a, jvmArgs(i + 1))
-      case (a, _) if a.startsWith("--add-opens=") ||
-          a.startsWith("--add-exports=") => Seq(a)
-    }.flatten
-    val cmd = Seq(java) ++ moduleFlags ++ Seq(
-      s"-Xmx$heap", "-Dspark.ui.enabled=false",
-      "-Dspark.sql.session.timeZone=UTC",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.tools.MemoryPressureProbe", sf1) ++ entries
-    val out = new StringBuilder
-    val code = Process(cmd).!(ProcessLogger(
-      l => out.synchronized { out.append(l).append('\n') },
-      l => out.synchronized { out.append(l).append('\n') }))
-    val text = out.toString
+    val (code, text) = ForkedJvm.run("graft.tools.MemoryPressureProbe",
+      sf1 +: entries, heap)
     val entryRe =
       """\[memprobe\] (\S+) rows=(\d+) digest=(-?\d+) secs=\S+ spillMem=(\d+) spillDisk=(\d+) peakExec=(\d+)""".r
     val lines = entryRe.findAllMatchIn(text).map(m =>

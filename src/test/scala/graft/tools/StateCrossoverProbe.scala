@@ -52,15 +52,11 @@ object StateCrossoverProbe {
     }
     spark.sparkContext.setLogLevel("ERROR")
 
-    val base = {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) shm.toPath
-      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    }
     // source data on real disk (bulk can exceed tmpfs), checkpoint on
     // tmpfs like every other replay in this repo
     val src = java.nio.file.Files.createTempDirectory("graft-xover-src")
-    val ckpt = java.nio.file.Files.createTempDirectory(base, "graft-xover-ckpt")
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      EventStream.scratchBase, "graft-xover-ckpt")
 
     // one event per key, all inside one hour, arriving over MANY
     // micro-batches (the realistic state-accretion shape — a single

@@ -1,10 +1,5 @@
 package graft.tools
 
-import java.lang.management.ManagementFactory
-
-import scala.jdk.CollectionConverters._
-import scala.sys.process._
-
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Measures the state-store crossover the OPERATORS.md A/B could only
@@ -31,26 +26,10 @@ class StateCrossoverSpec extends AnyFunSuite {
   private val smallKeys = 300000L
   private val bigKeys = 6000000L
 
-  private def runProbe(provider: String, nKeys: Long): (Int, String) = {
-    val java = System.getProperty("java.home") + "/bin/java"
-    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
-    val moduleFlags = jvmArgs.zipWithIndex.collect {
-      case (a, i) if a == "--add-opens" || a == "--add-exports" =>
-        Seq(a, jvmArgs(i + 1))
-      case (a, _) if a.startsWith("--add-opens=") ||
-          a.startsWith("--add-exports=") => Seq(a)
-    }.flatten
-    val cmd = Seq(java) ++ moduleFlags ++ Seq(
-      "-Xmx1g", "-XX:+ExitOnOutOfMemoryError",
-      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.tools.StateCrossoverProbe", provider, nKeys.toString)
-    val out = new StringBuilder
-    val code = Process(cmd).!(ProcessLogger(
-      l => out.synchronized { out.append(l).append('\n') },
-      l => out.synchronized { out.append(l).append('\n') }))
-    (code, out.toString)
-  }
+  private def runProbe(provider: String, nKeys: Long): (Int, String) =
+    ForkedJvm.run("graft.tools.StateCrossoverProbe",
+      Seq(provider, nKeys.toString), heap = "1g",
+      extraJvmFlags = Seq("-XX:+ExitOnOutOfMemoryError"))
 
   private def emitted(text: String): Long =
     """emitted=(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
