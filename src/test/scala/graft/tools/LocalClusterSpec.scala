@@ -1,0 +1,91 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-JVM execution gate (see LocalClusterProbe): every other gate
+  * in this repo runs `local[n]`, a single JVM where task dispatch
+  * skips serialization and shuffle is an in-process file read. These
+  * two tests run a cross-section of the catalog on
+  * `local-cluster[2,4,…]` — two REAL executor JVMs under an in-process
+  * standalone master — which is the closest a single machine gets to
+  * the 1000-executor shape:
+  *
+  *  - digest parity: shuffle-heavy, broadcast, iterative, custom-
+  *    operator, and streaming entries must produce bit-identical
+  *    order-insensitive digests in-JVM vs across executor JVMs
+  *    (catches closure-serialization and driver-state leaks that
+  *    local[n] can never see);
+  *  - executor loss: SIGKILL one executor JVM mid-query; the stage
+  *    retry / shuffle-refetch machinery must complete the query with
+  *    the digest unchanged. The victim entry (d08) is stateless
+  *    shuffle — entries built on `localCheckpoint` (d12, d18, e09)
+  *    are deliberately NOT the victim: lineage truncation makes a
+  *    lost checkpoint block unrecoverable within the query (Spark's
+  *    documented localCheckpoint trade), a liveness — not
+  *    correctness — property recorded in OPERATORS.md.
+  */
+class LocalClusterSpec extends AnyFunSuite {
+
+  private val sf = sys.env.getOrElse("GRAFT_XCLUSTER_SF",
+    "/root/testdata/sf0.1")
+
+  // cross-section: hash agg, 3-way join + window top-k, LSH shuffle,
+  // managed-persist curation, iterative connected components,
+  // auto-k semantic dedup, custom as-of join, streaming sessions
+  private val digestEntries = Seq(
+    "q05_groupby_pricing", "q13_join3_topk", "d08_minhash_neardups",
+    "d12_curation", "d18_neardup_clusters", "e08_semantic_dedup",
+    "q44_asof_join", "t02_stream_sessions")
+
+  // the in-process Worker builds the executor java command through the
+  // launcher library, which needs SPARK_SCALA_VERSION when the JVM was
+  // not started via load-spark-env.sh (sbt was not)
+  private val clusterEnv = Seq("SPARK_SCALA_VERSION" -> "2.13")
+
+  private def parse(text: String): Map[String, (Long, String)] =
+    """\[xcluster\] (\S+) rows=(\d+) digest=(-?\d+)""".r
+      .findAllMatchIn(text)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3))).toMap
+
+  test("multi-JVM executors: digests identical to in-process execution") {
+    assume(Files.exists(Paths.get(s"$sf/orders.parquet")),
+      s"scale point not present at $sf")
+    val (localCode, localOut) = ForkedJvm.run(
+      "graft.tools.LocalClusterProbe",
+      Seq("local[8]", "digest", sf) ++ digestEntries, heap = "6g")
+    assert(localCode == 0 && localOut.contains("XCLUSTER_OK"),
+      s"local[8] reference run failed:\n${localOut.takeRight(3000)}")
+    val (clusterCode, clusterOut) = ForkedJvm.run(
+      "graft.tools.LocalClusterProbe",
+      Seq("local-cluster[2,4,4096]", "digest", sf) ++ digestEntries,
+      heap = "4g", extraEnv = clusterEnv)
+    assert(clusterCode == 0 && clusterOut.contains("XCLUSTER_OK"),
+      s"local-cluster run failed:\n${clusterOut.takeRight(3000)}")
+    val ref = parse(localOut)
+    val got = parse(clusterOut)
+    digestEntries.foreach { e =>
+      assert(ref.contains(e) && got.contains(e), s"$e missing from a run")
+      assert(got(e) == ref(e),
+        s"$e diverged across executor JVMs: local=${ref(e)} cluster=${got(e)}")
+    }
+    clusterOut.linesIterator.filter(_.startsWith("[xcluster]"))
+      .foreach(info(_))
+  }
+
+  test("executor SIGKILL mid-query: stage retry completes, digest unchanged") {
+    assume(Files.exists(Paths.get(s"$sf/documents.parquet")),
+      s"scale point not present at $sf")
+    val (code, out) = ForkedJvm.run(
+      "graft.tools.LocalClusterProbe",
+      Seq("local-cluster[2,4,4096]", "kill", sf, "d08_minhash_neardups"),
+      heap = "4g", extraEnv = clusterEnv)
+    assert(code == 0 && out.contains("XCLUSTER_OK"),
+      s"executor-loss run failed:\n${out.takeRight(4000)}")
+    assert(out.contains("removedDuringQuery=true"),
+      "the kill landed after the query finished — victim too cheap for " +
+        s"this machine, raise GRAFT_XCLUSTER_SF:\n${out.takeRight(2000)}")
+    out.linesIterator.filter(_.startsWith("[xcluster]")).foreach(info(_))
+  }
+}
