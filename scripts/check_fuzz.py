@@ -7,7 +7,7 @@ Usage: check_fuzz.py [fuzz_out_dir] [sf_dir]
 
 Dev-only tooling (driver-side python env); not part of the shipped library.
 """
-import sys, os, json, glob
+import sys, os, json, glob, re
 import duckdb
 import pandas as pd
 
@@ -28,7 +28,43 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[ns]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
-n_pass = n_fail = 0
+def pinned_empty_grouping_sets(sql: str, mine: pd.DataFrame,
+                               orc: pd.DataFrame) -> bool:
+    """PINNED dialect divergence (see SqlFuzzSpec's dedicated test):
+    CUBE/ROLLUP's empty grouping set over ZERO input rows. The SQL
+    standard (and DuckDB/Postgres) emits the grand-total row — COUNTs
+    0, other aggregates NULL, every group key NULL, every GROUPING
+    flag 1. Spark expands rows BEFORE aggregating, so zero input rows
+    yield zero groups and the row is absent. Recognize exactly that
+    shape (Spark empty, DuckDB exactly the fully-determined grand-total
+    row) and report it as a pass with a note; anything looser stays a
+    FAIL."""
+    if len(mine) != 0 or len(orc) != 1:
+        return False
+    if not re.search(r"GROUP BY\s+(CUBE|ROLLUP|GROUPING SETS)", sql,
+                     re.IGNORECASE):
+        return False
+    # which select-list aliases are COUNT aggregates / GROUPING flags?
+    items = re.findall(r"(?:^SELECT\s+|,\s*)((?:[^,(]|\([^()]*(?:\([^()]*\)[^()]*)*\))+?)\s+AS\s+(\w+)",
+                       sql.split(" FROM ")[0], re.IGNORECASE)
+    kinds = {alias: ("count" if re.match(r"\s*COUNT\s*\(", expr, re.I)
+                     else "grouping" if re.match(r"\s*CAST\s*\(\s*GROUPING\s*\(", expr, re.I)
+                     else "agg")
+             for expr, alias in items}
+    row = orc.iloc[0]
+    for c in orc.columns:
+        v = row[c]
+        kind = kinds.get(c, "key")  # unaliased columns are group keys
+        if kind == "count" and not (pd.notna(v) and int(v) == 0):
+            return False
+        if kind == "grouping" and not (pd.notna(v) and int(v) == 1):
+            return False
+        if kind in ("agg", "key") and pd.notna(v):
+            return False
+    return True
+
+
+n_pass = n_fail = n_pinned = 0
 for name in sorted(stmts):
     sql = stmts[name]
     try:
@@ -41,6 +77,10 @@ for name in sorted(stmts):
         print(f"FAIL {name}: columns {list(mine.columns)} vs {list(orc.columns)}\n  SQL: {sql}")
         n_fail += 1; continue
     if len(mine) != len(orc):
+        if pinned_empty_grouping_sets(sql, mine, orc):
+            print(f"PINNED {name}: empty-input grouping-sets grand-total "
+                  f"row (Spark omits, standard emits)")
+            n_pass += 1; n_pinned += 1; continue
         print(f"FAIL {name}: rows {len(mine)} vs {len(orc)}\n  SQL: {sql}")
         n_fail += 1; continue
     if [str(t) for t in mine.dtypes] != [str(t) for t in orc.dtypes]:
@@ -58,5 +98,6 @@ for name in sorted(stmts):
         n_fail += 1; continue
     n_pass += 1
 
-print(f"\n{n_pass} pass / {n_fail} fail / {len(stmts)} total")
+print(f"\n{n_pass} pass / {n_fail} fail / {len(stmts)} total"
+      + (f" ({n_pinned} pinned empty-grouping-sets)" if n_pinned else ""))
 sys.exit(1 if n_fail else 0)

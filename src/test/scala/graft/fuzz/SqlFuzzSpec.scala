@@ -73,6 +73,27 @@ class SqlFuzzSpec extends SparkSpec {
     SqlFuzz.Pools(strs.result(), nums.result(), times.result())
   }
 
+  test("pinned dialect divergence: grouping sets over empty input omit the grand-total row") {
+    // The SQL standard (DuckDB, Postgres) says CUBE/ROLLUP's empty
+    // grouping set over ZERO input rows still emits the grand-total
+    // row (COUNTs 0, keys NULL, GROUPING flags 1) — like a global
+    // aggregate. Spark expands rows BEFORE aggregating, so zero rows
+    // in means zero groups out. check_fuzz.py recognizes exactly this
+    // shape as PINNED; this test fails the day a Spark upgrade makes
+    // the behavior standard, which is the signal to drop that pin.
+    Tables.registerAll(spark, sfDir)
+    val cube = spark.sql("SELECT r_regionkey, COUNT(*) AS agg0 FROM " +
+      "region WHERE r_regionkey < 0 GROUP BY CUBE(r_regionkey)")
+    assert(cube.count() == 0,
+      "Spark now emits grouping-set rows over empty input — remove the " +
+        "pinned_empty_grouping_sets carve-out in scripts/check_fuzz.py")
+    // the same query over a non-empty input has NO divergence (the
+    // grand-total row exists in both engines) — the pin is empty-only
+    val nonEmpty = spark.sql("SELECT r_regionkey, COUNT(*) AS agg0 " +
+      "FROM region GROUP BY CUBE(r_regionkey)")
+    assert(nonEmpty.count() == 6) // 5 regions + grand total
+  }
+
   test(s"$n generated admitted statements execute on Spark (dump for DuckDB gate)") {
     Tables.registerAll(spark, sfDir)
     val pools = samplePools()
