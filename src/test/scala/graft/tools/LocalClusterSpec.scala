@@ -88,4 +88,23 @@ class LocalClusterSpec extends AnyFunSuite {
         s"this machine, raise GRAFT_XCLUSTER_SF:\n${out.takeRight(2000)}")
     out.linesIterator.filter(_.startsWith("[xcluster]")).foreach(info(_))
   }
+
+  test("executor SIGKILL mid-stream: state store reloads, digest unchanged") {
+    // the streaming variant of the loss story: the killed executor
+    // held live session-window state-store instances; their tasks
+    // retry on the survivor, which reloads state from the checkpoint —
+    // the settled output must not lose, duplicate, or re-split a
+    // session
+    assume(Files.exists(Paths.get(s"$sf/events.parquet")),
+      s"scale point not present at $sf")
+    val (code, out) = ForkedJvm.run(
+      "graft.tools.LocalClusterProbe",
+      Seq("local-cluster[2,4,4096]", "kill", sf, "t02_stream_sessions"),
+      heap = "4g", extraEnv = clusterEnv)
+    assert(code == 0 && out.contains("XCLUSTER_OK"),
+      s"streaming executor-loss run failed:\n${out.takeRight(4000)}")
+    assert(out.contains("removedDuringQuery=true"),
+      s"the kill landed after the stream settled:\n${out.takeRight(2000)}")
+    out.linesIterator.filter(_.startsWith("[xcluster]")).foreach(info(_))
+  }
 }
