@@ -2,8 +2,39 @@ package graft.tools
 
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved, SparkListenerTaskStart}
 import org.apache.spark.sql.{functions => F, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Echoes which state-store backend a stateful streaming query ACTUALLY
+  * ran on, fingerprinted from the state operator's custom metrics
+  * (`rocksdb*`-prefixed on RocksDBStateStoreProvider, loaded-map cache
+  * counters on the HDFS-backed default). Registered through
+  * `spark.sql.streaming.streamingQueryListeners` so it attaches to
+  * every session in the probe JVM — including the child session
+  * `EventStream.replaySession` clones for the t-entries, whose SQLConf
+  * (where `SPARK_GRAFT_STATE_PROVIDER` lands) is invisible to the
+  * probe's parent session: reading the parent's conf would always
+  * report the default, proving nothing about the query that ran.
+  */
+class StateBackendEchoListener extends StreamingQueryListener {
+  override def onQueryStarted(
+      e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryProgress(
+      e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val ops = e.progress.stateOperators
+    if (ops.nonEmpty) {
+      val keys = ops.head.customMetrics.keySet().asScala
+      val backend =
+        if (keys.exists(_.startsWith("rocksdb"))) "rocksdb" else "hdfs"
+      println(s"[xcluster] stateBackend=$backend")
+    }
+  }
+  override def onQueryTerminated(
+      e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+}
 
 /** Multi-JVM execution probe (see LocalClusterSpec), run in its OWN
   * forked JVM: executes catalog entries under `local-cluster[2,4,…]` —
@@ -84,6 +115,8 @@ object LocalClusterProbe {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.streamingQueryListeners",
+        classOf[StateBackendEchoListener].getName)
     if (master.startsWith("local-cluster")) {
       // the worker forks executors through $SPARK_HOME/bin/spark-class,
       // which knows only the Spark assembly jars — the graft classes

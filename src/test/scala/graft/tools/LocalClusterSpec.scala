@@ -105,6 +105,35 @@ class LocalClusterSpec extends AnyFunSuite {
       s"streaming executor-loss run failed:\n${out.takeRight(4000)}")
     assert(out.contains("removedDuringQuery=true"),
       s"the kill landed after the stream settled:\n${out.takeRight(2000)}")
+    assert(out.contains("stateBackend=hdfs"),
+      "the backend echo did not report the default provider — the " +
+        s"RocksDB variant's discriminator would be vacuous:\n${out.takeRight(2000)}")
+    out.linesIterator.filter(_.startsWith("[xcluster]")).foreach(info(_))
+  }
+
+  test("executor SIGKILL mid-stream on RocksDB: native state reloads too") {
+    // same loss story on the recommended past-heap backend: the killed
+    // executor's RocksDB instances (native memory + local disk) are
+    // simply gone; the survivor must rebuild them from the checkpoint
+    assume(Files.exists(Paths.get(s"$sf/events.parquet")),
+      s"scale point not present at $sf")
+    val (code, out) = ForkedJvm.run(
+      "graft.tools.LocalClusterProbe",
+      Seq("local-cluster[2,4,4096]", "kill", sf, "t02_stream_sessions"),
+      heap = "4g", extraEnv = clusterEnv :+
+        ("SPARK_GRAFT_STATE_PROVIDER" -> ("org.apache.spark.sql.execution" +
+          ".streaming.state.RocksDBStateStoreProvider")))
+    assert(code == 0 && out.contains("XCLUSTER_OK"),
+      s"RocksDB executor-loss run failed:\n${out.takeRight(4000)}")
+    assert(out.contains("removedDuringQuery=true"),
+      s"the kill landed after the stream settled:\n${out.takeRight(2000)}")
+    // the backend echo comes from the running query's state-operator
+    // metrics (rocksdb*-prefixed), NOT from any session conf — the
+    // env lands in the child session replaySession clones, whose conf
+    // the probe's parent session cannot see
+    assert(out.contains("stateBackend=rocksdb"),
+      "the provider env did not reach the streaming query — the test " +
+        s"would be re-proving the default backend:\n${out.takeRight(2000)}")
     out.linesIterator.filter(_.startsWith("[xcluster]")).foreach(info(_))
   }
 }
