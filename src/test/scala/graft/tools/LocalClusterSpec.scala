@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Multi-JVM execution gate (see LocalClusterProbe): every other gate
   * in this repo runs `local[n]`, a single JVM where task dispatch
   * skips serialization and shuffle is an in-process file read. These
-  * two tests run a cross-section of the catalog on
+  * tests run a cross-section of the catalog on
   * `local-cluster[2,4,…]` — two REAL executor JVMs under an in-process
   * standalone master — which is the closest a single machine gets to
   * the 1000-executor shape:
