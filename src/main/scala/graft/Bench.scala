@@ -48,6 +48,11 @@ import org.apache.spark.sql.SparkSession
   * session stopped before printing — and (b) fit the tail window:
   * per-query seconds are rounded to 3 decimals and keyed by the short
   * catalog id (the full-name map overflowed the window in r01/r02).
+  *
+  * When the primary run is the driver's sf0.1 sweep and `localdata/sf1`
+  * is synthesized, the line also carries an `sf1` section: the 10
+  * heaviest entries re-measured at the 10× point, so decade-scaling
+  * regressions surface per-round instead of via one-off probes.
   */
 object Bench {
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
@@ -78,15 +83,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String): Double = {
+    def execIn(dir: String)(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
     }
+    def exec(name: String): Double = execIn(sfDir)(name)
 
     val names = graft.queries.Catalog.all.map(_.name)
     names.foreach(exec) // warm pass: codegen + JIT + page cache
@@ -122,8 +128,35 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMed = names.map(n => median(draws(n))).sum
+
+    // sf1 decade section: the 10 heaviest entries by this run's sf0.1
+    // minimum, re-measured at the synthesized sf1 point (warm + 2
+    // round-robin draws, min). Decade-scaling regressions — the kind
+    // r7/r8 caught only via one-off probes — become visible for free
+    // in every round's BENCH line. On by default only for the driver's
+    // sf0.1 run (local quick loops at other SFs stay quick); override
+    // with SPARK_GRAFT_BENCH_SF1=true/false.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "localdata/sf1")
+    val sf1On = sys.env.get("SPARK_GRAFT_BENCH_SF1")
+      .map(_ == "true").getOrElse(sfDir.endsWith("sf0.1"))
+    val sf1Draws = mutable.LinkedHashMap.empty[String, Vector[Double]]
+    val sf1Json =
+      if (!sf1On ||
+          !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) ""
+      else {
+        val heavy = results.sortBy(-_._2).take(10).map(_._1)
+        heavy.foreach(execIn(sf1Dir)) // warm: page cache + fresh codegen
+        heavy.foreach(n => sf1Draws(n) = Vector.empty)
+        for (_ <- 1 to 2; n <- heavy)
+          sf1Draws(n) = sf1Draws(n) :+ execIn(sf1Dir)(n)
+        val entries = heavy.map(n =>
+          "\"" + n.takeWhile(_ != '_') + "\":" + fmt(sf1Draws(n).min))
+          .mkString("{", ",", "}")
+        s""","sf1":$entries,"sf1_total":${fmt(heavy.map(sf1Draws(_).min).sum)}"""
+      }
+
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"vmed":${fmt(totalMed)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"vmed":${fmt(totalMed)},"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json}"""
 
     // full-precision per-draw detail for offline analysis (not part of
     // the driver contract); draws are in pass order, so a burst shows
@@ -133,10 +166,13 @@ object Bench {
       val d = names.map { n =>
         "\"" + n + "\":[" + draws(n).map(_.toString).mkString(",") + "]"
       }.mkString("{", ",", "}")
+      val d1 = sf1Draws.map { case (n, v) =>
+        "\"" + n + "\":[" + v.map(_.toString).mkString(",") + "]"
+      }.mkString("{", ",", "}")
       val p = java.nio.file.Paths.get(benchFile)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"total":$total,"total_median":$totalMed,"sf":"$sfDir","runs":$d}""".getBytes("UTF-8"))
+        s"""{"total":$total,"total_median":$totalMed,"sf":"$sfDir","runs":$d,"sf1_runs":$d1}""".getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }

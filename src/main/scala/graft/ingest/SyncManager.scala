@@ -17,6 +17,14 @@ final case class SyncResult(
     prunedGenerations: Seq[String],
     error: Option[String] = None)
 
+/** Source schema drift a MERGE cycle cannot apply safely. Raised
+  * BEFORE the snapshot build touches storage, so the T7 fail-soft path
+  * reports it and the watermark holds (next tick retries; the remedy —
+  * a FullRebuild cycle — is in the message).
+  */
+final class SchemaDriftException(msg: String)
+  extends RuntimeException(msg)
+
 /** Extraction strategy for each sync cycle. */
 sealed trait SyncMode
 object SyncMode {
@@ -76,8 +84,14 @@ final class SyncManager(spark: SparkSession, source: Source,
       }
       val changed = stats.map { case (t, (n, _)) => t -> n }
 
-      // snapshot build per mode
-      val prevManifest = store.readCurrentManifest()
+      // snapshot build per mode. A torn/unreadable publish pointer (a
+      // crashed foreign writer mid-overwrite) must not wedge the
+      // publisher forever: treat it as absent — Merge degrades to a
+      // bootstrap full read for THIS cycle and the publish at the end
+      // rewrites the pointer, self-healing it.
+      val prevManifest =
+        try store.readCurrentManifest()
+        catch { case scala.util.control.NonFatal(_) => None }
       val frames = source.tableNames.map { t =>
         val df = mode match {
           case SyncMode.FullRebuild => source.read(spark, t)
@@ -90,7 +104,7 @@ final class SyncManager(spark: SparkSession, source: Source,
                 val delta = deltas(t)
                 if (!prev.columns.contains(keyCol)
                   || !delta.columns.contains(keyCol)) source.read(spark, t)
-                else SyncManager.mergeUpsert(prev, delta, keyCol)
+                else SyncManager.mergeUpsert(prev, delta, keyCol, table = t)
               case None => source.read(spark, t) // bootstrap generation
             }
         }
@@ -132,6 +146,20 @@ object SyncManager {
     * touched by the delta (left anti on the key) plus the delta
     * (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT).
     *
+    * Schema drift (the delta carries the source's CURRENT schema, so a
+    * schema change surfaces here first):
+    *  - a column the source ADDED is adopted — the reference's
+    *    CTAS-per-cycle (etl-service/src/sync.py:84-87) makes a new
+    *    column appear in the next snapshot, and MERGE matches that
+    *    observable; rows the delta didn't touch get NULL, the honest
+    *    value for data the incremental scan never re-read;
+    *  - a column the source DROPPED or RETYPED fails the cycle with a
+    *    [[SchemaDriftException]] naming the table, columns, and remedy
+    *    (one FullRebuild cycle). Applying either automatically would
+    *    destroy or corrupt values the previous generation still holds
+    *    for rows the delta never re-read — an explicit rebuild is the
+    *    only loss-free path.
+    *
     * Scale shape: at 100 TB `prev` is the full snapshot and `delta`
     * the change rate — normally orders of magnitude smaller. The join
     * is left UNHINTED on purpose so AQE broadcasts the delta's key
@@ -142,9 +170,34 @@ object SyncManager {
     */
   private[graft] def mergeUpsert(prev: org.apache.spark.sql.DataFrame,
                                  delta: org.apache.spark.sql.DataFrame,
-                                 keyCol: String): org.apache.spark.sql.DataFrame = {
+                                 keyCol: String,
+                                 table: String = "<table>"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
+    val deltaTypes = delta.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dropped = prev.columns.filterNot(deltaTypes.contains)
+    if (dropped.nonEmpty) throw new SchemaDriftException(
+      s"source table '$table' no longer has column(s) " +
+        dropped.mkString("[", ", ", "]") +
+        " that the previous snapshot generation carries; a MERGE cycle" +
+        " cannot drop them without erasing values for rows the delta" +
+        " never re-read — run one SyncMode.FullRebuild cycle to adopt" +
+        " the new source schema")
+    // catalogString comparison: nested nullability (containsNull etc.)
+    // can flip across a parquet round-trip and is union-compatible
+    // anyway — only a genuine type change is drift
+    val retyped = prev.schema.fields
+      .filter(f => deltaTypes(f.name).catalogString != f.dataType.catalogString)
+      .map(f => s"${f.name}: ${f.dataType.sql} -> ${deltaTypes(f.name).sql}")
+    if (retyped.nonEmpty) throw new SchemaDriftException(
+      s"source table '$table' changed column type(s) " +
+        retyped.mkString("[", ", ", "]") +
+        " since the previous snapshot generation; a MERGE cycle cannot" +
+        " cast rows it never re-read — run one SyncMode.FullRebuild" +
+        " cycle to adopt the new source schema")
+    // added columns: unionByName(allowMissingColumns) fills the prev
+    // side with NULL; the dropped-column guard above has already fired,
+    // so the fill can only ever apply to prev, never mask a drop
     prev.join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .unionByName(delta.select(prev.columns.map(col): _*))
+      .unionByName(delta, allowMissingColumns = true)
   }
 }

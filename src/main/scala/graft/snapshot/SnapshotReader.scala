@@ -35,6 +35,15 @@ final class SnapshotReader(store: SnapshotStore,
     * always downloads when it has no open snapshot,
     * api-service/src/query_engine.py:98-108; only a loaded snapshot is
     * TTL-cached).
+    *
+    * Absent or unreadable pointer while a snapshot IS loaded: keep
+    * serving the loaded generation. The publish pointer swap is
+    * rename-based; on object stores (s3a rename = copy+delete) a
+    * crashed publisher can leave `current/manifest.json` momentarily
+    * absent, and that window must degrade to staleness, never to an
+    * outage — the generation's data and manifest are always complete
+    * before the pointer moves (SnapshotWriter orders them), so the
+    * last-registered views stay valid. The next TTL lapse retries.
     */
   def refreshIfStale(): Boolean = synchronized {
     val now = clock()
@@ -42,7 +51,14 @@ final class SnapshotReader(store: SnapshotStore,
       Duration.between(t, now).compareTo(ttl) >= 0)
     if (!stale) return false
     loadedAt = Some(now)
-    store.readCurrentManifest() match {
+    val read = try store.readCurrentManifest() catch {
+      // torn/garbage pointer (a non-rename writer mid-overwrite):
+      // while loaded, identical to absent; first load has nothing to
+      // fall back to, so surface it
+      case scala.util.control.NonFatal(_) if loadedVersion.nonEmpty =>
+        None
+    }
+    read match {
       case Some(m) if !loadedVersion.contains(m.version) =>
         register(m); true
       case _ => false

@@ -337,8 +337,12 @@ object EventStream {
     // callers — the invariance sweep replays the t-entries at coprime
     // state-partition counts to prove results don't depend on how the
     // state store is sharded (what a cluster rescale changes)
-    val parts = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
-      .map(_.toInt).getOrElse(statePartitions)
+    val parts = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS") match {
+      case Some(v) if v.matches("\\d+") => v.toInt
+      case Some(v) => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STATE_PARTITIONS must be a positive integer, got '$v'")
+      case None => statePartitions
+    }
     ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // dev/bench hook: A/B the state-store backend without touching
     // callers (e.g. org.apache.spark.sql.execution.streaming.state
@@ -363,14 +367,6 @@ object EventStream {
     ss
   }
 
-  /** Run any of the above to a named in-memory sink, synchronously —
-    * the test/bench harness entry (guide: batch-as-stream pattern).
-    *
-    * The checkpoint (offset log + state store deltas, fsync'd every
-    * commit) goes to tmpfs when the host has one — commit-log fsyncs
-    * on a disk-backed /tmp are the dominant fixed cost of a short
-    * replay — and is deleted on stop either way.
-    */
   /** tmpfs-backed scratch base when the host has one, else
     * java.io.tmpdir — the ONE copy of the detection (the fuzz
     * harness and forked probes use it for their checkpoints too).
@@ -381,6 +377,14 @@ object EventStream {
     else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
   }
 
+  /** Run any of the above to a named in-memory sink, synchronously —
+    * the test/bench harness entry (guide: batch-as-stream pattern).
+    *
+    * The checkpoint (offset log + state store deltas, fsync'd every
+    * commit) goes to tmpfs when the host has one — commit-log fsyncs
+    * on a disk-backed /tmp are the dominant fixed cost of a short
+    * replay — and is deleted on stop either way.
+    */
   def runToMemory(df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Append()): Unit = {
     val ckpt =

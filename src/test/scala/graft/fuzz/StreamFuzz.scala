@@ -310,6 +310,8 @@ object StreamFuzz {
       if (crashReplay)
         assert(replayedBatches >= 1,
           "crash shape staged but the restart replayed no batch")
+      require(schema != null,
+        "no batch was ever emitted — query produced no output")
       session.createDataFrame(buf.values.flatten.toSeq.asJava, schema)
     } finally {
       cleanup(full); cleanup(live); cleanup(ckpt)

@@ -15,7 +15,11 @@ import graft.snapshot.SnapshotStore
   * SyncManager per cycle (watermark durability across restarts is part
   * of the claim), a strict-`>` watermark tie row (reference semantics
   * T3: a row stamped exactly AT the watermark is skipped until a later
-  * update bumps it), and a no-change cycle (watermark must not move).
+  * update bumps it), a no-change cycle (watermark must not move), and
+  * two schema-drift rounds: a mid-churn column ADD (adopted, NULL for
+  * rows the delta never re-read — the reference's CTAS observable) and
+  * a column DROP (clear pre-publish diagnosis, watermark + generation
+  * hold, FullRebuild recovers).
   *
   * The final snapshot is oracle-checked against an independently
   * computed expectation: latest-version-per-id over the full version
@@ -159,9 +163,44 @@ class ChurnSyncSf1Spec extends SparkSpec {
     assert(new WatermarkStore(store).load()("orders") == wmBefore,
       "watermark moved on an empty delta")
 
+    // ── drift cycle: the source gains a column mid-churn ───────────
+    // reference observable semantics (CTAS-per-cycle, sync.py:84-87):
+    // the new column appears in the next snapshot; MERGE adopts it with
+    // NULL for rows the delta never re-read
+    val cur4 = spark.read.parquet(s"$srcDir/orders.parquet")
+    val updates4 = cur4
+      .filter(col("id") % 1009 === 4 && col("id") <= maxId)
+      .withColumn("updated_at", to_timestamp(lit(cycleTs(4))))
+      .withColumn("o_totalprice", col("o_totalprice") + 4000.0)
+      .withColumn("o_priority", lit("HIGH"))
+    val inserts4 = spark.range(2000).select(
+      (lit(maxId + 1L + 4 * 100000L) + col("id")).as("id"),
+      to_timestamp(lit(cycleTs(4))).as("updated_at"),
+      (col("id") % 1000).as("o_custkey"),
+      lit("N").as("o_orderstatus"),
+      (col("id") * 1.25).as("o_totalprice"),
+      lit("LOW").as("o_priority"))
+    updates4.unionByName(inserts4).write.parquet(s"$archive/v4")
+    val delta4 = spark.read.parquet(s"$archive/v4")
+    val nDelta4 = delta4.count()
+    replaceSource(srcDir,
+      cur4.withColumn("o_priority", lit(null).cast("string"))
+        .join(delta4.select("id"), Seq("id"), "left_anti")
+        .unionByName(delta4))
+    val r6 = manager().runCycle()
+    assert(r6.success, s"column-add drift cycle failed: ${r6.error}")
+    val snapped4 = spark.read.parquet(
+      store.tableDir(r6.manifest.get.version, "orders").toString)
+    assert(snapped4.columns.contains("o_priority"),
+      "added source column did not appear in the next snapshot")
+    assert(snapped4.filter(col("o_priority").isNotNull).count() == nDelta4,
+      "exactly the delta rows must carry the new column's values")
+
     // ── final oracle: latest version per id over the full history ──
-    val history = (0 to 3).map(v => spark.read.parquet(s"$archive/v$v"))
-      .reduce(_ unionByName _)
+    // (v0..v3 predate o_priority: allowMissingColumns nulls them,
+    // which IS the chosen drift semantics being oracle-checked)
+    val history = (0 to 4).map(v => spark.read.parquet(s"$archive/v$v"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
       // the tie version (cycle 2) never became visible to sync and was
       // superseded in cycle 3; drop exactly that version from the
       // expectation
@@ -174,11 +213,46 @@ class ChurnSyncSf1Spec extends SparkSpec {
 
     val finalSnap = spark.read.parquet(store.tableDir(
       store.readCurrentManifest().get.version, "orders").toString)
-    assert(finalSnap.count() == n0 + 3 * 2000 + 1)
+    assert(finalSnap.count() == n0 + 4 * 2000 + 1)
     val (en, eh) = digest(expected)
     val (gn, gh) = digest(finalSnap)
     assert(en == gn && eh == gh,
       s"final snapshot diverged from the version-history oracle: " +
         s"expected ($en, $eh) got ($gn, $gh)")
+
+    // ── drift cycle: the source drops a column ─────────────────────
+    // must be a clear pre-publish diagnosis (not a mid-publish
+    // AnalysisException), the watermark and current generation must
+    // hold, and one FullRebuild cycle must recover
+    val wmDrift = new WatermarkStore(store).load()("orders")
+    val genDrift = store.readCurrentManifest().get.version
+    val cur5 = spark.read.parquet(s"$srcDir/orders.parquet")
+    replaceSource(srcDir,
+      cur5.drop("o_custkey")
+        .withColumn("updated_at",
+          when(col("id") === maxId, to_timestamp(lit(cycleTs(5))))
+            .otherwise(col("updated_at"))))
+    val rDrop = manager().runCycle()
+    assert(!rDrop.success, "dropped-column MERGE cycle must fail")
+    assert(rDrop.error.exists(e => e.contains("SchemaDrift") &&
+        e.contains("o_custkey") && e.contains("FullRebuild")),
+      s"drift error lacks the diagnosis: ${rDrop.error}")
+    assert(new WatermarkStore(store).load()("orders") == wmDrift,
+      "watermark advanced past a failed drift cycle")
+    assert(store.readCurrentManifest().get.version == genDrift,
+      "a failed drift cycle published a generation")
+
+    val rFull = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("orders")), store,
+      mode = SyncMode.FullRebuild).runCycle()
+    assert(rFull.success, s"FullRebuild recovery failed: ${rFull.error}")
+    val rebuilt = spark.read.parquet(store.tableDir(
+      rFull.manifest.get.version, "orders").toString)
+    assert(!rebuilt.columns.contains("o_custkey") &&
+      rebuilt.count() == n0 + 4 * 2000 + 1,
+      "FullRebuild did not adopt the post-drop source schema")
+    // and MERGE cycles resume cleanly against the rebuilt generation
+    val rResume = manager().runCycle()
+    assert(rResume.success, s"post-rebuild MERGE failed: ${rResume.error}")
   }
 }

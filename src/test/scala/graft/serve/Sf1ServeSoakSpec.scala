@@ -180,11 +180,12 @@ class Sf1ServeSoakSpec extends SparkSpec {
         }
       }
     })
-    assert(victimAirborne.await(60, TimeUnit.SECONDS),
-      "victim never started a job")
-    spark.sparkContext.cancelJobGroupAndFutureJobs("graft-soak-victim")
-    victim.get(120, TimeUnit.SECONDS)
-    spark.sparkContext.removeSparkListener(airborneListener)
+    try {
+      assert(victimAirborne.await(60, TimeUnit.SECONDS),
+        "victim never started a job")
+      spark.sparkContext.cancelJobGroupAndFutureJobs("graft-soak-victim")
+      victim.get(120, TimeUnit.SECONDS)
+    } finally spark.sparkContext.removeSparkListener(airborneListener)
     stopSoak.set(true)
     cancelSoakers.foreach(_.get(60, TimeUnit.SECONDS))
     cancelPool.shutdown()

@@ -102,6 +102,93 @@ class SnapshotSyncSpec extends SparkSpec {
     assert(reader.currentManifest.get.version == "20240501_000100000")
   }
 
+  test("reader serves the loaded generation through an absent/torn pointer") {
+    // the s3a rename window: a crashed publisher leaves
+    // current/manifest.json absent (copy+delete rename) or a foreign
+    // writer leaves garbage — either must degrade to staleness, never
+    // to an outage, because the generation's data + manifest complete
+    // before the pointer moves (ordering pinned by the next test)
+    val srcDir = Files.createTempDirectory("graft-ptr-src").toString
+    val snapDir = Files.createTempDirectory("graft-ptr-snap").toString
+    Seq((1L, 5L, 9.99, ts("2024-01-01 00:00:00")))
+      .toDF("id", "quantity", "price", "updated_at")
+      .write.parquet(s"$srcDir/inventory.parquet")
+    val store = new SnapshotStore(spark, snapDir)
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), store)
+    mgr.runCycle(Instant.parse("2024-08-01T00:00:00Z"))
+    var now = Instant.parse("2024-08-01T00:00:00Z")
+    val reader = new SnapshotReader(store,
+      ttl = java.time.Duration.ofSeconds(120), clock = () => now)
+    assert(reader.refreshIfStale())
+    val v1 = reader.currentManifest.get.version
+
+    // pointer vanishes (crashed publisher mid-rename)
+    assert(store.fs.delete(store.currentManifestPath, false))
+    now = now.plusSeconds(300)
+    assert(!reader.refreshIfStale(), "absent pointer must not flip views")
+    assert(reader.currentManifest.get.version == v1)
+    assert(spark.sql("SELECT count(*) FROM inventory").first().getLong(0) == 1,
+      "serving must continue on the last-registered generation")
+
+    // pointer returns as garbage (torn non-rename overwrite)
+    store.writeString(store.currentManifestPath, "{not json")
+    now = now.plusSeconds(300)
+    assert(!reader.refreshIfStale(), "torn pointer must not flip views")
+    assert(reader.currentManifest.get.version == v1)
+    assert(spark.sql("SELECT count(*) FROM inventory").first().getLong(0) == 1)
+
+    // recovery cycle: next publish restores the pointer and the reader
+    // picks up the new generation on the next TTL lapse
+    Seq((1L, 5L, 9.99, ts("2024-01-01 00:00:00")),
+        (2L, 9L, 1.25, ts("2024-02-01 00:00:00")))
+      .toDF("id", "quantity", "price", "updated_at")
+      .write.mode("overwrite").parquet(s"$srcDir/inventory.parquet")
+    val r2 = mgr.runCycle(Instant.parse("2024-08-01T01:00:00Z"))
+    assert(r2.success, r2.error)
+    now = now.plusSeconds(300)
+    assert(reader.refreshIfStale(), "recovered pointer must be adopted")
+    assert(reader.currentManifest.get.version == r2.manifest.get.version)
+    assert(spark.sql("SELECT count(*) FROM inventory").first().getLong(0) == 2)
+
+    // a FRESH reader with nothing loaded has no generation to fall back
+    // to: a torn pointer on first load must surface, not serve nothing
+    store.writeString(store.currentManifestPath, "{not json")
+    val cold = new SnapshotReader(store,
+      ttl = java.time.Duration.ofSeconds(120), clock = () => now)
+    intercept[Exception](cold.refreshIfStale())
+  }
+
+  test("publish ordering: pointer swap is last — a failed swap leaves a complete generation") {
+    // pin the ordering the reader contract above depends on: if the
+    // POINTER write fails, the generation's parquet data and per-gen
+    // manifest are already complete (recoverable, never adopted torn)
+    val srcDir = Files.createTempDirectory("graft-ord-src").toString
+    val snapDir = Files.createTempDirectory("graft-ord-snap").toString
+    Seq((1L, 5L, ts("2024-01-01 00:00:00")))
+      .toDF("id", "quantity", "updated_at")
+      .write.parquet(s"$srcDir/inventory.parquet")
+    val store = new SnapshotStore(spark, snapDir)
+    // make ONLY the pointer WRITE fail: plant a plain FILE at the
+    // `current/` directory path — pointer reads see "absent" (exists()
+    // on current/manifest.json is false under a file parent) so the
+    // cycle proceeds, but writeString's mkdirs/create for the pointer
+    // cannot materialize under a file and throws
+    store.writeString(new org.apache.hadoop.fs.Path(
+      store.rootPath, "current"), "blocker")
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), store)
+    val r = mgr.runCycle(Instant.parse("2024-09-01T00:00:00Z"))
+    assert(!r.success, "publish should have failed at the pointer swap")
+    val key = SnapshotStore.keyFor(Instant.parse("2024-09-01T00:00:00Z"))
+    assert(store.readGenerationManifest(key).exists(_.tables("inventory") == 1L),
+      "per-generation manifest must complete BEFORE the pointer swap")
+    assert(spark.read.parquet(store.tableDir(key, "inventory").toString)
+      .count() == 1, "table data must complete BEFORE the pointer swap")
+    // watermark must hold too — the failed cycle is fully retryable
+    assert(!new WatermarkStore(store).load().contains("inventory"))
+  }
+
   test("incremental mode snapshots only changed rows") {
     val srcDir = Files.createTempDirectory("graft-incsrc").toString
     val snapDir = Files.createTempDirectory("graft-incsnap").toString
@@ -188,6 +275,105 @@ class SnapshotSyncSpec extends SparkSpec {
     val plan = merged.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"small-delta MERGE should broadcast the delta keys:\n$plan")
+  }
+
+  test("merge adopts an added source column — nulls for untouched rows") {
+    // reference observable semantics: CTAS-per-cycle (sync.py:84-87)
+    // makes a new source column appear in the next snapshot; MERGE
+    // matches that, with NULL for rows the incremental scan never
+    // re-read (the honest value — their source-side value is unknown)
+    val srcDir = Files.createTempDirectory("graft-addcol-src").toString
+    val snapDir = Files.createTempDirectory("graft-addcol-snap").toString
+    Seq((1L, 5L, ts("2024-01-01 00:00:00")),
+        (2L, 3L, ts("2024-01-02 00:00:00")))
+      .toDF("id", "quantity", "updated_at")
+      .write.parquet(s"$srcDir/inventory.parquet")
+    val store = new SnapshotStore(spark, snapDir)
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), store,
+      mode = SyncMode.Merge)
+    assert(mgr.runCycle(Instant.parse("2024-07-01T00:00:00Z")).success)
+
+    // the source gains `grade`; row 2 updated, row 3 inserted
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$srcDir/inventory.parquet"), true)
+    Seq((1L, 5L, Option.empty[String], ts("2024-01-01 00:00:00")),
+        (2L, 99L, Some("A"), ts("2024-01-06 00:00:00")),
+        (3L, 7L, Some("B"), ts("2024-01-05 00:00:00")))
+      .toDF("id", "quantity", "grade", "updated_at")
+      .write.parquet(s"$srcDir/inventory.parquet")
+    val r2 = mgr.runCycle(Instant.parse("2024-07-01T01:00:00Z"))
+    assert(r2.success, r2.error)
+    val snap = spark.read.parquet(
+      store.tableDir(r2.manifest.get.version, "inventory").toString)
+    assert(snap.columns.contains("grade"),
+      "added source column did not appear in the next snapshot")
+    val byId = snap.select("id", "quantity", "grade")
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(byId == Seq((1L, 5L, None), (2L, 99L, Some("A")),
+      (3L, 7L, Some("B"))), byId.mkString(";"))
+  }
+
+  test("merge fails loudly on dropped/retyped columns; FullRebuild recovers") {
+    val srcDir = Files.createTempDirectory("graft-dropcol-src").toString
+    val snapDir = Files.createTempDirectory("graft-dropcol-snap").toString
+    def writeSource(df: org.apache.spark.sql.DataFrame): Unit = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$srcDir/inventory.parquet"), true)
+      df.write.parquet(s"$srcDir/inventory.parquet")
+    }
+    writeSource(Seq((1L, 5L, ts("2024-01-01 00:00:00")),
+        (2L, 3L, ts("2024-01-02 00:00:00")))
+      .toDF("id", "quantity", "updated_at"))
+    val store = new SnapshotStore(spark, snapDir)
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), store,
+      mode = SyncMode.Merge)
+    assert(mgr.runCycle(Instant.parse("2024-07-01T00:00:00Z")).success)
+    val wm1 = new WatermarkStore(store).load()("inventory")
+    val gen1 = store.readCurrentManifest().get.version
+
+    // the source drops `quantity` (and bumps a row so the delta is
+    // non-empty): clear diagnosis, not a mid-publish AnalysisException
+    writeSource(Seq((1L, ts("2024-01-01 00:00:00")),
+        (2L, ts("2024-02-01 00:00:00")))
+      .toDF("id", "updated_at"))
+    val rDrop = mgr.runCycle(Instant.parse("2024-07-01T01:00:00Z"))
+    assert(!rDrop.success, "dropped-column MERGE cycle must fail")
+    assert(rDrop.error.exists(e => e.contains("SchemaDrift") &&
+        e.contains("quantity") && e.contains("FullRebuild")),
+      s"drift error lacks the diagnosis: ${rDrop.error}")
+    assert(new WatermarkStore(store).load()("inventory") == wm1,
+      "watermark advanced past a failed drift cycle")
+    assert(store.readCurrentManifest().get.version == gen1,
+      "a failed drift cycle published a generation")
+
+    // retyped column: same loud failure naming the type change
+    writeSource(Seq(("1", 5L, ts("2024-01-01 00:00:00")),
+        ("2", 3L, ts("2024-02-01 00:00:00")))
+      .toDF("id", "quantity", "updated_at"))
+    val rRetype = mgr.runCycle(Instant.parse("2024-07-01T02:00:00Z"))
+    assert(!rRetype.success &&
+      rRetype.error.exists(e => e.contains("changed column type") &&
+        e.contains("id") && e.contains("FullRebuild")),
+      s"retype error lacks the diagnosis: ${rRetype.error}")
+
+    // the documented remedy: one FullRebuild cycle adopts the schema
+    writeSource(Seq((1L, ts("2024-01-01 00:00:00")),
+        (2L, ts("2024-02-01 00:00:00")))
+      .toDF("id", "updated_at"))
+    val rFull = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), store,
+      mode = SyncMode.FullRebuild)
+      .runCycle(Instant.parse("2024-07-01T03:00:00Z"))
+    assert(rFull.success, rFull.error)
+    val rebuilt = spark.read.parquet(
+      store.tableDir(rFull.manifest.get.version, "inventory").toString)
+    assert(!rebuilt.columns.contains("quantity") && rebuilt.count() == 2)
+    // and MERGE cycles resume cleanly against the rebuilt generation
+    assert(mgr.runCycle(Instant.parse("2024-07-01T04:00:00Z")).success)
   }
 
   test("failed publish leaves the watermark behind — no skipped rows") {

@@ -88,7 +88,8 @@ object LocalClusterProbe {
     * is the reliable route.
     */
   private def executorPids(appId: String): Seq[Long] =
-    new java.io.File("/proc").listFiles().toSeq
+    Option(new java.io.File("/proc").listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
       .filter(_.getName.forall(_.isDigit))
       .filter { d =>
         val cl = try {
