@@ -70,10 +70,14 @@ final class SnapshotWriter(store: SnapshotStore) {
           org.apache.spark.sql.functions.lit(1)).as("rows"))
       val dir = store.tableDir(key, name).toString
       val w = out.write.mode("overwrite")
-      partitionBy.get(name).filter(_.nonEmpty) match {
+      // label the write job (cluster-UI attribution; the executor-loss
+      // probe also keys its kill on it)
+      val sc = df.sparkSession.sparkContext
+      sc.setJobDescription(s"graft publish $name gen $key")
+      try partitionBy.get(name).filter(_.nonEmpty) match {
         case Some(cols) => w.partitionBy(cols: _*).parquet(dir)
         case None => w.parquet(dir)
-      }
+      } finally sc.setJobDescription(null)
       name -> obs.get("rows").asInstanceOf[Long]
     }
 

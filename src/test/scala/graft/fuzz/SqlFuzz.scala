@@ -610,6 +610,73 @@ object SqlFuzz {
   } yield s"SELECT ${proj.mkString(", ")} FROM $rt" +
     outerPred.fold("")(p => s" WHERE $p") + s" $ord LIMIT $limit"
 
+  /** Shape 14: correlated scalar subquery with ORDER BY + LIMIT 1
+    * (r9 advice: LIMIT inside correlated subqueries — a different
+    * decorrelation path than the aggregate subqueries of shape 13:
+    * Spark rewrites the LIMIT into a per-group ROW_NUMBER window, and
+    * that rewrite's tie/null handling is exactly what this shape
+    * differentially probes). Deterministic by construction: the
+    * subquery SELECTS the column it orders by, so tied rows are
+    * value-identical and the explicit NULLS directive pins the null
+    * end; an empty correlation group yields NULL on both engines.
+    */
+  def limitSubquery(pools: Pools): Gen[String] = for {
+    jn <- Gen.oneOf(joins)
+    (lt, lk, rt, rk) = jn // child lt (fk lk) -> parent rt (key rk)
+    l = tables.find(_.name == lt).get
+    r = tables.find(_.name == rt).get
+    sub <- Gen.oneOf(l.cols)
+    sd <- dir
+    innerPred <- Gen.option(predicate("", l, pools))
+    outerPred <- Gen.option(predicate("", r, pools))
+    k <- Gen.choose(1, math.min(2, r.cols.size))
+    cols <- Gen.pick(k, r.cols)
+    limit <- Gen.choose(1, 2000)
+    proj = cols.map(_.name).toSeq :+
+      (s"(SELECT ${sub.name} FROM $lt WHERE $lk = $rk" +
+        innerPred.fold("")(p => s" AND ($p)") +
+        s" ORDER BY ${sub.name} $sd LIMIT 1) AS sq")
+    ord <- orderAll(proj.size, dir)
+  } yield s"SELECT ${proj.mkString(", ")} FROM $rt" +
+    outerPred.fold("")(p => s" WHERE $p") + s" $ord LIMIT $limit"
+
+  /** Shape 15: ORDER BY over EXPRESSIONS, not ordinals (r9 advice).
+    * The sort key is a computed expression that never appears in the
+    * projection — both engines must evaluate it identically AND agree
+    * on the resulting order. Total order is guaranteed by a trailing
+    * unique-key tiebreaker, so expression ties (LENGTH over same-width
+    * strings, % buckets) are exactly the surface being probed: a
+    * comparison divergence reorders across tie groups and breaks the
+    * row-wise value compare.
+    */
+  def orderByExpr(pools: Pools): Gen[String] = for {
+    tk <- Gen.oneOf(
+      ("customer", "c_custkey"), ("orders", "o_orderkey"),
+      ("supplier", "s_suppkey"), ("events", "event_id"),
+      ("part", "p_partkey"), ("nation", "n_nationkey"))
+    (t, key) = tk
+    tab = tables.find(_.name == t).get
+    k <- Gen.choose(1, math.min(3, tab.cols.size))
+    cols <- Gen.pick(k, tab.cols)
+    oc <- Gen.oneOf(tab.cols)
+    oexpr <- oc.typ match {
+      case "string" => Gen.oneOf(s"LENGTH(${oc.name})",
+        s"UPPER(${oc.name})", s"SUBSTR(${oc.name}, 2, 4)")
+      case "ts" => Gen.oneOf(s"EXTRACT(MONTH FROM ${oc.name})",
+        s"EXTRACT(YEAR FROM ${oc.name})")
+      case "double" => Gen.oneOf(s"ABS(${oc.name})", s"0 - ${oc.name}")
+      case _ => Gen.oneOf(s"${oc.name} % 7", s"0 - ${oc.name}",
+        s"${oc.name} + 1")
+    }
+    d1 <- dir
+    d2 <- dir
+    pred <- Gen.option(predicate("", tab, pools))
+    limit <- Gen.choose(1, 2000)
+    proj = (cols.map(_.name).toSeq :+ key).distinct
+  } yield s"SELECT ${proj.mkString(", ")} FROM $t" +
+    pred.fold("")(p => s" WHERE $p") +
+    s" ORDER BY $oexpr $d1, $key $d2 LIMIT $limit"
+
   /** The full admitted-surface generator. */
   def statement(pools: Pools): Gen[String] = Gen.frequency(
     3 -> filterProject(pools),
@@ -624,5 +691,7 @@ object SqlFuzz {
     2 -> subqueryPred(pools),
     2 -> windowFrame(pools),
     2 -> rollupAgg(pools),
-    2 -> scalarSubquery(pools))
+    2 -> scalarSubquery(pools),
+    2 -> limitSubquery(pools),
+    2 -> orderByExpr(pools))
 }

@@ -36,10 +36,16 @@ import graft.streaming.EventStream
   *  - event times are whole seconds and watermark delays are whole
   *    seconds, so ms-truncation of the engine's watermark cannot
   *    flip an admission decision. Exact `ts == wm` ties DO occur;
-  *    the oracles encode Spark's measured tie behavior (`ts >= wm`
-  *    is admitted; a window/session survives only while its end is
-  *    strictly above the watermark) rather than avoiding ties, so a
-  *    boundary flip in a future Spark would be caught, not masked.
+  *    the oracles encode Spark's measured tie behavior (a raw-ts row
+  *    AT the watermark is DROPPED by the dedup and join late filters
+  *    — strict `ts > wm`, tools.DedupTieProbe/JoinTieProbe; a tied
+  *    dedup-state expiry is dead, tools.DedupExpiryProbe; a
+  *    window/session survives only while its end is strictly above
+  *    the watermark) rather than avoiding ties, so a boundary flip in
+  *    a future Spark would be caught, not masked. The strict raw-ts
+  *    rule was DISCOVERED by the multi-file axis: at file-per-batch
+  *    alignment no tested seed ever landed a tie on a visible branch,
+  *    and the old `>=` model survived 153 scenarios unchallenged.
   *  - closer rows (negative ids, event_type "__closer") advance the
   *    watermark far past all data so every append-mode result is
   *    fully emitted before comparison; they are excluded from every
@@ -198,17 +204,37 @@ object StreamFuzz {
     dir
   }
 
-  /** Replays `op(stream)` over the staged directory one file per
-    * micro-batch and returns the settled memory-sink table.
+  /** Replays `op(stream)` over the staged directory `filesPerTrigger`
+    * files per micro-batch and returns the settled memory-sink table.
     */
   def replay(spark: SparkSession, dir: Path, name: String,
              op: DataFrame => DataFrame,
-             mode: OutputMode = OutputMode.Append()): DataFrame = {
+             mode: OutputMode = OutputMode.Append(),
+             filesPerTrigger: Int = 1): DataFrame = {
     val events = EventStream.readEvents(spark, dir.toString,
-      options = Map("maxFilesPerTrigger" -> "1"))
+      options = Map("maxFilesPerTrigger" -> filesPerTrigger.toString))
     EventStream.runToMemory(op(events), name, mode)
     spark.table(name)
   }
+
+  /** The engine-batch view of a staged scenario under
+    * maxFilesPerTrigger = k: FileStreamSource takes its mtime-ordered
+    * listing k files at a time, so the oracle's batch structure is the
+    * k-grouped one — multi-file micro-batches shift which watermark
+    * governs each row (the lag-2 boundary lands on different rows than
+    * the file-per-batch replay of the same scenario).
+    *
+    * Valid even though the two closer files are staged AFTER the data
+    * files and can share the last data-bearing engine batch: under the
+    * lag-2 model a closer in engine batch j first influences admission
+    * and eviction in batch j+2, and every batch after j is pure
+    * closers — so closers can never affect a DATA row's lifecycle, and
+    * the oracles (which already exclude closer rows from comparison)
+    * stay exact with plain data-batch grouping.
+    */
+  def grouped(sc: Scenario, k: Int): Scenario =
+    if (k <= 1) sc
+    else sc.copy(batches = sc.batches.grouped(k).map(_.flatten).toVector)
 
   def cleanup(dir: Path): Unit =
     try org.apache.spark.network.util.JavaUtils.deleteRecursively(dir.toFile)
@@ -483,10 +509,15 @@ object StreamFuzz {
   /** Watermark dedup over a stream where rows AND their duplicates can
     * be late: models the full state lifecycle of
     * `dropDuplicatesWithinWatermark` —
-    *   1. batch i admits a row iff its ts is not behind the governing
-    *      watermark (same i−2 stream as the window oracles);
-    *   2. expired keys (stored ts + delay < wm) are gone before the
-    *      batch's rows are matched;
+    *   1. batch i admits a row iff its ts is STRICTLY above the
+    *      governing watermark (same i−2 stream as the window oracles;
+    *      a row AT the watermark is dropped — measured by
+    *      tools.DedupTieProbe, and the same strict rule holds for the
+    *      join late filter, tools.JoinTieProbe);
+    *   2. expired keys (stored ts + delay <= wm — a TIED expiry is
+    *      dead, measured by tools.DedupExpiryProbe, which also
+    *      re-confirms expiry uses the lag-2 watermark, not the lag-1
+    *      eviction value) are gone before the batch's rows are matched;
     *   3. an admitted row whose key is absent EMITS and stores its ts —
     *      so a duplicate arriving after its original's state expired
     *      RE-EMITS. That is the documented guarantee ("duplicates
@@ -501,15 +532,57 @@ object StreamFuzz {
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
     sc.batches.zipWithIndex.foreach { case (batch, i) =>
       val wm = wms(i)
-      state.filterInPlace { case (_, ts) => ts + delayUs >= wm }
+      state.filterInPlace { case (_, ts) => ts + delayUs > wm }
       batch.foreach { e =>
-        if (e.tsUs >= wm && !state.contains(e.eventId)) {
+        if (e.tsUs > wm && !state.contains(e.eventId)) {
           emitted += e.eventId
           state(e.eventId) = e.tsUs
         }
       }
     }
     emitted.sorted.toSeq
+  }
+
+  /** Dedup-late under MULTI-FILE micro-batches: the per-key emission
+    * count is not always a function of the data. When a key's original
+    * and a different-ts redelivery collide in ONE micro-batch (which
+    * maxFilesPerTrigger>1 makes possible — the generator keeps them in
+    * separate files), the engine emits one row but anchors the stored
+    * expiry at whichever ADMITTED copy the shuffle fetch processed
+    * first — an implementation accident of block fetch order, observed
+    * both ways at the same seed. The documented guarantee ("duplicates
+    * within the delay are dropped") is silent here, so the honest pin
+    * is the reachable-state set: per key, every admitted same-batch
+    * copy is a possible expiry anchor; dropped copies never refresh
+    * (pinned at k=1); a later copy re-emits in exactly the branches
+    * whose anchor expired. Returns key -> possible emission counts;
+    * the engine's settled count must be a member for every key, and
+    * keys never admitted must not appear. Reduces to the exact
+    * [[dedupLateOracle]] multiset when no collision exists (every
+    * count set is then a singleton).
+    */
+  def dedupLatePossibleCounts(sc: Scenario): Map[Long, Set[Int]] = {
+    val delayUs = sc.latenessSec * 1000000L
+    val wms = activeWatermarks(sc)
+    // per key: reachable (emissions so far, live anchor ts) states
+    val states = scala.collection.mutable.Map
+      .empty[Long, Set[(Int, Option[Long])]]
+    sc.batches.zipWithIndex.foreach { case (batch, i) =>
+      val wm = wms(i)
+      states.mapValuesInPlace { (_, ss) =>
+        ss.map { case (n, ts) => (n, ts.filter(_ + delayUs > wm)) }
+      }
+      batch.filter(_.tsUs > wm).groupBy(_.eventId)
+        .foreach { case (k, copies) =>
+          val anchors = copies.map(_.tsUs).distinct
+          states(k) = states.getOrElse(k, Set((0, Option.empty[Long])))
+            .flatMap {
+              case (n, None) => anchors.map(t => (n + 1, Some(t))).toSet
+              case alive => Set(alive) // dropped copy: anchor unchanged
+            }
+        }
+    }
+    states.map { case (k, ss) => k -> ss.map(_._1) }.toMap
   }
 
   /** Interval join (views ⟕ preceding purchases by same user): batch
@@ -567,11 +640,12 @@ object StreamFuzz {
   }
 
   /** Rows of `eventType == t` admitted at their own arrival batch
-    * under the join kinds' governing watermark. */
+    * under the join kinds' governing watermark (STRICT: a row AT the
+    * watermark is dropped — tools.JoinTieProbe). */
   private def joinAdmitted(sc: Scenario, t: String): Vector[Ev] = {
     val wms = joinWms(sc)
     sc.batches.zipWithIndex.flatMap { case (b, i) =>
-      b.filter(e => e.eventType == t && e.tsUs >= wms(i)) }.toVector
+      b.filter(e => e.eventType == t && e.tsUs > wms(i)) }.toVector
   }
 
   def intervalJoinLateOracle(sc: Scenario, maxAgeSec: Long = 1200L)

@@ -14,6 +14,13 @@ import graft.streaming.EventStream
   * joins (inner and left-outer), and flatMapGroupsWithState custom
   * state — each replayed file-per-micro-batch and compared against an
   * independent lifecycle oracle over the same rows.
+  *
+  * Two replay axes: three seeds at maxFilesPerTrigger=1 and two fresh
+  * seeds at k∈{2,3} (multi-file micro-batches realign the lag-2
+  * watermark boundary — the axis that exposed the strict tie rules and
+  * the order-dependent dedup expiry anchor, both now pinned), plus a
+  * scan-and-replay test that hunts the pure model for an
+  * anchor-BRANCHING scenario and replays exactly it.
   */
 class StreamFuzzSpec extends SparkSpec {
   import spark.implicits._
@@ -36,23 +43,33 @@ class StreamFuzzSpec extends SparkSpec {
     * never retries — only the planner race does, and the retry replays
     * the identical deterministic scenario.
     */
-  private def check(sc: StreamFuzz.Scenario): Unit =
-    try checkOnce(sc, "")
+  private def check(sc: StreamFuzz.Scenario, k: Int = 1): Unit =
+    try checkOnce(sc, "", k)
     catch {
       case e: org.apache.spark.SparkException
           if e.getMessage != null && e.getMessage.contains("INTERNAL_ERROR") =>
         info(s"retrying scenario (${sc.seed}, ${sc.idx}) after transient " +
           s"planner INTERNAL_ERROR: ${e.getMessage.linesIterator.next()}")
-        checkOnce(sc, "_retry") // fresh sink: the failed attempt's
-                                // memory table may linger half-filled
+        checkOnce(sc, "_retry", k) // fresh sink: the failed attempt's
+                                   // memory table may linger half-filled
     }
 
-  private def checkOnce(sc: StreamFuzz.Scenario, suffix: String): Unit = {
-    val dir = StreamFuzz.stage(spark, sc)
-    val sink = s"sf_${sc.seed}_${sc.idx}$suffix"
+  /** `k` = maxFilesPerTrigger: the replay streams the SAME staged files
+    * k per micro-batch, and every oracle runs on the k-grouped
+    * engine-batch view ([[StreamFuzz.grouped]]) — the lag-2 watermark
+    * boundary lands on different rows than the file-per-batch replay,
+    * which is exactly the alignment the multi-file axis probes.
+    */
+  private def checkOnce(rawSc: StreamFuzz.Scenario, suffix: String,
+                        k: Int = 1): Unit = {
+    val sc = StreamFuzz.grouped(rawSc, k) // the oracle (engine-batch) view
+    val dir = StreamFuzz.stage(spark, rawSc)
+    val sink = s"sf_${sc.seed}_${sc.idx}_k$k$suffix"
+    def replay(op: DataFrame => DataFrame): DataFrame =
+      StreamFuzz.replay(spark, dir, sink, op, filesPerTrigger = k)
     try sc.kind match {
       case "windowed" | "windowed-late" =>
-        val got = StreamFuzz.replay(spark, dir, sink, ev =>
+        val got = replay(ev =>
             EventStream.windowedAgg(ev, "1 hour",
               lateness = s"${sc.latenessSec} seconds"))
           .filter(col("event_type") =!= "__closer")
@@ -65,7 +82,7 @@ class StreamFuzzSpec extends SparkSpec {
           s"windowed divergence (${sc.kind}, seed=${sc.seed}, idx=${sc.idx}): " +
             diff(got, StreamFuzz.windowedOracle(sc)))
       case "sliding-late" =>
-        val got = StreamFuzz.replay(spark, dir, sink, ev =>
+        val got = replay(ev =>
             EventStream.windowedAgg(ev, "1 hour", slide = Some("20 minutes"),
               lateness = s"${sc.latenessSec} seconds"))
           .filter(col("event_type") =!= "__closer")
@@ -78,7 +95,7 @@ class StreamFuzzSpec extends SparkSpec {
           s"sliding divergence (seed=${sc.seed}, idx=${sc.idx}): " +
             diff(got, StreamFuzz.slidingOracle(sc)))
       case "dedup" =>
-        val rows = StreamFuzz.replay(spark, dir, sink, ev =>
+        val rows = replay(ev =>
             EventStream.dedupStream(ev, Seq("event_id"),
               lateness = s"${sc.latenessSec} seconds"))
           .filter(col("event_id") >= 0)
@@ -90,19 +107,41 @@ class StreamFuzzSpec extends SparkSpec {
             s"missing=${StreamFuzz.dedupOracle(sc) -- rows.toSet} " +
             s"extra=${rows.toSet -- StreamFuzz.dedupOracle(sc)}")
       case "dedup-late" =>
-        val rows = StreamFuzz.replay(spark, dir, sink, ev =>
+        val rows = replay(ev =>
             EventStream.dedupStream(ev, Seq("event_id"),
               lateness = s"${sc.latenessSec} seconds"))
           .filter(col("event_id") >= 0)
           .select("event_id").as[Long].collect().sorted.toSeq
-        assert(rows == StreamFuzz.dedupLateOracle(sc),
-          s"dedup-late divergence (seed=${sc.seed}, idx=${sc.idx}): " +
-            s"got ${rows.size} emitted, want " +
-            s"${StreamFuzz.dedupLateOracle(sc).size}; " +
-            s"multiset diff ${(rows.diff(StreamFuzz.dedupLateOracle(sc)) ++
-              StreamFuzz.dedupLateOracle(sc).diff(rows)).take(6)}")
+        if (k == 1) {
+          assert(rows == StreamFuzz.dedupLateOracle(sc),
+            s"dedup-late divergence (seed=${sc.seed}, idx=${sc.idx}): " +
+              s"got ${rows.size} emitted, want " +
+              s"${StreamFuzz.dedupLateOracle(sc).size}; " +
+              s"multiset diff ${(rows.diff(StreamFuzz.dedupLateOracle(sc)) ++
+                StreamFuzz.dedupLateOracle(sc).diff(rows)).take(6)}")
+        } else {
+          // multi-file batches can put an original and a different-ts
+          // redelivery in ONE micro-batch, where the stored expiry
+          // anchor is fetch-order nondeterministic (see
+          // dedupLatePossibleCounts): the engine's per-key count must
+          // be a reachable one, and the emitted key SET is still exact
+          val possible = StreamFuzz.dedupLatePossibleCounts(sc)
+          val counts = rows.groupBy(identity).view.mapValues(_.size).toMap
+          assert(counts.keySet == possible.keySet,
+            s"dedup-late key-set divergence (seed=${sc.seed}, " +
+              s"idx=${sc.idx}, k=$k): " +
+              s"missing=${(possible.keySet -- counts.keySet).take(6)} " +
+              s"extra=${(counts.keySet -- possible.keySet).take(6)}")
+          val bad = counts.filter { case (key, n) =>
+            !possible(key).contains(n) }
+          assert(bad.isEmpty,
+            s"dedup-late count outside the reachable set (seed=${sc.seed}, " +
+              s"idx=${sc.idx}, k=$k): " +
+              bad.take(4).map { case (key, n) =>
+                s"$key: got $n, reachable ${possible(key)}" }.mkString("; "))
+        }
       case "session" =>
-        val got = StreamFuzz.replay(spark, dir, sink, ev =>
+        val got = replay(ev =>
             EventStream.sessionAgg(ev, gap = "30 minutes",
               lateness = s"${sc.latenessSec} seconds"))
           .filter(col("user_id") >= 0)
@@ -116,7 +155,7 @@ class StreamFuzzSpec extends SparkSpec {
           s"session divergence (seed=${sc.seed}, idx=${sc.idx}): " +
             diff(got, StreamFuzz.sessionOracle(sc)))
       case "session-late" =>
-        val got = StreamFuzz.replay(spark, dir, sink, ev =>
+        val got = replay(ev =>
             EventStream.sessionAgg(ev, gap = "30 minutes",
               lateness = s"${sc.latenessSec} seconds"))
           .filter(col("user_id") >= 0)
@@ -130,7 +169,7 @@ class StreamFuzzSpec extends SparkSpec {
           s"session-late divergence (seed=${sc.seed}, idx=${sc.idx}): " +
             diff(got, StreamFuzz.sessionLateOracle(sc)))
       case "interval-join" =>
-        val got = StreamFuzz.replay(spark, dir, sink, ev =>
+        val got = replay(ev =>
             EventStream.intervalJoin(
               ev.filter(col("event_type") === "purchase"),
               ev.filter(col("event_type") === "view"),
@@ -144,7 +183,7 @@ class StreamFuzzSpec extends SparkSpec {
             s"missing=${StreamFuzz.intervalJoinOracle(sc) -- got} " +
             s"extra=${got -- StreamFuzz.intervalJoinOracle(sc)}")
       case "join-late" =>
-        val got = StreamFuzz.replay(spark, dir, sink, ev =>
+        val got = replay(ev =>
             EventStream.intervalJoin(
               ev.filter(col("event_type") === "purchase"),
               ev.filter(col("event_type") === "view"),
@@ -158,7 +197,7 @@ class StreamFuzzSpec extends SparkSpec {
             s"missing=${(StreamFuzz.intervalJoinLateOracle(sc) -- got).take(4)} " +
             s"extra=${(got -- StreamFuzz.intervalJoinLateOracle(sc)).take(4)}")
       case "outer-join-late" =>
-        val rows = StreamFuzz.replay(spark, dir, sink, ev =>
+        val rows = replay(ev =>
             EventStream.intervalJoin(
               ev.filter(col("event_type") === "purchase"),
               ev.filter(col("event_type") === "view"),
@@ -189,7 +228,7 @@ class StreamFuzzSpec extends SparkSpec {
               .as[EventStream.ProfiledEvent]).toDF()
         // append emits one row per (user, batch); the FINAL state per
         // user is the row with the highest n_events
-        val got = StreamFuzz.replay(spark, dir, sink, toTyped)
+        val got = replay(toTyped)
           .filter(col("user_id") >= 0)
           .collect()
           .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
@@ -277,6 +316,100 @@ class StreamFuzzSpec extends SparkSpec {
       m.nonEmpty && nulls.nonEmpty &&
         nulls.size + m.map(_._2).size < allLeft // some lefts late-dropped
     }, "no outer-join-late scenario has matches + nulls + dropped lefts")
+  }
+
+  test("multi-file grouping is non-vacuous: the lag-2 boundary moves") {
+    // pure-model check: across the multi-file seeds' late kinds, the
+    // k-grouped oracle must DIFFER from the file-per-batch oracle for
+    // at least one scenario per k — otherwise the axis isn't moving
+    // the watermark alignment and the replays below only re-prove k=1
+    for (k <- Seq(2, 3)) {
+      val moved = (for {
+        seed <- Seq(20261001L, 20261002L)
+        idx <- 0 until metaScenariosPerSeed
+        sc = StreamFuzz.scenario(seed, idx)
+      } yield sc.kind match {
+        case "windowed-late" =>
+          StreamFuzz.windowedOracle(StreamFuzz.grouped(sc, k)) !=
+            StreamFuzz.windowedOracle(sc)
+        case "dedup-late" =>
+          StreamFuzz.dedupLateOracle(StreamFuzz.grouped(sc, k)) !=
+            StreamFuzz.dedupLateOracle(sc)
+        case "session-late" =>
+          StreamFuzz.sessionLateOracle(StreamFuzz.grouped(sc, k)) !=
+            StreamFuzz.sessionLateOracle(sc)
+        case _ => false
+      }).exists(identity)
+      assert(moved, s"k=$k grouping never changed any late oracle — " +
+        "the multi-file axis is vacuous at these seeds")
+    }
+  }
+
+  /** The fetch-order-nondeterminism seam needs a rarer alignment than
+    * the two fixed replay seeds provide: an original + different-ts
+    * redelivery colliding in ONE grouped batch AND a later expiry
+    * boundary falling BETWEEN the two candidate anchors. Scan the
+    * model (pure JVM, no Spark) for the first such scenario, then
+    * replay exactly it — so the possible-states oracle's branching arm
+    * is exercised by construction, not by luck.
+    */
+  test("anchor-branching dedup-late scenario replays within its reachable set") {
+    val hit = (for {
+      seed <- Iterator.range(0, 400).map(20261001L + _)
+      idx <- Iterator.range(0, metaScenariosPerSeed)
+        .filter(StreamFuzz.scenario(seed, _).kind == "dedup-late")
+      k <- Iterator(2, 3)
+      g = StreamFuzz.grouped(StreamFuzz.scenario(seed, idx), k)
+      if StreamFuzz.dedupLatePossibleCounts(g).values.exists(_.size > 1)
+    } yield (seed, idx, k)).nextOption()
+    assert(hit.nonEmpty, "no anchor-branching dedup-late scenario in " +
+      "400 scanned seeds — the possible-states branching arm is dead; " +
+      "re-examine the collision model")
+    val (seed, idx, k) = hit.get
+    val sc = StreamFuzz.scenario(seed, idx)
+    val g = StreamFuzz.grouped(sc, k)
+    val possible = StreamFuzz.dedupLatePossibleCounts(g)
+    val branched = possible.filter(_._2.size > 1)
+    info(s"branching scenario: seed=$seed idx=$idx k=$k " +
+      s"branchedKeys=${branched.keys.take(4).toSeq} sets=${branched.values.take(4).toSeq}")
+    val dir = StreamFuzz.stage(spark, sc)
+    try {
+      val rows = StreamFuzz.replay(spark, dir, s"sf_branch_${seed}_$idx",
+          ev => EventStream.dedupStream(ev, Seq("event_id"),
+            lateness = s"${sc.latenessSec} seconds"),
+          filesPerTrigger = k)
+        .filter(col("event_id") >= 0)
+        .select("event_id").as[Long].collect().sorted.toSeq
+      val counts = rows.groupBy(identity).view.mapValues(_.size).toMap
+      assert(counts.keySet == possible.keySet,
+        s"key-set divergence: missing=${(possible.keySet -- counts.keySet).take(6)} " +
+          s"extra=${(counts.keySet -- possible.keySet).take(6)}")
+      val bad = counts.filter { case (key, n) => !possible(key).contains(n) }
+      assert(bad.isEmpty, "count outside the reachable set: " +
+        bad.take(4).map { case (key, n) =>
+          s"$key: got $n, reachable ${possible(key)}" }.mkString("; "))
+      info("engine landed on branch: " + branched.keys.take(4).map(key =>
+        s"$key -> ${counts.getOrElse(key, 0)}").mkString(", "))
+    } finally StreamFuzz.cleanup(dir)
+  }
+
+  // the multi-file axis (verdict r9 item 5a): same generator, fresh
+  // seeds, maxFilesPerTrigger rotating 2 and 3 — multi-file
+  // micro-batches realign which lag-2 watermark governs each row
+  Seq(20261001L, 20261002L).foreach { seed =>
+    test(s"stream fuzz seed $seed: $scenariosPerSeed scenarios settle under maxFilesPerTrigger 2/3") {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val runs = (0 until scenariosPerSeed).map { idx =>
+          Future(check(StreamFuzz.scenario(seed, idx), k = 2 + idx % 2))
+        }
+        Await.result(Future.sequence(runs), Duration.Inf)
+      } finally pool.shutdown()
+    }
   }
 
   Seq(20260901L, 20260902L, 20260903L).foreach { seed =>

@@ -101,8 +101,8 @@ object LocalClusterProbe {
       .map(_.getName.toLong)
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: LocalClusterProbe <master> <digest|kill> <sfDir> <entry>...")
+    require(args.length >= 3,
+      "usage: LocalClusterProbe <master> <digest|kill|sync-kill> <sfDir> [entry...]")
     val master = args(0)
     val mode = args(1)
     val sfDir = args(2)
@@ -187,6 +187,131 @@ object LocalClusterProbe {
           s"removedDuringQuery=${sawRemoval.get()}")
         println(f"[xcluster] $entry rows=${result._1} digest=${result._2} " +
           f"secs=${result._3}%.1f")
+
+      case "sync-kill" =>
+        // Executor loss during a MERGE publish cycle (r9 verdict item
+        // 6): SIGKILL one executor JVM while the snapshot WRITE job is
+        // demonstrably running tasks, then assert the publish contract
+        // held — the adopted generation is never torn (pointer names a
+        // generation whose parquet reads clean at exactly the manifest
+        // count), and on a failed cycle the watermark and pointer are
+        // untouched and the next tick publishes the delta cleanly.
+        require(master.startsWith("local-cluster"),
+          "sync-kill mode needs real executor JVMs")
+        import graft.ingest.{ParquetSource, SyncManager, SyncMode, WatermarkStore}
+        import graft.snapshot.SnapshotStore
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft-xsync-src").toString
+        val snapDir = java.nio.file.Files
+          .createTempDirectory("graft-xsync-snap").toString
+        // seed: sfDir orders under the id/updated_at convention, spread
+        // wide so the publish write is a many-task job on both executors
+        val seed = graft.core.Tables.load(spark, sfDir, "orders")
+          .select(F.col("o_orderkey").as("id"),
+            F.col("o_orderdate").cast("timestamp").as("updated_at"),
+            F.col("o_custkey"), F.col("o_totalprice"))
+          .repartition(32)
+        seed.write.parquet(s"$srcDir/orders.parquet")
+        val store = new SnapshotStore(spark, snapDir)
+        def manager() = new SyncManager(spark,
+          new ParquetSource(srcDir, Seq("orders")), store,
+          mode = SyncMode.Merge)
+        val r1 = manager().runCycle()
+        require(r1.success, s"bootstrap cycle failed: ${r1.error}")
+        val gen1 = r1.manifest.get.version
+        val wm1 = new WatermarkStore(store).load()("orders")
+        val n0 = r1.manifest.get.tables("orders")
+
+        // delta: bump a third of the rows past the watermark
+        val cur = spark.read.parquet(s"$srcDir/orders.parquet")
+        val next = cur.withColumn("updated_at",
+            F.when(F.col("id") % 3 === 0,
+              F.to_timestamp(F.lit("2031-06-01 00:00:00")))
+              .otherwise(F.col("updated_at")))
+          .withColumn("o_totalprice",
+            F.when(F.col("id") % 3 === 0, F.col("o_totalprice") + 1.0)
+              .otherwise(F.col("o_totalprice")))
+          .repartition(32)
+        next.write.parquet(s"$srcDir/__next")
+        val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        lfs.delete(new org.apache.hadoop.fs.Path(
+          s"$srcDir/orders.parquet"), true)
+        lfs.rename(new org.apache.hadoop.fs.Path(s"$srcDir/__next"),
+          new org.apache.hadoop.fs.Path(s"$srcDir/orders.parquet"))
+
+        // kill an executor once ≥2 tasks of the labeled PUBLISH write
+        // job have started
+        val publishStages =
+          java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+        val writeTasks = new AtomicLong(0)
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = Option(j.properties).map(
+              _.getProperty("spark.job.description", "")).getOrElse("")
+            if (desc.startsWith("graft publish"))
+              j.stageIds.foreach(publishStages.add(_))
+          }
+          override def onTaskStart(t: SparkListenerTaskStart): Unit =
+            if (publishStages.contains(t.stageId))
+              writeTasks.incrementAndGet()
+        })
+        @volatile var r2: graft.ingest.SyncResult = null
+        @volatile var cycleErr: Throwable = null
+        val t = new Thread(() => {
+          try r2 = manager().runCycle()
+          catch { case e: Throwable => cycleErr = e }
+        })
+        t.start()
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (writeTasks.get() < 2 && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        require(writeTasks.get() >= 2,
+          "publish write job never started tasks — kill would be vacuous")
+        val pids = executorPids(spark.sparkContext.applicationId)
+        println(s"[xcluster] kill candidates=${pids.size} " +
+          s"writeTasksStarted=${writeTasks.get()}")
+        require(pids.nonEmpty, "no executor JVM children found to kill")
+        ProcessHandle.of(pids.head).ifPresent(_.destroyForcibly())
+        t.join(300000)
+        require(!t.isAlive, "sync cycle hung after the executor kill")
+        require(cycleErr == null, s"runCycle threw instead of returning " +
+          s"a result (T7 fail-soft broken): $cycleErr")
+
+        // invariant 1: whatever happened, the ADOPTED generation is
+        // whole — pointer names a generation whose data reads clean at
+        // exactly the manifest count
+        val cm = store.readCurrentManifest().get
+        val served = spark.read.parquet(
+          store.tableDir(cm.version, "orders").toString)
+        require(served.count() == cm.tables("orders"),
+          s"adopted generation ${cm.version} is torn: " +
+            s"parquet=${served.count()} manifest=${cm.tables("orders")}")
+        println(s"[xcluster] sync cycleSucceeded=${r2.success} " +
+          s"servedGen=${cm.version} rows=${cm.tables("orders")}")
+
+        if (r2.success) {
+          // recovered via stage retry: the new generation carries ALL
+          // rows and the delta landed exactly once
+          require(cm.version == r2.manifest.get.version)
+          require(cm.tables("orders") == n0,
+            s"merged row count drifted: ${cm.tables("orders")} vs $n0")
+          val bumped = served.filter(
+            F.col("updated_at") === F.to_timestamp(
+              F.lit("2031-06-01 00:00:00"))).count()
+          require(bumped == served.filter(F.col("id") % 3 === 0).count(),
+            "delta rows did not land exactly once")
+        } else {
+          // failed soft: pointer + watermark untouched, retry publishes
+          require(cm.version == gen1,
+            s"failed cycle moved the pointer: ${cm.version} vs $gen1")
+          require(new WatermarkStore(store).load()("orders") == wm1,
+            "failed cycle advanced the watermark — rows would be lost")
+          val r3 = manager().runCycle()
+          require(r3.success, s"retry cycle failed: ${r3.error}")
+          require(r3.manifest.get.tables("orders") == n0)
+        }
 
       case other => sys.error(s"unknown mode $other")
     }

@@ -111,6 +111,28 @@ class LocalClusterSpec extends AnyFunSuite {
     out.linesIterator.filter(_.startsWith("[xcluster]")).foreach(info(_))
   }
 
+  test("executor SIGKILL mid-MERGE-publish: generation atomic, watermark safe") {
+    // the sync path's write job loses an executor mid-publish (r9
+    // verdict item 6): whatever the cycle outcome, the ADOPTED
+    // generation must read clean at exactly its manifest count (never
+    // a torn gen dir behind the pointer); a recovered cycle carries the
+    // delta exactly once, a failed one leaves pointer + watermark
+    // untouched and the retry publishes — both arms asserted inside
+    // the probe (sync-kill mode), which requires ≥2 tasks of the
+    // labeled publish write job started before it kills
+    assume(Files.exists(Paths.get(s"$sf/orders.parquet")),
+      s"scale point not present at $sf")
+    val (code, out) = ForkedJvm.run(
+      "graft.tools.LocalClusterProbe",
+      Seq("local-cluster[2,4,4096]", "sync-kill", sf),
+      heap = "4g", extraEnv = clusterEnv)
+    assert(code == 0 && out.contains("XCLUSTER_OK"),
+      s"sync executor-loss run failed:\n${out.takeRight(4000)}")
+    assert(out.contains("[xcluster] sync cycleSucceeded="),
+      s"probe produced no sync verdict:\n${out.takeRight(2000)}")
+    out.linesIterator.filter(_.startsWith("[xcluster]")).foreach(info(_))
+  }
+
   test("executor SIGKILL mid-stream on RocksDB: native state reloads too") {
     // same loss story on the recommended past-heap backend: the killed
     // executor's RocksDB instances (native memory + local disk) are
