@@ -84,14 +84,22 @@ final class SyncManager(spark: SparkSession, source: Source,
       }
       val changed = stats.map { case (t, (n, _)) => t -> n }
 
-      // snapshot build per mode. A torn/unreadable publish pointer (a
-      // crashed foreign writer mid-overwrite) must not wedge the
-      // publisher forever: treat it as absent — Merge degrades to a
+      // snapshot build per mode. A TORN publish pointer (a foreign
+      // non-rename writer mid-overwrite) must not wedge the publisher
+      // forever: treat garbage as absent — Merge degrades to a
       // bootstrap full read for THIS cycle and the publish at the end
-      // rewrites the pointer, self-healing it.
+      // rewrites the pointer, self-healing it. Only parse-shaped
+      // failures qualify (bad JSON, or valid JSON missing the fields):
+      // an IO error reading the pointer propagates to the T7 fail-soft
+      // catch and retries next tick — silently "healing" a transient
+      // store blip with a full source re-read would be an expensive
+      // accident at 100 TB.
       val prevManifest =
         try store.readCurrentManifest()
-        catch { case scala.util.control.NonFatal(_) => None }
+        catch {
+          case (_: com.fasterxml.jackson.core.JsonProcessingException |
+                _: NullPointerException) => None
+        }
       val frames = source.tableNames.map { t =>
         val df = mode match {
           case SyncMode.FullRebuild => source.read(spark, t)

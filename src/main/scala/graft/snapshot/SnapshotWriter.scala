@@ -71,13 +71,15 @@ final class SnapshotWriter(store: SnapshotStore) {
       val dir = store.tableDir(key, name).toString
       val w = out.write.mode("overwrite")
       // label the write job (cluster-UI attribution; the executor-loss
-      // probe also keys its kill on it)
+      // probe also keys its kill on it), restoring any caller-set
+      // description after
       val sc = df.sparkSession.sparkContext
+      val priorDesc = sc.getLocalProperty("spark.job.description")
       sc.setJobDescription(s"graft publish $name gen $key")
       try partitionBy.get(name).filter(_.nonEmpty) match {
         case Some(cols) => w.partitionBy(cols: _*).parquet(dir)
         case None => w.parquet(dir)
-      } finally sc.setJobDescription(null)
+      } finally sc.setJobDescription(priorDesc)
       name -> obs.get("rows").asInstanceOf[Long]
     }
 
