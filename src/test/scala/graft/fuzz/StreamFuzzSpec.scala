@@ -345,6 +345,56 @@ class StreamFuzzSpec extends SparkSpec {
     }
   }
 
+  /** The k-grouped oracle view leans on FileStreamSource taking its
+    * mtime-ordered listing exactly k files per trigger. Pin that
+    * alignment in-suite: replay one scenario per k and assert the
+    * engine's per-batch numInputRows equal the grouped file sizes
+    * (data batches ++ closer files, k-grouped; trailing zero-row
+    * watermark-finalization batches allowed). If a Spark upgrade
+    * changes file-source batching, this fails crisply instead of
+    * surfacing as confusing late-kind divergences.
+    */
+  test("multi-file replay consumes files in exact k-groups") {
+    for (k <- Seq(2, 3)) {
+      val sc = StreamFuzz.scenario(20261001L, 0) // windowed: cheap, stateful
+      val closerRows = if (sc.kind == "outer-join-late") 2 else 1
+      val expected = (sc.batches.map(_.size) ++ Seq(closerRows, closerRows))
+        .grouped(k).map(_.sum).toVector
+      val seen =
+        new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryProgressEvent): Unit =
+          seen.put(e.progress.batchId, e.progress.numInputRows)
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      val dir = StreamFuzz.stage(spark, sc)
+      try {
+        StreamFuzz.replay(spark, dir, s"sf_align_$k", ev =>
+            EventStream.windowedAgg(ev, "1 hour",
+              lateness = s"${sc.latenessSec} seconds"),
+          filesPerTrigger = k)
+        // progress events ride the async listener bus; wait for them
+        val deadline = System.nanoTime() + 10L * 1000000000L
+        while (seen.size < expected.size && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        import scala.jdk.CollectionConverters._
+        val got = seen.asScala.toSeq.sortBy(_._1).map(_._2)
+        assert(got.take(expected.size) == expected.map(_.toLong) &&
+            got.drop(expected.size).forall(_ == 0L),
+          s"k=$k file grouping misaligned: engine batches $got, " +
+            s"expected $expected (+ trailing zeros)")
+      } finally {
+        StreamFuzz.cleanup(dir)
+        spark.streams.removeListener(listener)
+      }
+    }
+  }
+
   /** The fetch-order-nondeterminism seam needs a rarer alignment than
     * the two fixed replay seeds provide: an original + different-ts
     * redelivery colliding in ONE grouped batch AND a later expiry

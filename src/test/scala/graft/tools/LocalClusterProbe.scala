@@ -245,6 +245,8 @@ object LocalClusterProbe {
         val publishStages =
           java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
         val writeTasks = new AtomicLong(0)
+        val cycleDone = new AtomicBoolean(false)
+        val sawRemoval = new AtomicBoolean(false)
         spark.sparkContext.addSparkListener(new SparkListener {
           override def onJobStart(
               j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -256,12 +258,16 @@ object LocalClusterProbe {
           override def onTaskStart(t: SparkListenerTaskStart): Unit =
             if (publishStages.contains(t.stageId))
               writeTasks.incrementAndGet()
+          override def onExecutorRemoved(
+              e: SparkListenerExecutorRemoved): Unit =
+            if (!cycleDone.get()) sawRemoval.set(true)
         })
         @volatile var r2: graft.ingest.SyncResult = null
         @volatile var cycleErr: Throwable = null
         val t = new Thread(() => {
           try r2 = manager().runCycle()
           catch { case e: Throwable => cycleErr = e }
+          finally cycleDone.set(true)
         })
         t.start()
         val deadline = System.nanoTime() + 120L * 1000000000L
@@ -289,6 +295,7 @@ object LocalClusterProbe {
           s"adopted generation ${cm.version} is torn: " +
             s"parquet=${served.count()} manifest=${cm.tables("orders")}")
         println(s"[xcluster] sync cycleSucceeded=${r2.success} " +
+          s"removedDuringCycle=${sawRemoval.get()} " +
           s"servedGen=${cm.version} rows=${cm.tables("orders")}")
 
         if (r2.success) {

@@ -130,6 +130,9 @@ class LocalClusterSpec extends AnyFunSuite {
       s"sync executor-loss run failed:\n${out.takeRight(4000)}")
     assert(out.contains("[xcluster] sync cycleSucceeded="),
       s"probe produced no sync verdict:\n${out.takeRight(2000)}")
+    assert(out.contains("removedDuringCycle=true"),
+      "the kill landed after the cycle finished — the run proved only " +
+        s"the trivial arm; raise GRAFT_XCLUSTER_SF:\n${out.takeRight(2000)}")
     out.linesIterator.filter(_.startsWith("[xcluster]")).foreach(info(_))
   }
 
