@@ -265,7 +265,8 @@ object StreamFuzz {
                     op: DataFrame => DataFrame, splitAt: Int,
                     crashReplay: Boolean = false,
                     mode: OutputMode = OutputMode.Append(),
-                    restartWith: Option[SparkSession] = None): DataFrame = {
+                    restartWith: Option[SparkSession] = None,
+                    filesPerTrigger: Int = 1): DataFrame = {
     import scala.jdk.CollectionConverters._
     require(splitAt >= 1 && splitAt < sc.batches.size,
       s"splitAt=$splitAt outside [1, ${sc.batches.size})")
@@ -302,7 +303,7 @@ object StreamFuzz {
       }
       def runOnce(s: SparkSession): Unit = {
         val events = EventStream.readEvents(s, live.toString,
-          options = Map("maxFilesPerTrigger" -> "1"))
+          options = Map("maxFilesPerTrigger" -> filesPerTrigger.toString))
         val q = op(events).writeStream.outputMode(mode)
           .option("checkpointLocation", ckpt.toString)
           .foreachBatch(sinkFn)

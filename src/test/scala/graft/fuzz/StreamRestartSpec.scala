@@ -17,6 +17,10 @@ import graft.streaming.EventStream
   * crash shape: the newest commit-log entry is deleted between the
   * runs, forcing the restart to replay a batch against the pre-batch
   * state version (the at-least-once seam an idempotent sink absorbs).
+  * A fourth axis (round 10) rotates maxFilesPerTrigger through 1/2/3,
+  * phase-shifted against the crash rotation: the stop can land
+  * mid-group and the offset log must regroup the remaining files
+  * identically on restart.
   *
   * Kinds are the no-drop families (2 h horizon, nothing late): their
   * oracles are watermark-independent, so the assertions isolate STATE
@@ -48,6 +52,16 @@ class StreamRestartSpec extends SparkSpec {
 
   private def rocks(sc: StreamFuzz.Scenario): Boolean = sc.idx % 2 == 0
   private def crash(sc: StreamFuzz.Scenario): Boolean = sc.idx % 3 == 0
+  /** Multi-file axis: maxFilesPerTrigger rotates 1/2/3 with a phase
+    * shift (idx + idx/3) so it does NOT stay congruent with the crash
+    * rotation (both are mod-3 of idx) — crash scenarios see every k.
+    * For these no-drop kinds the oracles are watermark-independent, so
+    * the grouping changes only the OFFSETS the restart resumes from:
+    * a stop can land mid-group and the file-source offset log must
+    * regroup the remaining files identically.
+    */
+  private def kOf(sc: StreamFuzz.Scenario): Int =
+    1 + ((sc.idx + sc.idx / 3) % 3)
   // the production-recommended RocksDB mode (deltas uploaded per
   // commit instead of full-store snapshots) has a distinct recovery
   // path — replaying the changelog on top of the last snapshot — so
@@ -75,10 +89,11 @@ class StreamRestartSpec extends SparkSpec {
     val ss = sessionFor(sc)
     val k = splitAt(sc)
     def replay(op: DataFrame => DataFrame): DataFrame =
-      StreamFuzz.replayRestart(ss, sc, op, k, crashReplay = crash(sc))
+      StreamFuzz.replayRestart(ss, sc, op, k, crashReplay = crash(sc),
+        filesPerTrigger = kOf(sc))
     val tag = s"(kind=${sc.kind}, seed=${sc.seed}, idx=${sc.idx}, " +
       s"split=$k, rocks=${rocks(sc)}, changelog=${changelog(sc)}, " +
-      s"crash=${crash(sc)})"
+      s"crash=${crash(sc)}, filesPerTrigger=${kOf(sc)})"
     sc.kind match {
       case "windowed" =>
         val got = replay(ev => EventStream.windowedAgg(ev, "1 hour",
@@ -221,6 +236,15 @@ class StreamRestartSpec extends SparkSpec {
       "no scenario crash-replays on RocksDB")
     assert(scs.exists(changelog) && scs.exists(sc => rocks(sc) && !changelog(sc)),
       "changelog axis collapsed")
+    // the multi-file axis must cross the interesting ones: crash
+    // replays and RocksDB recovery both under grouped triggers, and a
+    // mid-group stop (split not on a group boundary) must occur
+    assert(scs.exists(sc => crash(sc) && kOf(sc) > 1),
+      "no crash replay under multi-file triggers")
+    assert(scs.exists(sc => rocks(sc) && kOf(sc) > 1),
+      "no RocksDB recovery under multi-file triggers")
+    assert(scs.exists(sc => kOf(sc) > 1 && splitAt(sc) % kOf(sc) != 0),
+      "no stop ever lands mid-group")
   }
 
   test("restart drain catches the watermark up — the lag-2 admission slack does not survive a restart") {
