@@ -144,7 +144,21 @@ object Bench {
       if (!sf1On ||
           !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) ""
       else {
-        val heavy = results.sortBy(-_._2).take(10).map(_._1)
+        // Pinned core: the 10 heaviest entries, stable across r8–r10.
+        // Picking purely by THIS run's minima let a co-tenant burst
+        // rotate an entry in/out between rounds, breaking 1:1 key
+        // joins across BENCH files (ADVICE r10). The union keeps keys
+        // stable AND still admits a genuine newcomer from this run's
+        // top-10 (which then earns a spot in the pin next round).
+        val pinnedHeavy = Vector(
+          "d12_curation", "t06_stream_interval_join_outer",
+          "t08_stream_snapshot_sync", "t05_stream_interval_join",
+          "q05_groupby_pricing", "e07_knn_pq", "e08_semantic_dedup",
+          "e09_ann_recall", "d21_boilerplate_chunks",
+          "d18_neardup_clusters")
+        val present = results.map(_._1).toSet
+        val heavy = (pinnedHeavy.filter(present) ++
+          results.sortBy(-_._2).take(10).map(_._1)).distinct
         heavy.foreach(execIn(sf1Dir)) // warm: page cache + fresh codegen
         heavy.foreach(n => sf1Draws(n) = Vector.empty)
         for (_ <- 1 to 2; n <- heavy)

@@ -7,12 +7,22 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Invariance-axis hook: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" lets the
+    // invariance gate re-dump the catalog under execution configs a real
+    // cluster moves (codegen off, AQE off, autoBroadcastJoinThreshold=-1)
+    // without forking this main. The driver never sets it.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach {
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-loop subset: SPARK_GRAFT_ONLY=name1,name2 restricts the dump
