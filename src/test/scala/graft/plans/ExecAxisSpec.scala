@@ -16,7 +16,12 @@ import graft.SparkSpec
   *   - join-strategy independence — `autoBroadcastJoinThreshold=-1` +
   *     `adaptive.enabled=false` — pins results against the
   *     broadcast-vs-shuffle join choice, which is exactly what a
-  *     1000-executor cluster's statistics flip at runtime.
+  *     1000-executor cluster's statistics flip at runtime;
+  *   - non-vectorized parquet (`enableVectorizedReader=false`) — pins
+  *     the row-by-row parquet read path against the columnar one;
+  *   - Kryo (`spark.serializer`) — core conf, JVM-wide, so its dump is
+  *     recipe-only (a forked-JVM pin would buy little: builder-time
+  *     core confs don't silently no-op the way renamed SQL confs can).
   *
   * That gate is only as good as the configs actually biting, so this
   * suite pins the bite: the flipped session's executed plan must LOSE
@@ -69,6 +74,17 @@ class ExecAxisSpec extends SparkSpec {
       "spark.sql.codegen.wholeStage" -> "false",
       "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
     val (_, flipRows) = run(s2, "d02_token_count")
+    assert(baseRows == flipRows)
+  }
+
+  test("vectorized-reader=off really changes the scan path, same values") {
+    val (basePlan, baseRows) = run(spark, "q06_where_filter")
+    val s2 = flipped("spark.sql.parquet.enableVectorizedReader" -> "false")
+    val (flipPlan, flipRows) = run(s2, "q06_where_filter")
+    assert(basePlan.contains("Batched: true"),
+      s"baseline scan is not vectorized — axis baseline is broken:\n$basePlan")
+    assert(flipPlan.contains("Batched: false"),
+      s"flipped session still vectorizes — conf no longer bites:\n$flipPlan")
     assert(baseRows == flipRows)
   }
 
