@@ -355,43 +355,145 @@ class StreamFuzzSpec extends SparkSpec {
     * surfacing as confusing late-kind divergences.
     */
   test("multi-file replay consumes files in exact k-groups") {
+    for (k <- Seq(2, 3))
+      assertKGroupAlignment(k, "windowed", s"sf_align_$k", sc => ev =>
+        EventStream.windowedAgg(ev, "1 hour",
+          lateness = s"${sc.latenessSec} seconds"))
+  }
+
+  /** Same pin under the stream-stream join topology: the join kinds
+    * split ONE file source into two legs (`ev.filter(purchase)` ⋈
+    * `ev.filter(view)`), and a Spark version could batch files
+    * differently only when a source feeds a stream-stream join (two
+    * stateful sides pulling from one FileStreamSource). The grouped
+    * oracles for the join kinds assume the same k-alignment the
+    * windowed pin proves, so prove it on the join plan too.
+    *
+    * Input accounting differs from the single-leg topology (measured,
+    * Spark 4.1): the self-join dedups to ONE FileStreamSource whose
+    * per-batch numInputRows is the SUM of both leg scans — every
+    * staged row counts twice — and each leg's pushed
+    * `event_type = ...` filter row-group-prunes the single-row closer
+    * files (their min==max=='__closer' stats exclude the predicate),
+    * so closer rows may report as 0. The pin therefore asserts the
+    * structural alignment directly: exactly one source, exactly
+    * ceil(files/k) offset-advancing batches (k files per log entry),
+    * per-group rows equal to 2x the group's file rows modulo closer
+    * pruning, and nothing but zero-input batches after the last group.
+    */
+  test("multi-file k-grouping holds under the stream-stream join topology") {
     for (k <- Seq(2, 3)) {
-      val sc = StreamFuzz.scenario(20261001L, 0) // windowed: cheap, stateful
-      val closerRows = if (sc.kind == "outer-join-late") 2 else 1
-      val expected = (sc.batches.map(_.size) ++ Seq(closerRows, closerRows))
-        .grouped(k).map(_.sum).toVector
-      val seen =
-        new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val sc = StreamFuzz.scenario(20261001L, 0)
+      val nData = sc.batches.size
+      val sizes = sc.batches.map(_.size) ++ Seq(1, 1) // data ++ closer files
+      val nGroups = (sizes.size + k - 1) / k
+      val groups = sizes.zipWithIndex.grouped(k).toVector
+      case class Rec(rows: Long, nSources: Int, advanced: Boolean)
+      val seen = new java.util.concurrent.ConcurrentHashMap[Long, Rec]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(e: org.apache.spark.sql.streaming
             .StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: org.apache.spark.sql.streaming
-            .StreamingQueryListener.QueryProgressEvent): Unit =
-          seen.put(e.progress.batchId, e.progress.numInputRows)
+            .StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val advanced = p.sources.exists(s =>
+            s.endOffset != null && s.endOffset != s.startOffset)
+          seen.put(p.batchId,
+            Rec(p.numInputRows, p.sources.length, advanced))
+        }
         override def onQueryTerminated(e: org.apache.spark.sql.streaming
             .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
       spark.streams.addListener(listener)
       val dir = StreamFuzz.stage(spark, sc)
       try {
-        StreamFuzz.replay(spark, dir, s"sf_align_$k", ev =>
-            EventStream.windowedAgg(ev, "1 hour",
+        StreamFuzz.replay(spark, dir, s"sf_align_join_$k", ev =>
+            EventStream.intervalJoin(
+              ev.filter(col("event_type") === "purchase"),
+              ev.filter(col("event_type") === "view"),
+              "user_id", maxAge = "20 minutes",
               lateness = s"${sc.latenessSec} seconds"),
           filesPerTrigger = k)
-        // progress events ride the async listener bus; wait for them
         val deadline = System.nanoTime() + 10L * 1000000000L
-        while (seen.size < expected.size && System.nanoTime() < deadline)
+        while (seen.size < nGroups && System.nanoTime() < deadline)
           Thread.sleep(50)
         import scala.jdk.CollectionConverters._
-        val got = seen.asScala.toSeq.sortBy(_._1).map(_._2)
-        assert(got.take(expected.size) == expected.map(_.toLong) &&
-            got.drop(expected.size).forall(_ == 0L),
-          s"k=$k file grouping misaligned: engine batches $got, " +
-            s"expected $expected (+ trailing zeros)")
+        val recs = seen.asScala.toSeq.sortBy(_._1).map(_._2)
+        val msg = s"k=$k: batches ${recs.map(r =>
+          s"${r.rows}${if (r.advanced) "+" else "."}")} groups $groups"
+        assert(recs.forall(_.nSources == 1),
+          s"self-join no longer dedups to one file source — $msg")
+        val adv = recs.filter(_.advanced)
+        assert(adv.size == nGroups,
+          s"expected $nGroups offset-advancing batches (k files per " +
+            s"log entry), saw ${adv.size} — $msg")
+        groups.zipWithIndex.foreach { case (g, i) =>
+          val all = 2L * g.map(_._1).sum
+          val dataOnly = 2L * g.collect {
+            case (s, idx) if idx < nData => s }.sum
+          assert(adv(i).rows == all || adv(i).rows == dataOnly,
+            s"group $i rows ${adv(i).rows} not 2x file rows ($all) nor " +
+              s"2x with closers pruned ($dataOnly) — $msg")
+        }
+        assert(recs.filterNot(_.advanced).forall(_.rows == 0L),
+          s"non-advancing batch carried input rows — $msg")
       } finally {
         StreamFuzz.cleanup(dir)
         spark.streams.removeListener(listener)
       }
+    }
+  }
+
+  /** Replays scenario (20261001, 0) under `maxFilesPerTrigger = k` and
+    * asserts the engine's per-batch numInputRows equal the k-grouped
+    * staged file sizes (data batches ++ closer files; trailing
+    * zero-row watermark-finalization batches allowed). numInputRows is
+    * a SOURCE-level metric summed over distinct sources, so it counts
+    * each staged row once even when two join legs read the one source.
+    */
+  private def assertKGroupAlignment(k: Int, label: String, sink: String,
+      op: StreamFuzz.Scenario => DataFrame => DataFrame): Unit = {
+    val sc = StreamFuzz.scenario(20261001L, 0) // windowed kind: mixed
+                                               // event types, cheap
+    val closerRows = if (sc.kind == "outer-join-late") 2 else 1
+    val expected = (sc.batches.map(_.size) ++ Seq(closerRows, closerRows))
+      .grouped(k).map(_.sum).toVector
+    val seen =
+      new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val detail =
+      new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit = {
+        seen.put(e.progress.batchId, e.progress.numInputRows)
+        detail.put(e.progress.batchId, e.progress.sources.map(s =>
+          s"${s.numInputRows}@[${s.startOffset}->${s.endOffset}]")
+          .mkString(" + "))
+      }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val dir = StreamFuzz.stage(spark, sc)
+    try {
+      StreamFuzz.replay(spark, dir, sink, op(sc), filesPerTrigger = k)
+      // progress events ride the async listener bus; wait for them
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (seen.size < expected.size && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val got = seen.asScala.toSeq.sortBy(_._1).map(_._2)
+      val srcDetail = detail.asScala.toSeq.sortBy(_._1)
+        .map { case (b, d) => s"b$b: $d" }.mkString("; ")
+      assert(got.take(expected.size) == expected.map(_.toLong) &&
+          got.drop(expected.size).forall(_ == 0L),
+        s"$label k=$k file grouping misaligned: engine batches $got, " +
+          s"expected $expected (+ trailing zeros); sources: $srcDetail")
+    } finally {
+      StreamFuzz.cleanup(dir)
+      spark.streams.removeListener(listener)
     }
   }
 
