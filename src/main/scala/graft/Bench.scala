@@ -157,7 +157,8 @@ object Bench {
           "e09_ann_recall", "d21_boilerplate_chunks",
           "d18_neardup_clusters")
         val present = results.map(_._1).toSet
-        val heavy = (pinnedHeavy.filter(present) ++
+        val core = pinnedHeavy.filter(present)
+        val heavy = (core ++
           results.sortBy(-_._2).take(10).map(_._1)).distinct
         heavy.foreach(execIn(sf1Dir)) // warm: page cache + fresh codegen
         heavy.foreach(n => sf1Draws(n) = Vector.empty)
@@ -166,7 +167,11 @@ object Bench {
         val entries = heavy.map(n =>
           "\"" + n.takeWhile(_ != '_') + "\":" + fmt(sf1Draws(n).min))
           .mkString("{", ",", "}")
-        s""","sf1":$entries,"sf1_total":${fmt(heavy.map(sf1Draws(_).min).sum)}"""
+        // sf1_total sums the PINNED core only: a fixed denominator, so
+        // round-over-round deltas compare like for like even when this
+        // run's top-10 admits a newcomer (newcomers still appear in the
+        // per-key map above and earn a pin slot next round)
+        s""","sf1":$entries,"sf1_total":${fmt(core.map(sf1Draws(_).min).sum)}"""
       }
 
     val json =

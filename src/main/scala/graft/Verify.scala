@@ -7,23 +7,57 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Invariance-axis hook: SPARK_GRAFT_MASTER lets the gate re-dump
+    // the catalog on a master local[n] can't emulate — local-cluster
+    // (real executor JVMs) is what the speculative-execution axis
+    // needs, since local mode never starts the speculation scheduler.
+    // The driver never sets it.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster"))
+      // the standalone worker forks executors via spark-class, which
+      // knows only the Spark assembly jars — graft classes ride in here
+      builder.config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
     // Invariance-axis hook: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" lets the
     // invariance gate re-dump the catalog under execution configs a real
     // cluster moves (codegen off, AQE off, autoBroadcastJoinThreshold=-1)
-    // without forking this main. The driver never sets it.
+    // without forking this main. The driver never sets it. Malformed
+    // entries fail loudly here: a silent MatchError (or a ';' inside a
+    // value splitting into garbage) would dump the catalog under NOT
+    // the axis being claimed.
     sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach {
       _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => builder.config(k, v)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_EXTRA_CONFS entry '$kv' is not k=v (entries " +
+              "are ';'-separated, so neither keys nor values may " +
+              "contain ';')")
+        }
       }
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Non-vacuity pin for the speculation axis: when the dump claims to
+    // run under speculative execution, at least one speculative task
+    // attempt must actually have launched — otherwise the "axis" dump
+    // is just a slow baseline re-run proving nothing. Exit nonzero so
+    // the gate recipe cannot record a vacuous pass.
+    val speculationOn =
+      spark.conf.getOption("spark.speculation").contains("true")
+    val speculativeTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    if (speculationOn)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskStart(
+              t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+            if (t.taskInfo.speculative) speculativeTasks.incrementAndGet()
+        })
     new java.io.File(outDir).mkdirs()
     // dev-loop subset: SPARK_GRAFT_ONLY=name1,name2 restricts the dump
     // (the driver never sets it — absent means the full catalog)
@@ -52,6 +86,20 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => selected(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (speculationOn) {
+      // listener events are posted async (no public drain API); give
+      // the bus a moment before counting
+      Thread.sleep(2000)
+      System.err.println(
+        s"[verify] speculativeTasks=${speculativeTasks.get()}")
+      if (speculativeTasks.get() == 0) {
+        System.err.println("[verify] speculation axis was VACUOUS — no " +
+          "speculative attempt ever launched (local master? multiplier/" +
+          "quantile too lax?)")
+        spark.stop()
+        sys.exit(3)
+      }
+    }
     spark.stop()
   }
 }

@@ -89,16 +89,24 @@ final class SyncManager(spark: SparkSession, source: Source,
       // forever: treat garbage as absent — Merge degrades to a
       // bootstrap full read for THIS cycle and the publish at the end
       // rewrites the pointer, self-healing it. Only parse-shaped
-      // failures qualify (bad JSON, or valid JSON missing the fields):
-      // an IO error reading the pointer propagates to the T7 fail-soft
-      // catch and retries next tick — silently "healing" a transient
-      // store blip with a full source re-read would be an expensive
-      // accident at 100 TB.
+      // failures qualify (Manifest.fromJson's strict validation raises
+      // MalformedManifest for bad JSON AND for valid JSON missing the
+      // required fields; anything else — an IO error, a genuine bug —
+      // propagates to the T7 fail-soft catch and retries next tick).
+      // Silently "healing" a transient store blip or a code bug with a
+      // full source re-read would be an expensive accident at 100 TB,
+      // so the heal is typed-narrow AND logged: the operator seeing a
+      // surprisingly expensive cycle can find its cause.
       val prevManifest =
         try store.readCurrentManifest()
         catch {
-          case (_: com.fasterxml.jackson.core.JsonProcessingException |
-                _: NullPointerException) => None
+          case e: graft.model.MalformedManifest =>
+            System.err.println(
+              s"[sync] WARNING: torn publish pointer at " +
+                s"${store.currentManifestPath} (${e.getMessage}); treating" +
+                " as absent — this cycle bootstraps from a full source" +
+                " read and its publish rewrites the pointer")
+            None
         }
       val frames = source.tableNames.map { t =>
         val df = mode match {
@@ -181,8 +189,19 @@ object SyncManager {
                                  keyCol: String,
                                  table: String = "<table>"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    val deltaTypes = delta.schema.fields.map(f => f.name -> f.dataType).toMap
-    val dropped = prev.columns.filterNot(deltaTypes.contains)
+    // name matching follows the session's resolution rules: Spark's
+    // analyzer (and unionByName below) resolves case-insensitively
+    // unless spark.sql.caseSensitive=true, so a source that merely
+    // re-cased a column ("Price" -> "price") is the SAME column, not
+    // drift — flagging it as dropped+retyped would force a needless
+    // FullRebuild of a 100 TB table over a cosmetic rename
+    val caseSensitive = prev.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def canon(name: String): String =
+      if (caseSensitive) name else name.toLowerCase(java.util.Locale.ROOT)
+    val deltaTypes =
+      delta.schema.fields.map(f => canon(f.name) -> f.dataType).toMap
+    val dropped = prev.columns.filterNot(c => deltaTypes.contains(canon(c)))
     if (dropped.nonEmpty) throw new SchemaDriftException(
       s"source table '$table' no longer has column(s) " +
         dropped.mkString("[", ", ", "]") +
@@ -194,8 +213,10 @@ object SyncManager {
     // can flip across a parquet round-trip and is union-compatible
     // anyway — only a genuine type change is drift
     val retyped = prev.schema.fields
-      .filter(f => deltaTypes(f.name).catalogString != f.dataType.catalogString)
-      .map(f => s"${f.name}: ${f.dataType.sql} -> ${deltaTypes(f.name).sql}")
+      .filter(f =>
+        deltaTypes(canon(f.name)).catalogString != f.dataType.catalogString)
+      .map(f =>
+        s"${f.name}: ${f.dataType.sql} -> ${deltaTypes(canon(f.name)).sql}")
     if (retyped.nonEmpty) throw new SchemaDriftException(
       s"source table '$table' changed column type(s) " +
         retyped.mkString("[", ", ", "]") +

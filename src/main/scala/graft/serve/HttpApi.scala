@@ -66,7 +66,17 @@ final class HttpApi(engine: QueryEngine,
     val (status, body) =
       if (!rateLimiter.allow(clientIp(ex))) (429, err("Rate limit exceeded"))
       else try f(ex)
-      catch { case e: Exception => (500, err(s"Internal error: ${e.getMessage}")) }
+      catch {
+        // cold-boot torn-pointer window: a controlled, retryable 503 —
+        // the publisher's next cycle rewrites the pointer, so clients
+        // should simply come back (no stack-trace 500 storm, and the
+        // reader's backoff caps pointer reads at one per second however
+        // hard clients hammer us)
+        case e: graft.snapshot.SnapshotUnavailableException =>
+          ex.getResponseHeaders.set("Retry-After", "1")
+          (503, err(s"Snapshot temporarily unavailable: ${e.getMessage}"))
+        case e: Exception => (500, err(s"Internal error: ${e.getMessage}"))
+      }
     val bytes = body.toString.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(status, bytes.length)
@@ -142,6 +152,8 @@ final class HttpApi(engine: QueryEngine,
             (200, n)
           } catch {
             case e: InvalidQueryException => (400, err(e.getMessage))
+            case e: graft.snapshot.SnapshotUnavailableException =>
+              throw e // mapped to 503 by the outer handler plumbing
             case e: Exception =>
               (500, err(s"Query execution failed: ${e.getMessage}"))
           }

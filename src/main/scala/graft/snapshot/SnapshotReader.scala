@@ -4,7 +4,17 @@ import java.time.{Duration, Instant}
 
 import org.apache.spark.sql.DataFrame
 
-import graft.model.Manifest
+import graft.model.{MalformedManifest, Manifest}
+
+/** A query arrived while no snapshot generation is loaded AND the
+  * publish pointer is unreadable (torn by a non-atomic foreign writer,
+  * or an IO error) — the cold-boot torn-pointer window. Typed so the
+  * serving layer can answer 503 + Retry-After (a controlled "come back
+  * shortly") instead of a stack-trace 500: the pointer self-heals on
+  * the publisher's next cycle, so this is always transient.
+  */
+final class SnapshotUnavailableException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
 
 /** Serving-side snapshot resolution with the reference's freshness
   * contract (api-service/src/query_engine.py:78-115): a TTL-cached view
@@ -19,11 +29,17 @@ import graft.model.Manifest
   */
 final class SnapshotReader(store: SnapshotStore,
                            ttl: Duration = Duration.ofSeconds(120),
-                           clock: () => Instant = () => Instant.now()) {
+                           clock: () => Instant = () => Instant.now(),
+                           coldRetryBackoff: Duration = Duration.ofSeconds(1)) {
 
   @volatile private var loadedVersion: Option[String] = None
   @volatile private var loadedAt: Option[Instant] = None
   @volatile private var manifest: Option[Manifest] = None
+  // cold-boot torn-pointer state: last failed probe, for backoff
+  @volatile private var lastColdFailure: Option[(Instant, Throwable)] = None
+  // test observability: how many times the pointer was actually read
+  private[graft] val pointerProbes =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   def currentManifest: Option[Manifest] = manifest
 
@@ -44,20 +60,54 @@ final class SnapshotReader(store: SnapshotStore,
     * outage — the generation's data and manifest are always complete
     * before the pointer moves (SnapshotWriter orders them), so the
     * last-registered views stay valid. The next TTL lapse retries.
+    *
+    * Cold boot inside a torn-pointer window (nothing loaded, pointer
+    * unreadable): retry-with-backoff, not crash-loop. Each failed probe
+    * raises a typed [[SnapshotUnavailableException]] (the serving layer
+    * maps it to 503 + Retry-After) and arms `coldRetryBackoff`; calls
+    * inside the backoff window replay the cached failure WITHOUT
+    * re-reading the store, so a request storm during the torn window
+    * costs one pointer read per backoff period, not one per request.
+    * The pointer self-heals on the publisher's next cycle; the first
+    * probe after it does loads and serves normally.
+    *
+    * Only parse-shaped (MalformedManifest) and IO failures degrade/
+    * backoff — anything else (an NPE from a genuine bug) propagates;
+    * blanket-catching it would serve stale data forever while hiding
+    * the bug.
     */
   def refreshIfStale(): Boolean = synchronized {
     val now = clock()
     val stale = loadedVersion.isEmpty || loadedAt.forall(t =>
       Duration.between(t, now).compareTo(ttl) >= 0)
     if (!stale) return false
-    loadedAt = Some(now)
-    val read = try store.readCurrentManifest() catch {
-      // torn/garbage pointer (a non-rename writer mid-overwrite):
-      // while loaded, identical to absent; first load has nothing to
-      // fall back to, so surface it
-      case scala.util.control.NonFatal(_) if loadedVersion.nonEmpty =>
-        None
+    if (loadedVersion.isEmpty) lastColdFailure match {
+      case Some((t, e))
+          if Duration.between(t, now).compareTo(coldRetryBackoff) < 0 =>
+        throw new SnapshotUnavailableException(
+          s"snapshot pointer unreadable (retrying with backoff): " +
+            s"${e.getMessage}", e)
+      case _ => ()
     }
+    loadedAt = Some(now)
+    val read = try {
+      pointerProbes.incrementAndGet()
+      store.readCurrentManifest()
+    } catch {
+      // torn/garbage pointer (a non-rename writer mid-overwrite) or an
+      // IO blip: while loaded, identical to absent; first load has
+      // nothing to fall back to, so surface it — typed, with backoff
+      case e @ (_: MalformedManifest | _: java.io.IOException) =>
+        if (loadedVersion.nonEmpty) None
+        else {
+          lastColdFailure = Some((now, e))
+          throw new SnapshotUnavailableException(
+            s"no snapshot loaded and the publish pointer is unreadable" +
+              s" — transient if a publisher is running (it rewrites the" +
+              s" pointer every cycle): ${e.getMessage}", e)
+        }
+    }
+    lastColdFailure = None
     read match {
       case Some(m) if !loadedVersion.contains(m.version) =>
         register(m); true

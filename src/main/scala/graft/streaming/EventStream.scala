@@ -338,9 +338,14 @@ object EventStream {
     // state-partition counts to prove results don't depend on how the
     // state store is sharded (what a cluster rescale changes)
     val parts = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS") match {
-      case Some(v) if v.matches("\\d+") => v.toInt
-      case Some(v) => throw new IllegalArgumentException(
-        s"SPARK_GRAFT_STATE_PARTITIONS must be a positive integer, got '$v'")
+      // Try+filter (not a \d+ regex): "0" would set
+      // spark.sql.shuffle.partitions=0 downstream and ">2^31" would
+      // escape as a bare NumberFormatException — both contradict the
+      // error message's "positive integer" contract
+      case Some(v) =>
+        scala.util.Try(v.trim.toInt).toOption.filter(_ > 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_STATE_PARTITIONS must be a positive integer, got '$v'"))
       case None => statePartitions
     }
     ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
