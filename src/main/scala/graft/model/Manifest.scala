@@ -83,7 +83,10 @@ object Manifest {
       snapshotKey = reqString("snapshot_key"),
       tables = Option(n.get("tables")).collect { case o: ObjectNode =>
         o.properties().asScala.map { e =>
-          if (!e.getValue.canConvertToLong)
+          // canConvertToExactIntegral: rejects 1.5 (canConvertToLong
+          // alone would silently truncate a fractional count to 1)
+          if (!e.getValue.isNumber || !e.getValue.canConvertToExactIntegral
+            || !e.getValue.canConvertToLong)
             throw new MalformedManifest(
               s"manifest table '${e.getKey}' row count is not integral: " +
                 e.getValue.toString)

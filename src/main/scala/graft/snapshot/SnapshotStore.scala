@@ -22,7 +22,9 @@ import graft.model.Manifest
   * (etl-service/src/s3_uploader.py:41-94) with the manifest swap as the
   * atomic publish instead of a non-atomic DB-file overwrite.
   */
-final class SnapshotStore(val spark: SparkSession, val root: String) {
+// not final: tests inject store-level failures (an NPE-throwing
+// readCurrentManifest) to pin the publisher's failure taxonomy
+class SnapshotStore(val spark: SparkSession, val root: String) {
   val rootPath = new Path(root)
   val fs: FileSystem = rootPath.getFileSystem(
     spark.sessionState.newHadoopConf())

@@ -1,0 +1,115 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.{Duration, Instant}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.SparkSpec
+import graft.ingest.{ParquetSource, SyncManager}
+import graft.query.{QueryEngine, RateLimiter}
+import graft.snapshot.{SnapshotReader, SnapshotStore, SnapshotUnavailableException}
+
+/** Boot policy inside a torn-pointer window (the one state r10's
+  * pointer specs left undefined): a serving process that comes up COLD
+  * while `current/manifest.json` is garbage must neither crash-loop nor
+  * storm 5xx stack traces — it retries with backoff and recovers the
+  * moment the pointer heals.
+  *
+  * Pinned contract:
+  *  - the HTTP server boots and stays up (no crash-loop);
+  *  - /query and /schema answer a controlled 503 + Retry-After with the
+  *    standard error envelope (not a stack-trace 500);
+  *  - however hard clients hammer, the store's pointer is probed at
+  *    most once per backoff period (a request storm ≠ a store storm);
+  *  - /health stays 200 (liveness ≠ readiness — the scheduler keeps the
+  *    process alive so its own sync loop can heal the pointer);
+  *  - the first probe after the pointer heals loads the generation and
+  *    serving flips to 200 with data, no restart needed.
+  */
+class ServeBootSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  test("cold boot under a torn pointer: controlled 503s, throttled probes, heal recovers") {
+    val srcDir = Files.createTempDirectory("graft-boot-src").toString
+    val snapDir = Files.createTempDirectory("graft-boot-snap").toString
+    Seq((1L, "widget", 5L, 9.99, Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, "gadget", 3L, 19.50, Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("id", "name", "quantity", "price", "updated_at")
+      .write.parquet(s"$srcDir/inventory.parquet")
+    val store = new SnapshotStore(spark, snapDir)
+    val sync = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), store)
+    val r1 = sync.runCycle(Instant.parse("2024-11-01T00:00:00Z"))
+    assert(r1.success, r1.error)
+
+    // a foreign non-rename writer tears the pointer, THEN the serving
+    // process boots — nothing is loaded, nothing to fall back to
+    store.writeString(store.currentManifestPath, "{torn mid-writ")
+
+    var now = Instant.parse("2024-11-01T01:00:00Z")
+    val reader = new SnapshotReader(store,
+      ttl = Duration.ofSeconds(120), clock = () => now,
+      coldRetryBackoff = Duration.ofSeconds(1))
+    val api = new HttpApi(new QueryEngine(spark, reader),
+      rateLimiter = new RateLimiter(maxRequests = 100000))
+    val port = api.start()
+    def get(path: String): (Int, String, Option[String]) = {
+      val r = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body(),
+        Option(r.headers().firstValue("Retry-After").orElse(null)))
+    }
+    val q = "/query?q=" + java.net.URLEncoder.encode(
+      "SELECT id, name FROM inventory ORDER BY id", "UTF-8")
+
+    try {
+      // ── the storm: 25 rapid requests inside one backoff window ────
+      val storm = (1 to 25).map(_ => get(q))
+      storm.foreach { case (code, body, retryAfter) =>
+        assert(code == 503, s"expected controlled 503, got $code: $body")
+        val n = mapper.readTree(body)
+        assert(!n.get("success").asBoolean() &&
+          n.get("detail").asText().contains("unavailable"),
+          s"not the standard error envelope: $body")
+        assert(retryAfter.contains("1"), "Retry-After header missing")
+      }
+      assert(reader.pointerProbes.get() == 1,
+        s"25-request storm probed the pointer " +
+          s"${reader.pointerProbes.get()} times — backoff not biting")
+
+      // /schema degrades the same controlled way; /health stays alive
+      assert(get("/schema")._1 == 503)
+      assert(get("/health")._1 == 200,
+        "liveness must not couple to snapshot readiness")
+
+      // ── backoff lapses: exactly one more probe per window ─────────
+      now = now.plusMillis(1500)
+      assert(get(q)._1 == 503)
+      assert(reader.pointerProbes.get() == 2)
+
+      // ── heal: the publisher's next cycle rewrites the pointer ─────
+      val r2 = sync.runCycle(Instant.parse("2024-11-01T02:00:00Z"))
+      assert(r2.success, r2.error)
+      now = now.plusMillis(1500) // past the backoff window
+      val (code, body, _) = get(q)
+      assert(code == 200, s"heal did not recover serving: $code $body")
+      val n = mapper.readTree(body)
+      assert(n.get("success").asBoolean() && n.get("row_count").asLong() == 2L)
+      assert(reader.currentManifest.get.version == r2.manifest.get.version)
+
+      // and the engine-level surface is the typed exception, not a raw
+      // parse error (what a non-HTTP embedder would catch):
+      store.writeString(store.currentManifestPath, "{torn again")
+      val cold2 = new SnapshotReader(store, clock = () => now)
+      intercept[SnapshotUnavailableException](cold2.refreshIfStale())
+    } finally api.stop()
+  }
+}

@@ -425,6 +425,85 @@ class SnapshotSyncSpec extends SparkSpec {
       "the row from the failed cycle never arrived")
   }
 
+  test("publisher torn-pointer taxonomy: parse-shaped heals, bugs and IO errors fail soft") {
+    // the verdict-pinned contract around SyncManager's pointer read:
+    //  - MalformedManifest (bad JSON *or* valid JSON missing required
+    //    fields) ⇒ treat as absent: the Merge cycle bootstraps and its
+    //    publish REWRITES the pointer (self-heal);
+    //  - anything else (an injected NPE standing in for a genuine code
+    //    bug, an IOException standing in for a store blip) ⇒ T7
+    //    fail-soft: the cycle fails, NO bootstrap full read happens, no
+    //    generation is published, the watermark holds, and the next
+    //    healthy tick proceeds normally.
+    val srcDir = Files.createTempDirectory("graft-taxo-src").toString
+    val snapDir = Files.createTempDirectory("graft-taxo-snap").toString
+    Seq((1L, 5L, ts("2024-01-01 00:00:00")),
+        (2L, 9L, ts("2024-01-02 00:00:00")))
+      .toDF("id", "quantity", "updated_at")
+      .write.parquet(s"$srcDir/inventory.parquet")
+    val store = new SnapshotStore(spark, snapDir)
+    def mgrOn(s: SnapshotStore) = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), s,
+      mode = SyncMode.Merge)
+
+    val r1 = mgrOn(store).runCycle(Instant.parse("2024-10-01T00:00:00Z"))
+    assert(r1.success, r1.error)
+    val wm1 = new WatermarkStore(store).load()("inventory")
+
+    // ── round 1: valid JSON, missing required field — heals ────────
+    store.writeString(store.currentManifestPath,
+      """{"timestamp":"t","snapshot_key":"k"}""")
+    val r2 = mgrOn(store).runCycle(Instant.parse("2024-10-01T01:00:00Z"))
+    assert(r2.success,
+      s"field-missing pointer wedged the publisher: ${r2.error}")
+    assert(store.readCurrentManifest().get.version ==
+      r2.manifest.get.version, "publish did not rewrite the torn pointer")
+    assert(r2.manifest.get.tables("inventory") == 2L)
+
+    // ── round 2: truncated JSON (torn mid-write) — heals ───────────
+    val full = graft.model.Manifest.toJson(store.readCurrentManifest().get)
+    store.writeString(store.currentManifestPath,
+      full.take(full.length / 2))
+    val r3 = mgrOn(store).runCycle(Instant.parse("2024-10-01T02:00:00Z"))
+    assert(r3.success,
+      s"truncated pointer wedged the publisher: ${r3.error}")
+    assert(store.readCurrentManifest().get.version ==
+      r3.manifest.get.version)
+
+    // ── round 3: injected NPE (a genuine bug) — propagates, no
+    // bootstrap ──────────────────────────────────────────────────────
+    val gensBefore = store.listGenerations()
+    val buggy = new SnapshotStore(spark, snapDir) {
+      override def readCurrentManifest(): Option[graft.model.Manifest] =
+        throw new NullPointerException("injected bug in unrelated code")
+    }
+    val r4 = mgrOn(buggy).runCycle(Instant.parse("2024-10-01T03:00:00Z"))
+    assert(!r4.success,
+      "an NPE from unrelated code was silently healed as a torn pointer")
+    assert(r4.error.exists(_.contains("NullPointerException")),
+      s"failure cause lost: ${r4.error}")
+    assert(store.listGenerations() == gensBefore,
+      "a failed cycle published a generation (bootstrap full read " +
+        "happened despite the bug)")
+    assert(new WatermarkStore(store).load()("inventory") == wm1,
+      "watermark moved on a failed cycle")
+
+    // ── round 4: injected IOException (a store blip) — fail-soft ───
+    val flaky = new SnapshotStore(spark, snapDir) {
+      override def readCurrentManifest(): Option[graft.model.Manifest] =
+        throw new java.io.IOException("injected transient store blip")
+    }
+    val r5 = mgrOn(flaky).runCycle(Instant.parse("2024-10-01T04:00:00Z"))
+    assert(!r5.success && r5.error.exists(_.contains("IOException")))
+    assert(store.listGenerations() == gensBefore)
+
+    // ── recovery: the next healthy tick proceeds normally ──────────
+    val r6 = mgrOn(store).runCycle(Instant.parse("2024-10-01T05:00:00Z"))
+    assert(r6.success, r6.error)
+    assert(store.readCurrentManifest().get.version ==
+      r6.manifest.get.version)
+  }
+
   test("csv and json sources feed the same sync pipeline") {
     import graft.ingest.{CsvSource, JsonSource}
     val srcDir = Files.createTempDirectory("graft-fmt").toString
