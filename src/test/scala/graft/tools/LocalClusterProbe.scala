@@ -118,7 +118,7 @@ object LocalClusterProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.streamingQueryListeners",
         classOf[StateBackendEchoListener].getName)
-    if (master.startsWith("local-cluster")) {
+    if (master.startsWith("local-cluster") || master.startsWith("spark://")) {
       // the worker forks executors through $SPARK_HOME/bin/spark-class,
       // which knows only the Spark assembly jars — the graft classes
       // (and this JVM's --add-opens flags, which spark-class supplies
@@ -128,6 +128,21 @@ object LocalClusterProbe {
         .config("spark.executor.memory", "3g")
         .config("spark.executor.extraClassPath",
           System.getProperty("java.class.path"))
+    }
+    if (mode == "sync-spec") {
+      // aggressive speculation (core confs — must land before the
+      // context starts): ANY task slower than the fastest 5% duplicates
+      // after 20 ms. minTaskRuntime=0 and efficiency.enabled=false are
+      // both load-bearing: the defaults (100 ms floor; the 3.4+
+      // data-rate heuristic) suppress duration-only speculation at
+      // probe scale
+      builder
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "1.0")
+        .config("spark.speculation.quantile", "0.05")
+        .config("spark.speculation.interval", "20ms")
+        .config("spark.speculation.minTaskRuntime", "0ms")
+        .config("spark.speculation.efficiency.enabled", "false")
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -319,6 +334,150 @@ object LocalClusterProbe {
           require(r3.success, s"retry cycle failed: ${r3.error}")
           require(r3.manifest.get.tables("orders") == n0)
         }
+
+      case "sync-spec" =>
+        // Speculative-execution invariance for the publish path (r10
+        // verdict item 1, the sharp end): run a MERGE bootstrap + churn
+        // cycle with speculation so aggressive that a deliberately
+        // planted straggler in the labeled publish WRITE stage gets a
+        // duplicate attempt — and the duplicate provably COMPLETES
+        // (the straggler sleeps only on attemptNumber==0, so the
+        // speculative copy always wins the commit race). Asserts the
+        // publish contract under duplicated write tasks:
+        //  - the manifest row count (SnapshotWriter's in-job
+        //    Observation) EXACTLY equals the parquet rows read back —
+        //    a duplicated attempt must neither double-write rows via
+        //    the commit protocol nor double-count via the observation
+        //    accumulator;
+        //  - ids stay unique (no row landed twice);
+        //  - a churn delta lands exactly once under the same regime.
+        // Speculative copies only ever schedule on a DIFFERENT host
+        // than the running attempt, so this mode needs a master whose
+        // executors report distinct hostnames — local[(n)] and
+        // local-cluster[...] (one physical host) can never launch one;
+        // SpeculativePublishSpec stands up a standalone master + two
+        // workers pinned to 127.0.0.2/127.0.0.3.
+        require(master.startsWith("spark://"),
+          "sync-spec needs a multi-host standalone master " +
+            "(speculative copies never schedule on the original's host)")
+        import graft.ingest.{ParquetSource, SyncManager, SyncMode}
+        import graft.snapshot.SnapshotStore
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft-xspec-src").toString
+        val snapDir = java.nio.file.Files
+          .createTempDirectory("graft-xspec-snap").toString
+        val seed = graft.core.Tables.load(spark, sfDir, "orders")
+          .select(F.col("o_orderkey").as("id"),
+            F.col("o_orderdate").cast("timestamp").as("updated_at"),
+            F.col("o_custkey"), F.col("o_totalprice"))
+        seed.write.parquet(s"$srcDir/orders.parquet")
+        val n0 = spark.read.parquet(s"$srcDir/orders.parquet").count()
+
+        /** Plants a straggler INSIDE the publish write stage: the
+          * repartition puts the mapPartitions after the exchange, so
+          * the sleeping task is one of the stage's actual file-writing
+          * tasks; sleeping only on the FIRST attempt makes the
+          * speculative duplicate deterministically finish first.
+          */
+        final class StragglerSource(inner: graft.ingest.Source)
+            extends graft.ingest.Source {
+          def tableNames: Seq[String] = inner.tableNames
+          def read(s: SparkSession, table: String):
+              org.apache.spark.sql.DataFrame = {
+            val df = inner.read(s, table).repartition(8)
+            df.mapPartitions { it =>
+              val tc = org.apache.spark.TaskContext.get()
+              if (tc != null && tc.attemptNumber() == 0 &&
+                tc.partitionId() == 3) Thread.sleep(8000)
+              it
+            }(org.apache.spark.sql.Encoders.row(df.schema))
+          }
+        }
+        val store = new SnapshotStore(spark, snapDir)
+        def manager() = new SyncManager(spark,
+          new StragglerSource(new ParquetSource(srcDir, Seq("orders"))),
+          store, mode = SyncMode.Merge)
+
+        val publishStages =
+          java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+        val specStarted = new AtomicLong(0)
+        val specSucceeded = new AtomicLong(0)
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = Option(j.properties).map(
+              _.getProperty("spark.job.description", "")).getOrElse("")
+            if (desc.startsWith("graft publish"))
+              j.stageIds.foreach(publishStages.add(_))
+          }
+          override def onTaskStart(t: SparkListenerTaskStart): Unit =
+            if (publishStages.contains(t.stageId) && t.taskInfo.speculative)
+              specStarted.incrementAndGet()
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (publishStages.contains(e.stageId) &&
+              e.taskInfo.speculative && e.taskInfo.successful)
+              specSucceeded.incrementAndGet()
+        })
+
+        val r1 = manager().runCycle()
+        require(r1.success, s"bootstrap cycle failed: ${r1.error}")
+        Thread.sleep(2000) // listener bus drain (no public API)
+        println(s"[xcluster] spec started=${specStarted.get()} " +
+          s"succeeded=${specSucceeded.get()} (bootstrap)")
+        require(specStarted.get() >= 1,
+          "no speculative attempt launched in the publish write job — " +
+            "the run is vacuous")
+        require(specSucceeded.get() >= 1,
+          "a speculative attempt launched but none completed — the " +
+            "planted straggler should guarantee the duplicate wins")
+        val cm1 = store.readCurrentManifest().get
+        val g1 = spark.read.parquet(
+          store.tableDir(cm1.version, "orders").toString)
+        require(g1.count() == cm1.tables("orders"),
+          s"manifest row count diverged from the written parquet under " +
+            s"a duplicated write attempt: manifest=${cm1.tables("orders")}" +
+            s" parquet=${g1.count()}")
+        require(cm1.tables("orders") == n0,
+          s"row count drifted: ${cm1.tables("orders")} vs seed $n0")
+        require(g1.select("id").distinct().count() == n0,
+          "duplicate rows landed — the commit protocol let two " +
+            "attempts of the same partition both publish")
+
+        // churn cycle: bump a third of the rows, same speculation regime
+        val cur = spark.read.parquet(s"$srcDir/orders.parquet")
+        val next = cur.withColumn("updated_at",
+            F.when(F.col("id") % 3 === 0,
+              F.to_timestamp(F.lit("2031-06-01 00:00:00")))
+              .otherwise(F.col("updated_at")))
+          .withColumn("o_totalprice",
+            F.when(F.col("id") % 3 === 0, F.col("o_totalprice") + 1.0)
+              .otherwise(F.col("o_totalprice")))
+        next.write.parquet(s"$srcDir/__next")
+        val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        lfs.delete(new org.apache.hadoop.fs.Path(
+          s"$srcDir/orders.parquet"), true)
+        lfs.rename(new org.apache.hadoop.fs.Path(s"$srcDir/__next"),
+          new org.apache.hadoop.fs.Path(s"$srcDir/orders.parquet"))
+        val r2 = manager().runCycle()
+        require(r2.success, s"churn cycle failed: ${r2.error}")
+        Thread.sleep(2000) // listener bus drain (no public API)
+        val cm2 = store.readCurrentManifest().get
+        val g2 = spark.read.parquet(
+          store.tableDir(cm2.version, "orders").toString)
+        require(g2.count() == cm2.tables("orders") &&
+          cm2.tables("orders") == n0,
+          s"churn publish count wrong: manifest=${cm2.tables("orders")} " +
+            s"parquet=${g2.count()} seed=$n0")
+        val bumped = g2.filter(F.col("updated_at") === F.to_timestamp(
+          F.lit("2031-06-01 00:00:00"))).count()
+        require(bumped == g2.filter(F.col("id") % 3 === 0).count(),
+          "delta rows did not land exactly once under speculation")
+        require(g2.select("id").distinct().count() == n0)
+        println(s"[xcluster] spec started=${specStarted.get()} " +
+          s"succeeded=${specSucceeded.get()} rows=$n0 " +
+          s"gen1=${cm1.version} gen2=${cm2.version}")
 
       case other => sys.error(s"unknown mode $other")
     }

@@ -1,0 +1,121 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.concurrent.duration._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Speculative-execution gate for the publish path (the fifth execution
+  * axis). Spark NEVER schedules a speculative copy on the same host as
+  * the running attempt, so `local[n]` and `local-cluster[…]` (executors
+  * on one physical host) can never launch one — every speculation
+  * "test" on them is vacuous. This spec stands up the smallest cluster
+  * that CAN speculate: a standalone master on 127.0.0.1 plus two
+  * workers pinned (via SPARK_LOCAL_HOSTNAME + --host) to 127.0.0.2 and
+  * 127.0.0.3 — two distinct scheduler hosts on one machine, all
+  * loopback. The probe (LocalClusterProbe sync-spec) then runs MERGE
+  * publish cycles under aggressive speculation with a straggler planted
+  * INSIDE the labeled publish write stage that sleeps only on
+  * attemptNumber==0 — so the speculative duplicate deterministically
+  * completes first and wins the task-commit race — and asserts the
+  * publish contract held: manifest row counts (the in-job Observation)
+  * exactly equal the parquet rows read back, ids stay unique, and a
+  * churn delta lands exactly once.
+  */
+class SpeculativePublishSpec extends AnyFunSuite {
+
+  private val sf = sys.env.getOrElse("GRAFT_XSPEC_SF",
+    "/root/testdata/sf0.01")
+  private val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+
+  private def launch(cls: String, args: Seq[String], hostname: String,
+                     log: java.io.File): Process = {
+    val pb = new ProcessBuilder(
+      (Seq(s"$sparkHome/bin/spark-class", cls) ++ args): _*)
+    // SPARK_LOCAL_HOSTNAME is what makes the two workers distinct
+    // scheduler hosts; --host alone only changes the bind address
+    pb.environment().put("SPARK_LOCAL_HOSTNAME", hostname)
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    pb.start()
+  }
+
+  /** Polls `log` until `re` matches, returning the first capture group
+    * (or "" when the pattern has none). */
+  private def waitFor(log: java.io.File, re: scala.util.matching.Regex,
+                      timeout: FiniteDuration, what: String): String = {
+    val deadline = System.nanoTime() + timeout.toNanos
+    while (System.nanoTime() < deadline) {
+      val text = if (log.exists())
+        new String(Files.readAllBytes(log.toPath)) else ""
+      re.findFirstMatchIn(text) match {
+        case Some(m) => return if (m.groupCount >= 1) m.group(1) else ""
+        case None => Thread.sleep(200)
+      }
+    }
+    fail(s"$what did not appear within $timeout in ${log.getPath}:\n" +
+      new String(Files.readAllBytes(log.toPath)).takeRight(2000))
+  }
+
+  test("publish under speculation: duplicate write attempt completes, manifest == data") {
+    assume(Files.exists(Paths.get(s"$sf/orders.parquet")),
+      s"scale point not present at $sf")
+    assume(Files.isExecutable(Paths.get(s"$sparkHome/bin/spark-class")),
+      "spark-class launcher not available")
+
+    val dir: Path = Files.createTempDirectory("graft-xspec-cluster")
+    val mLog = dir.resolve("master.log").toFile
+    val w2Log = dir.resolve("worker2.log").toFile
+    val w3Log = dir.resolve("worker3.log").toFile
+    // port 0 = pick a free one (parallel suites and leftover dev
+    // clusters must not collide); the actual port comes from the log
+    val master = launch("org.apache.spark.deploy.master.Master",
+      Seq("--host", "127.0.0.1", "--port", "0", "--webui-port", "0"),
+      "127.0.0.1", mLog)
+    var workers = Seq.empty[Process]
+    try {
+      val port = waitFor(mLog,
+        """started service 'sparkMaster' on port (\d+)""".r,
+        60.seconds, "master startup")
+      val url = s"spark://127.0.0.1:$port"
+      workers = Seq(("127.0.0.2", w2Log), ("127.0.0.3", w3Log)).map {
+        case (host, log) => launch("org.apache.spark.deploy.worker.Worker",
+          Seq("--host", host, "--cores", "6", "--memory", "6g",
+            "--webui-port", "0", url), host, log)
+      }
+      waitFor(w2Log, """Successfully registered with master""".r,
+        60.seconds, "worker 127.0.0.2 registration")
+      waitFor(w3Log, """Successfully registered with master""".r,
+        60.seconds, "worker 127.0.0.3 registration")
+
+      val (code, out) = ForkedJvm.run("graft.tools.LocalClusterProbe",
+        Seq(url, "sync-spec", sf), heap = "4g",
+        extraEnv = Seq("SPARK_SCALA_VERSION" -> "2.13",
+          "SPARK_LOCAL_HOSTNAME" -> "127.0.0.1"))
+      assert(code == 0 && out.contains("XCLUSTER_OK"),
+        s"sync-spec probe failed:\n${out.takeRight(5000)}")
+      // non-vacuity is asserted INSIDE the probe too (it requires
+      // started>=1 and succeeded>=1 before any publish assert); re-pin
+      // here so a probe edit can't silently drop it
+      val counts = """spec started=(\d+) succeeded=(\d+)""".r
+        .findAllMatchIn(out).toSeq
+      assert(counts.nonEmpty, s"no speculation counters in:\n$out")
+      val started = counts.last.group(1).toInt
+      val succeeded = counts.last.group(2).toInt
+      assert(started >= 1 && succeeded >= 1,
+        s"vacuous run: started=$started succeeded=$succeeded")
+      out.linesIterator.filter(_.startsWith("[xcluster]")).foreach(info(_))
+    } finally {
+      workers.foreach(_.destroy())
+      master.destroy()
+      workers.foreach { w =>
+        if (!w.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+          w.destroyForcibly()
+      }
+      if (!master.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+        master.destroyForcibly()
+    }
+  }
+}
