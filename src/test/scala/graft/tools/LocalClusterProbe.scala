@@ -479,6 +479,93 @@ object LocalClusterProbe {
           s"succeeded=${specSucceeded.get()} rows=$n0 " +
           s"gen1=${cm1.version} gen2=${cm2.version}")
 
+      case "fuzz-kill" =>
+        // The last untested interaction (r10 verdict item 7): RocksDB
+        // state store × multi-file triggers (k=3) × executor SIGKILL,
+        // in ONE scenario. The restart fuzz rotates k against graceful
+        // stops and crash-shaped replays; the streaming kill tests run
+        // k=1 on each backend; this mode replays a generated
+        // session-late fuzz scenario (beyond-watermark drops — the
+        // richest state lifecycle) with THREE files per micro-batch on
+        // RocksDB under local-cluster, SIGKILLs one executor JVM while
+        // batches are in flight, and requires the settled output to
+        // equal the PURE-MODEL oracle (the same k-grouped lifecycle
+        // model StreamFuzzSpec checks on local[n]) — not merely a
+        // clean-run digest.
+        require(master.startsWith("local-cluster"),
+          "fuzz-kill mode needs real executor JVMs")
+        import graft.fuzz.StreamFuzz
+        val seed = entries.headOption.map(_.toLong).getOrElse(31L)
+        val rawSc = StreamFuzz.scenario(seed, 8)
+        require(rawSc.kind == "session-late", s"kind drifted: ${rawSc.kind}")
+        val k = 3
+        val sc = StreamFuzz.grouped(rawSc, k)
+        val dir = StreamFuzz.stage(spark, rawSc)
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state" +
+            ".RocksDBStateStoreProvider")
+
+        val sawRemoval = new AtomicBoolean(false)
+        val tasksStarted = new AtomicLong(0)
+        val queryDone = new AtomicBoolean(false)
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onTaskStart(t: SparkListenerTaskStart): Unit =
+            tasksStarted.incrementAndGet()
+          override def onExecutorRemoved(
+              e: SparkListenerExecutorRemoved): Unit =
+            if (!queryDone.get()) sawRemoval.set(true)
+        })
+
+        @volatile var got: Map[(Long, Long, Long), (Long, Double)] = null
+        @volatile var failure: Throwable = null
+        val t = new Thread(() => {
+          try {
+            got = StreamFuzz.replay(ss, dir, s"fuzzkill_$seed",
+                ev => graft.streaming.EventStream.sessionAgg(
+                  ev, gap = "30 minutes",
+                  lateness = s"${sc.latenessSec} seconds"),
+                filesPerTrigger = k)
+              .filter(F.col("user_id") >= 0)
+              .select(F.col("user_id"),
+                F.expr("unix_micros(session_start)"),
+                F.expr("unix_micros(session_end)"), F.col("n_events"),
+                F.col("session_value"))
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+                (r.getLong(3), r.getDouble(4))).toMap
+          } catch { case e: Throwable => failure = e }
+          finally queryDone.set(true)
+        })
+        val baseline = tasksStarted.get()
+        t.start()
+        // kill once the stream is demonstrably mid-flight
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (tasksStarted.get() < baseline + 8 &&
+            System.nanoTime() < deadline) Thread.sleep(10)
+        val pids = executorPids(spark.sparkContext.applicationId)
+        println(s"[xcluster] kill candidates=${pids.size} " +
+          s"tasksStarted=${tasksStarted.get()}")
+        require(pids.nonEmpty, "no executor JVM children found to kill")
+        ProcessHandle.of(pids.head).ifPresent(_.destroyForcibly())
+        t.join(300000)
+        require(!t.isAlive, "replay did not settle within 5 min of the kill")
+        require(failure == null,
+          s"replay failed instead of recovering from executor loss: $failure")
+        val oracle = StreamFuzz.sessionLateOracle(sc)
+        require(got == oracle, {
+          val missing = oracle.keySet -- got.keySet
+          val extra = got.keySet -- oracle.keySet
+          val changed = (oracle.keySet & got.keySet)
+            .filter(key => oracle(key) != got(key))
+          s"killed RocksDB k=3 replay diverged from the lifecycle " +
+            s"model: missing=${missing.take(3)} extra=${extra.take(3)} " +
+            s"changed=${changed.take(3)} (of ${oracle.size} sessions)"
+        })
+        println(s"[xcluster] fuzz-kill seed=$seed kind=${rawSc.kind} k=$k " +
+          s"sessions=${oracle.size} removedDuringQuery=${sawRemoval.get()}")
+
       case other => sys.error(s"unknown mode $other")
     }
 
