@@ -118,9 +118,40 @@ final class SyncManager(spark: SparkSession, source: Source,
                 val prev = spark.read.parquet(
                   store.tableDir(m.version, t).toString)
                 val delta = deltas(t)
-                if (!prev.columns.contains(keyCol)
-                  || !delta.columns.contains(keyCol)) source.read(spark, t)
-                else SyncManager.mergeUpsert(prev, delta, keyCol, table = t)
+                // key presence follows the session's resolution rules
+                // (case-insensitive unless spark.sql.caseSensitive)
+                val cs = spark.conf
+                  .get("spark.sql.caseSensitive", "false").toBoolean
+                def hasKey(cols: Array[String]) =
+                  if (cs) cols.contains(keyCol)
+                  else cols.exists(_.equalsIgnoreCase(keyCol))
+                (hasKey(prev.columns), hasKey(delta.columns)) match {
+                  // a KEYED table whose source LOST the merge key: fail
+                  // loudly like any other dropped column. The silent
+                  // alternative — falling back to a full source read
+                  // EVERY cycle forever — is the exact 100 TB expensive
+                  // accident the drop guard exists to prevent, and it
+                  // would also silently erase the key column from the
+                  // published snapshot.
+                  case (true, false) => throw new SchemaDriftException(
+                    s"source table '$t' no longer has the MERGE key" +
+                      s" column '$keyCol' that the previous snapshot" +
+                      " generation carries; without it a MERGE cycle" +
+                      " cannot match rows — if the drop is intentional," +
+                      " run one SyncMode.FullRebuild cycle to adopt the" +
+                      " keyless schema (subsequent Merge cycles then" +
+                      " degrade to full reads, the reference's T4" +
+                      " semantics for non-keyed tables)")
+                  // an UNKEYED previous generation (never keyed, or the
+                  // keyless schema adopted via FullRebuild): merge is
+                  // impossible, full read = the reference's own cycle
+                  // semantics. This includes a key newly ADDED by the
+                  // source — the full read adopts it and the NEXT cycle
+                  // merges on it.
+                  case (false, _) => source.read(spark, t)
+                  case (true, true) => SyncManager.mergeUpsert(
+                    prev, delta, keyCol, table = t)
+                }
               case None => source.read(spark, t) // bootstrap generation
             }
         }

@@ -425,6 +425,65 @@ class SnapshotSyncSpec extends SparkSpec {
       "the row from the failed cycle never arrived")
   }
 
+  test("losing the MERGE key fails loudly; unkeyed tables full-read silently") {
+    // a keyed table whose source LOST the merge key must fail like any
+    // other dropped column — the silent alternative (a full source
+    // read EVERY cycle forever, key column erased from the snapshot)
+    // is the 100 TB expensive accident the drop guard exists to stop.
+    // Tables never keyed, or whose keyless schema was adopted via
+    // FullRebuild, keep the reference's full-read cycle semantics.
+    val srcDir = Files.createTempDirectory("graft-key-src").toString
+    val snapDir = Files.createTempDirectory("graft-key-snap").toString
+    Seq((1L, 5L, ts("2024-01-01 00:00:00")),
+        (2L, 9L, ts("2024-01-02 00:00:00")))
+      .toDF("id", "quantity", "updated_at")
+      .write.parquet(s"$srcDir/inventory.parquet")
+    val store = new SnapshotStore(spark, snapDir)
+    def merge() = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), store,
+      mode = SyncMode.Merge)
+    val r1 = merge().runCycle(Instant.parse("2024-12-01T00:00:00Z"))
+    assert(r1.success, r1.error)
+    val wm1 = new WatermarkStore(store).load()("inventory")
+
+    // the source loses `id` (and bumps a row so the delta is non-empty)
+    spark.read.parquet(s"$srcDir/inventory.parquet")
+      .drop("id")
+      .write.parquet(s"$srcDir/__next")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$srcDir/inventory.parquet"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$srcDir/__next"),
+      new org.apache.hadoop.fs.Path(s"$srcDir/inventory.parquet"))
+
+    val rDrop = merge().runCycle(Instant.parse("2024-12-01T01:00:00Z"))
+    assert(!rDrop.success, "losing the MERGE key must fail the cycle")
+    assert(rDrop.error.exists(e => e.contains("SchemaDrift") &&
+      e.contains("id") && e.contains("FullRebuild")),
+      s"key-loss error lacks the diagnosis: ${rDrop.error}")
+    assert(new WatermarkStore(store).load()("inventory") == wm1,
+      "watermark moved on a key-loss failure")
+    assert(store.readCurrentManifest().get.version == r1.manifest.get.version,
+      "a failed key-loss cycle published")
+
+    // explicit adoption: one FullRebuild takes the keyless schema...
+    val rFull = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), store,
+      mode = SyncMode.FullRebuild)
+      .runCycle(Instant.parse("2024-12-01T02:00:00Z"))
+    assert(rFull.success, rFull.error)
+    val adopted = spark.read.parquet(
+      store.tableDir(rFull.manifest.get.version, "inventory").toString)
+    assert(!adopted.columns.contains("id") && adopted.count() == 2)
+
+    // ...and subsequent Merge cycles on the now-unkeyed table degrade
+    // to silent full reads (reference T4 semantics), publishing the
+    // full source each time
+    val rResume = merge().runCycle(Instant.parse("2024-12-01T03:00:00Z"))
+    assert(rResume.success, s"unkeyed Merge cycle failed: ${rResume.error}")
+    assert(rResume.manifest.get.tables("inventory") == 2L)
+  }
+
   test("publisher torn-pointer taxonomy: parse-shaped heals, bugs and IO errors fail soft") {
     // the verdict-pinned contract around SyncManager's pointer read:
     //  - MalformedManifest (bad JSON *or* valid JSON missing required
