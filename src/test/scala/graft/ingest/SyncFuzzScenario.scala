@@ -1,0 +1,401 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.snapshot.SnapshotStore
+
+/** The sync-lifecycle fuzz scenario engine (see [[SyncFuzzSpec]] for the
+  * op taxonomy and oracle design). Extracted from the spec so the SAME
+  * deck/oracle logic runs in two harnesses:
+  *  - in-process on local[n] (SyncFuzzSpec — fast, many seeds);
+  *  - inside a local-cluster probe JVM with a mid-publish executor
+  *    SIGKILL armed on one churn cycle (LocalClusterProbe
+  *    sync-fuzz-kill) — the kill lands during the labeled publish
+  *    write job, and the scenario accepts EITHER documented arm of the
+  *    loss story for that cycle: recovered-via-stage-retry (normal
+  *    asserts) or failed-soft (watermark + pointer held, then the
+  *    retry must land the delta exactly once). Every other op keeps
+  *    its strict contract, and the final three-way convergence
+  *    (window oracle == snapshot == source bookkeeping) must hold
+  *    regardless of which arm the kill took.
+  *
+  * `killer`: (churnOrdinal, arm) — `arm()` is invoked immediately
+  * before the chosen churn cycle's `runCycle`, letting the probe start
+  * a watcher that SIGKILLs an executor once the publish write job has
+  * demonstrably started tasks.
+  */
+object SyncFuzzScenario {
+
+  def digest(df: DataFrame): (Long, java.math.BigDecimal) = {
+    val row = df.select(
+      count(lit(1)).as("n"),
+      sum(xxhash64(df.columns.sorted.map(col).toSeq: _*)
+        .cast("decimal(38,0)")).as("h")).collect()(0)
+    (row.getLong(0), row.getDecimal(1))
+  }
+
+  def run(spark: SparkSession, sfDir: String, seed: Int,
+          log: String => Unit,
+          killer: Option[(Int, () => Unit)] = None): Unit = {
+    val rng = new scala.util.Random(seed)
+    val srcDir = Files.createTempDirectory(s"graft-sfz$seed-src").toString
+    val snapDir = Files.createTempDirectory(s"graft-sfz$seed-snap").toString
+    val archDir = Files.createTempDirectory(s"graft-sfz$seed-arch").toString
+    val store = new SnapshotStore(spark, snapDir)
+    def mergeMgr() = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("orders")), store, mode = SyncMode.Merge)
+    def fullMgr() = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("orders")), store,
+      mode = SyncMode.FullRebuild)
+
+    def source() = spark.read.parquet(s"$srcDir/orders.parquet")
+    def replaceSource(next: DataFrame): Unit = {
+      val tmp = s"$srcDir/__next"
+      next.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val dest = new org.apache.hadoop.fs.Path(s"$srcDir/orders.parquet")
+      fs.delete(dest, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dest)
+    }
+
+    // ── state ────────────────────────────────────────────────────────
+    var cycleIdx = 0
+    var nVersions = 0
+    var extraCols = Vector.empty[String]
+    var droppedCols = Vector.empty[String]
+    var pendingTies = Vector.empty[Long] // stamped AT wm, never consumed
+    var extraSeq = 0
+    var churnCount = 0
+    def ts(k: Int) = f"2030-01-${1 + k / 24}%02d ${k % 24}%02d:00:00"
+    def storedWm: String = new WatermarkStore(store).load()("orders")
+
+    def archive(delta: DataFrame): Unit = {
+      delta.write.parquet(s"$archDir/v$nVersions")
+      nVersions += 1
+      val ids = spark.read.parquet(s"$archDir/v${nVersions - 1}")
+        .select("id").collect().map(_.getLong(0)).toSet
+      pendingTies = pendingTies.filterNot(ids) // a bump consumes a tie
+    }
+    /** A bootstrap full read publishes EVERYTHING in the source —
+      * including tie rows the delta scan never consumed; flush them
+      * into the oracle history at their tie timestamps. */
+    def flushTies(): Unit = if (pendingTies.nonEmpty) {
+      val tieDf = source().filter(col("id").isin(pendingTies: _*))
+      tieDf.write.parquet(s"$archDir/v$nVersions")
+      nVersions += 1
+      pendingTies = Vector.empty
+    }
+
+    def genIntegrity(): Unit = {
+      val m = store.readCurrentManifest().get
+      val n = spark.read.parquet(
+        store.tableDir(m.version, "orders").toString).count()
+      require(n == m.tables("orders"),
+        s"generation ${m.version} torn: parquet=$n manifest=${m.tables("orders")}")
+    }
+
+    /** updates (core-col churn, extras ride along) + inserts (fresh
+      * ids; live extras null unless this delta introduces `newCol`). */
+    def makeDelta(opIdx: Int, newCol: Option[String]): DataFrame = {
+      cycleIdx += 1
+      val tsK = ts(cycleIdx)
+      val cur = source()
+      val m = 101 + rng.nextInt(300)
+      val r = rng.nextInt(m)
+      var updates = cur
+        .filter(col("id") % m === r)
+        .withColumn("updated_at", to_timestamp(lit(tsK)))
+        .withColumn("o_totalprice", col("o_totalprice") + cycleIdx * 10.0)
+      newCol.foreach { c =>
+        updates = updates.withColumn(c, concat(lit("v"), col("id")))
+      }
+      val base = 100000000L + opIdx * 10000L
+      var inserts = spark.range(50 + rng.nextInt(100)).select(
+        (lit(base) + col("id")).as("id"),
+        to_timestamp(lit(tsK)).as("updated_at"),
+        (col("id") % 1000).as("o_custkey"),
+        lit("N").as("o_orderstatus"),
+        ((lit(base) + col("id")) * 1.25).as("o_totalprice"))
+      extraCols.foreach { c =>
+        inserts = inserts.withColumn(c,
+          if (newCol.contains(c)) concat(lit("i"), col("id"))
+          else lit(null).cast("string"))
+      }
+      newCol.filterNot(extraCols.contains).foreach { c =>
+        inserts = inserts.withColumn(c, concat(lit("i"), col("id")))
+      }
+      updates.unionByName(inserts, allowMissingColumns = true)
+    }
+
+    /** Archive + apply to source, run one MERGE cycle, assert the full
+      * delta was consumed and the watermark landed on this cycle's ts.
+      * A killer-armed cycle may instead fail soft (executor loss beyond
+      * stage retry): then the watermark and pointer must have held and
+      * the immediate retry must land the delta exactly once.
+      */
+    def churnCycle(opIdx: Int, newCol: Option[String] = None): Unit = {
+      churnCount += 1
+      val delta = makeDelta(opIdx, newCol)
+      archive(delta)
+      val deltaDisk = spark.read.parquet(s"$archDir/v${nVersions - 1}")
+      val nDelta = deltaDisk.count()
+      replaceSource(source()
+        .join(deltaDisk.select("id"), Seq("id"), "left_anti")
+        .unionByName(deltaDisk, allowMissingColumns = true))
+      val wmBefore = storedWm
+      // a torn/absent-op churn arrives with a garbage or missing
+      // pointer BY DESIGN (runCycle heals it) — the pre-cycle snapshot
+      // of the pointer must tolerate that, like the publisher does
+      def pointerVersion: Option[String] =
+        try store.readCurrentManifest().map(_.version)
+        catch { case _: graft.model.MalformedManifest => None }
+      val genBefore = pointerVersion
+      val armed = killer.exists { case (at, arm) =>
+        if (churnCount == at) { arm(); true } else false
+      }
+      val r = mergeMgr().runCycle()
+      if (armed && !r.success) {
+        // the executor loss broke the cycle: T7 fail-soft contract
+        log(s"armed churn cycle failed soft (${r.error.getOrElse("")}); " +
+          "asserting holds + retry")
+        require(storedWm == wmBefore,
+          "watermark advanced past a killed FAILED publish")
+        require(pointerVersion == genBefore,
+          "a killed failed cycle moved the pointer")
+        val r2 = mergeMgr().runCycle()
+        require(r2.success, s"retry after the kill failed: ${r2.error}")
+        require(r2.changedCounts("orders") == nDelta,
+          s"retry consumed ${r2.changedCounts("orders")} of $nDelta")
+      } else {
+        require(r.success, s"churn cycle failed: ${r.error}")
+        require(r.changedCounts("orders") == nDelta,
+          s"changed=${r.changedCounts("orders")} expected=$nDelta")
+      }
+      require(storedWm == ts(cycleIdx),
+        s"watermark ${storedWm} != ${ts(cycleIdx)}")
+      genIntegrity()
+    }
+
+    // ── seed data: orders under the id/updated_at convention ─────────
+    val initial = graft.core.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("id"),
+        col("o_orderdate").cast("timestamp").as("updated_at"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    initial.write.parquet(s"$srcDir/orders.parquet")
+    initial.write.parquet(s"$archDir/v$nVersions")
+    nVersions += 1
+    val n0 = source().count()
+    val r0 = mergeMgr().runCycle()
+    require(r0.success && r0.manifest.get.tables("orders") == n0,
+      s"bootstrap failed: ${r0.error}")
+
+    // ── the deck: every op kind present, seeded-random order ─────────
+    val deck = rng.shuffle(Seq.fill(8)("churn") ++ Seq.fill(2)("nochange") ++
+      Seq.fill(2)("tie") ++ Seq.fill(2)("add") ++ Seq.fill(2)("drop") ++
+      Seq("retype") ++ Seq.fill(2)("torn") ++ Seq("absent") ++
+      Seq.fill(2)("failpub"))
+    log(s"seed $seed deck: ${deck.mkString(" ")}")
+
+    deck.zipWithIndex.foreach { case (op, opIdx) =>
+      op match {
+        case "churn" => churnCycle(opIdx)
+
+        case "nochange" =>
+          val wmBefore = storedWm
+          val r = mergeMgr().runCycle()
+          require(r.success && r.changedCounts("orders") == 0L,
+            s"no-change cycle saw changes: $r")
+          require(storedWm == wmBefore, "watermark moved on an empty delta")
+          genIntegrity()
+
+        case "tie" =>
+          val wm = storedWm
+          val tieId = 200000000L + opIdx
+          var tie = spark.range(1).select(
+            lit(tieId).as("id"),
+            to_timestamp(lit(wm)).as("updated_at"),
+            lit(7L).as("o_custkey"), lit("T").as("o_orderstatus"),
+            lit(42.5).as("o_totalprice"))
+          extraCols.foreach(c =>
+            tie = tie.withColumn(c, lit(null).cast("string")))
+          replaceSource(source().unionByName(tie))
+          val r = mergeMgr().runCycle()
+          require(r.success, s"tie cycle failed: ${r.error}")
+          require(r.changedCounts("orders") == 0L,
+            "strict-> scan consumed a row stamped AT the watermark")
+          val snap = spark.read.parquet(store.tableDir(
+            r.manifest.get.version, "orders").toString)
+          require(snap.filter(col("id") === tieId).count() == 0,
+            "tie row leaked into a MERGE snapshot")
+          require(storedWm == wm, "tie moved the watermark")
+          pendingTies :+= tieId
+          genIntegrity()
+
+        case "add" =>
+          extraSeq += 1
+          val c = s"c$extraSeq"
+          // old source rows gain the column as NULL (the delta is the
+          // only carrier of real values this cycle)
+          replaceSource(source().withColumn(c, lit(null).cast("string")))
+          churnCycle(opIdx, newCol = Some(c))
+          extraCols :+= c
+          val snap = spark.read.parquet(store.tableDir(
+            store.readCurrentManifest().get.version, "orders").toString)
+          require(snap.columns.contains(c),
+            "added column did not appear in the next snapshot")
+
+        case "drop" if extraCols.nonEmpty =>
+          val c = extraCols(rng.nextInt(extraCols.size))
+          val wmBefore = storedWm
+          val genBefore = store.readCurrentManifest().get.version
+          val delta = makeDelta(opIdx, None).drop(c)
+          archive(delta) // consumed by the FullRebuild below
+          val deltaDisk = spark.read.parquet(s"$archDir/v${nVersions - 1}")
+          replaceSource(source()
+            .join(deltaDisk.select("id"), Seq("id"), "left_anti")
+            .unionByName(deltaDisk, allowMissingColumns = true)
+            .drop(c))
+          val rFail = mergeMgr().runCycle()
+          require(!rFail.success, "dropped-column MERGE cycle must fail")
+          require(rFail.error.exists(e => e.contains("SchemaDrift") &&
+            e.contains(c) && e.contains("FullRebuild")),
+            s"drift error lacks the diagnosis: ${rFail.error}")
+          require(storedWm == wmBefore, "watermark moved on a drift failure")
+          require(store.readCurrentManifest().get.version == genBefore,
+            "a failed drift cycle published")
+          flushTies() // the rebuild reads the full source
+          val rFull = fullMgr().runCycle()
+          require(rFull.success,
+            s"FullRebuild recovery failed: ${rFull.error}")
+          require(storedWm == ts(cycleIdx), "rebuild lost the watermark")
+          val snap = spark.read.parquet(store.tableDir(
+            rFull.manifest.get.version, "orders").toString)
+          require(!snap.columns.contains(c), "dropped column survived")
+          extraCols = extraCols.filterNot(_ == c)
+          droppedCols :+= c
+          genIntegrity()
+        case "drop" => churnCycle(opIdx) // nothing to drop yet
+
+        case "retype" if extraCols.nonEmpty =>
+          val c = extraCols(rng.nextInt(extraCols.size))
+          val wmBefore = storedWm
+          val genBefore = store.readCurrentManifest().get.version
+          // park the good source, publish a retyped one (bad deploy)
+          val aside = s"$srcDir/__aside"
+          source().write.parquet(aside)
+          replaceSource(spark.read.parquet(aside)
+            .withColumn(c, xxhash64(col(c)).cast("double")))
+          val rFail = mergeMgr().runCycle()
+          require(!rFail.success, "retyped-column MERGE cycle must fail")
+          require(rFail.error.exists(e => e.contains("SchemaDrift") &&
+            e.contains(c)),
+            s"drift error lacks the diagnosis: ${rFail.error}")
+          require(storedWm == wmBefore && store.readCurrentManifest()
+            .get.version == genBefore, "retype failure was not clean")
+          // roll the deploy back — exact bytes, no information loss
+          replaceSource(spark.read.parquet(aside))
+          org.apache.hadoop.fs.FileSystem.getLocal(
+            spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(aside), true)
+          val rOk = mergeMgr().runCycle()
+          require(rOk.success && rOk.changedCounts("orders") == 0L,
+            s"post-revert cycle not clean: $rOk")
+          genIntegrity()
+        case "retype" => churnCycle(opIdx)
+
+        case "torn" | "absent" =>
+          if (op == "torn") {
+            val garbage = Seq("{not json", "",
+              """{"timestamp":"t","snapshot_key":"k"}""",
+              graft.model.Manifest.toJson(store.readCurrentManifest().get)
+                .take(30))(rng.nextInt(4))
+            store.writeString(store.currentManifestPath, garbage)
+          } else {
+            require(store.fs.delete(store.currentManifestPath, false),
+              "absent-op delete failed")
+          }
+          flushTies() // the bootstrap reads the full source
+          churnCycle(opIdx) // Merge degrades to bootstrap; publish heals
+          require(store.readCurrentManifest().nonEmpty,
+            "publish did not heal the pointer")
+
+        case "failpub" =>
+          val wmBefore = storedWm
+          val genBefore = store.readCurrentManifest().get
+          val delta = makeDelta(opIdx, None)
+          archive(delta) // lands on the retry below
+          val deltaDisk = spark.read.parquet(s"$archDir/v${nVersions - 1}")
+          val nDelta = deltaDisk.count()
+          replaceSource(source()
+            .join(deltaDisk.select("id"), Seq("id"), "left_anti")
+            .unionByName(deltaDisk, allowMissingColumns = true))
+          // damage the previous generation so the MERGE read fails
+          // AFTER change detection computed the would-be watermark
+          val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+            spark.sparkContext.hadoopConfiguration)
+          val genTable = store.tableDir(genBefore.version, "orders")
+          val aside = new org.apache.hadoop.fs.Path(
+            genTable.toString + ".aside")
+          require(fs.rename(genTable, aside), "damage rename failed")
+          val rFail = mergeMgr().runCycle()
+          require(!rFail.success, "cycle succeeded against a damaged prev")
+          require(storedWm == wmBefore,
+            "watermark advanced past a FAILED publish — rows in " +
+              "(old, new] would be skipped forever")
+          require(store.readCurrentManifest().get.version ==
+            genBefore.version, "a failed cycle moved the pointer")
+          require(fs.rename(aside, genTable), "repair rename failed")
+          val rRetry = mergeMgr().runCycle()
+          require(rRetry.success, s"repaired retry failed: ${rRetry.error}")
+          require(rRetry.changedCounts("orders") == nDelta,
+            s"retry consumed ${rRetry.changedCounts("orders")} of $nDelta")
+          require(storedWm == ts(cycleIdx), "retry lost the watermark")
+          genIntegrity()
+      }
+    }
+
+    // ── convergence: bump outstanding ties, then the window oracle ──
+    if (pendingTies.nonEmpty) {
+      cycleIdx += 1
+      val tsK = ts(cycleIdx)
+      val bump = source().filter(col("id").isin(pendingTies: _*))
+        .withColumn("updated_at", to_timestamp(lit(tsK)))
+      archive(bump)
+      val bumpDisk = spark.read.parquet(s"$archDir/v${nVersions - 1}")
+      replaceSource(source()
+        .join(bumpDisk.select("id"), Seq("id"), "left_anti")
+        .unionByName(bumpDisk, allowMissingColumns = true))
+      val r = mergeMgr().runCycle()
+      require(r.success, s"tie-bump cycle failed: ${r.error}")
+      require(pendingTies.isEmpty, "bump did not consume the tie rows")
+    }
+
+    val history = (0 until nVersions)
+      .map(v => spark.read.parquet(s"$archDir/v$v"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val expected = history
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("updated_at").desc)))
+      .filter(col("__rk") === 1).drop("__rk")
+      .drop(droppedCols: _*)
+    val finalSnap = spark.read.parquet(store.tableDir(
+      store.readCurrentManifest().get.version, "orders").toString)
+    val src = source()
+    val (en, eh) = digest(expected)
+    val (gn, gh) = digest(finalSnap)
+    val (sn, sh) = digest(src)
+    require(en == gn && eh == gh,
+      s"seed $seed: snapshot diverged from the version-history oracle: " +
+        s"expected ($en, $eh) got ($gn, $gh)")
+    require(sn == gn && sh == gh,
+      s"seed $seed: snapshot diverged from the source bookkeeping: " +
+        s"source ($sn, $sh) snapshot ($gn, $gh)")
+    log(s"seed $seed: ${deck.size} ops, $nVersions versions, " +
+      s"$en rows converged")
+  }
+}

@@ -566,6 +566,60 @@ object LocalClusterProbe {
         println(s"[xcluster] fuzz-kill seed=$seed kind=${rawSc.kind} k=$k " +
           s"sessions=${oracle.size} removedDuringQuery=${sawRemoval.get()}")
 
+      case "sync-fuzz-kill" =>
+        // The sync-lifecycle fuzzer (SyncFuzzScenario) run under REAL
+        // executor JVMs with an executor SIGKILL armed on churn cycle
+        // #3's publish write job — the interleaving story (22 ops:
+        // drift, torn pointers, failed publishes, ties) crossed with
+        // the executor-loss story in one scenario. The scenario itself
+        // accepts either documented arm for the killed cycle
+        // (recovered-via-retry or failed-soft-then-retry); this mode
+        // additionally requires the kill to have actually FIRED
+        // mid-write (non-vacuity) and the full-deck three-way
+        // convergence to hold afterwards.
+        require(master.startsWith("local-cluster"),
+          "sync-fuzz-kill mode needs real executor JVMs")
+        val seed = entries.headOption.map(_.toInt).getOrElse(5)
+        val publishStages =
+          java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+        val writeTasks = new AtomicLong(0)
+        val killFired = new AtomicBoolean(false)
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = Option(j.properties).map(
+              _.getProperty("spark.job.description", "")).getOrElse("")
+            if (desc.startsWith("graft publish"))
+              j.stageIds.foreach(publishStages.add(_))
+          }
+          override def onTaskStart(t: SparkListenerTaskStart): Unit =
+            if (publishStages.contains(t.stageId))
+              writeTasks.incrementAndGet()
+        })
+        val arm: () => Unit = () => {
+          val baseline = writeTasks.get()
+          new Thread(() => {
+            val deadline = System.nanoTime() + 120L * 1000000000L
+            while (writeTasks.get() < baseline + 2 &&
+                System.nanoTime() < deadline) Thread.sleep(5)
+            if (writeTasks.get() >= baseline + 2) {
+              val pids = executorPids(spark.sparkContext.applicationId)
+              pids.headOption.foreach { p =>
+                ProcessHandle.of(p).ifPresent(_.destroyForcibly())
+                killFired.set(true)
+                println(s"[xcluster] killed executor pid=$p " +
+                  s"writeTasks=${writeTasks.get()}")
+              }
+            }
+          }, "graft-fuzz-killer").start()
+        }
+        graft.ingest.SyncFuzzScenario.run(spark, sfDir, seed,
+          m => println(s"[xcluster] $m"), killer = Some((3, arm)))
+        require(killFired.get(),
+          "the armed executor kill never fired — the run is vacuous " +
+            "(publish write tasks did not start within the window?)")
+        println(s"[xcluster] sync-fuzz-kill seed=$seed killFired=true")
+
       case other => sys.error(s"unknown mode $other")
     }
 
