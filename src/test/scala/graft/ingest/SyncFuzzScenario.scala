@@ -395,6 +395,13 @@ object SyncFuzzScenario {
     require(sn == gn && sh == gh,
       s"seed $seed: snapshot diverged from the source bookkeeping: " +
         s"source ($sn, $sh) snapshot ($gn, $gh)")
+    // the decks publish ~28 generations, so retention (keep-24) is live
+    // in every scenario — pin that it bounded history without ever
+    // pruning the generation the pointer serves (genIntegrity above
+    // would have caught that)
+    require(store.listGenerations().size <= 24,
+      s"retention failed to bound history: " +
+        s"${store.listGenerations().size} generations survive")
     log(s"seed $seed: ${deck.size} ops, $nVersions versions, " +
       s"$en rows converged")
   }
