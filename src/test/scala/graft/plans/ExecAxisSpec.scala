@@ -21,7 +21,14 @@ import graft.SparkSpec
   *     the row-by-row parquet read path against the columnar one;
   *   - Kryo (`spark.serializer`) — core conf, JVM-wide, so its dump is
   *     recipe-only (a forked-JVM pin would buy little: builder-time
-  *     core confs don't silently no-op the way renamed SQL confs can).
+  *     core confs don't silently no-op the way renamed SQL confs can);
+  *   - speculative execution (round 11, the fifth axis) — its bite can
+  *     only exist on a multi-host master (Spark never schedules a
+  *     speculative copy on the running attempt's host), so its
+  *     non-vacuity pins live where the hosts are: `graft.Verify` exits
+  *     nonzero if a speculation-flagged dump launched zero attempts,
+  *     and `SpeculativePublishSpec` requires a launched AND completed
+  *     duplicate inside the publish write job.
   *
   * That gate is only as good as the configs actually biting, so this
   * suite pins the bite: the flipped session's executed plan must LOSE
