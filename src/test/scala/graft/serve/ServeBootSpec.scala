@@ -36,6 +36,45 @@ class ServeBootSpec extends SparkSpec {
   private val mapper = new ObjectMapper()
   private val http = HttpClient.newHttpClient()
 
+  test("concurrent cold storm: the backoff bounds store probes across threads") {
+    // the sequential test below pins the behavior; this one pins its
+    // THREAD-SAFETY — 8 request threads hammering a cold reader inside
+    // one frozen backoff window must produce exactly one store probe
+    // (refreshIfStale is synchronized; the cached failure replays), and
+    // every caller must get the typed unavailability, never a raw
+    // parse error or a half-registered catalog
+    val srcDir = Files.createTempDirectory("graft-boot2-src").toString
+    val snapDir = Files.createTempDirectory("graft-boot2-snap").toString
+    Seq((1L, 5L, Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "quantity", "updated_at")
+      .write.parquet(s"$srcDir/inventory.parquet")
+    val store = new SnapshotStore(spark, snapDir)
+    val sync = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), store)
+    assert(sync.runCycle(Instant.parse("2024-11-02T00:00:00Z")).success)
+    store.writeString(store.currentManifestPath, "{torn")
+    val now = Instant.parse("2024-11-02T01:00:00Z")
+    val reader = new SnapshotReader(store, clock = () => now,
+      coldRetryBackoff = Duration.ofSeconds(1))
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      (1 to 50).foreach { _ =>
+        try { reader.refreshIfStale(); outcomes.add("no-throw") }
+        catch {
+          case _: SnapshotUnavailableException => outcomes.add("typed")
+          case e: Throwable => outcomes.add(s"raw:${e.getClass.getName}")
+        }
+      }))
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(outcomes.size == 400, s"threads hung: ${outcomes.size}")
+    val byKind = outcomes.toArray.groupBy(identity).view.mapValues(_.length)
+    assert(byKind.keySet == Set("typed"),
+      s"non-typed outcomes under the storm: ${byKind.toMap}")
+    assert(reader.pointerProbes.get() == 1,
+      s"400-call concurrent storm probed the store " +
+        s"${reader.pointerProbes.get()} times — backoff not thread-safe")
+  }
+
   test("cold boot under a torn pointer: controlled 503s, throttled probes, heal recovers") {
     val srcDir = Files.createTempDirectory("graft-boot-src").toString
     val snapDir = Files.createTempDirectory("graft-boot-snap").toString

