@@ -171,7 +171,8 @@ class LocalClusterSpec extends AnyFunSuite {
     // scenario (beyond-watermark drops) at maxFilesPerTrigger=3 on
     // RocksDB under local-cluster, SIGKILLs an executor mid-flight,
     // and requires the settled output to equal the PURE-MODEL
-    // lifecycle oracle (k-grouped), not merely a clean-run digest
+    // lifecycle oracle (k-grouped), not merely a clean-run digest.
+    // (No testdata assume: the probe stages its own generated scenario.)
     val (code, out) = ForkedJvm.run(
       "graft.tools.LocalClusterProbe",
       Seq("local-cluster[2,4,4096]", "fuzz-kill", "/root/testdata/sf0.01",
