@@ -580,6 +580,7 @@ object LocalClusterProbe {
         require(master.startsWith("local-cluster"),
           "sync-fuzz-kill mode needs real executor JVMs")
         val seed = entries.headOption.map(_.toInt).getOrElse(5)
+        val killAtChurn = entries.lift(1).map(_.toInt).getOrElse(3)
         val publishStages =
           java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
         val writeTasks = new AtomicLong(0)
@@ -614,7 +615,7 @@ object LocalClusterProbe {
           }, "graft-fuzz-killer").start()
         }
         graft.ingest.SyncFuzzScenario.run(spark, sfDir, seed,
-          m => println(s"[xcluster] $m"), killer = Some((3, arm)))
+          m => println(s"[xcluster] $m"), killer = Some((killAtChurn, arm)))
         require(killFired.get(),
           "the armed executor kill never fired — the run is vacuous " +
             "(publish write tasks did not start within the window?)")
