@@ -19,6 +19,14 @@ import graft.model.Manifest
   * the watermark column — the Spark analog of the reference's
   * `updated_at` index, SURVEY.md §1.5). Row counts ride on parquet
   * footer metadata, not a second full scan.
+  *
+  * Contract: ONE publisher per store root. Generation keys are
+  * publish-time timestamps (ms precision), so two concurrent
+  * publishers can collide on a key and interleave writes into the same
+  * generation dir — the same hazard as two reference etl-services
+  * overwriting one DB file. Run a single SyncManager per root
+  * (`runCycle` serializes within a process; cross-process exclusion is
+  * the deployer's job, exactly as in the reference).
   */
 final class SnapshotWriter(store: SnapshotStore) {
 
