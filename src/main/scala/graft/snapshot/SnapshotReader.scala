@@ -61,8 +61,9 @@ final class SnapshotReader(store: SnapshotStore,
     * before the pointer moves (SnapshotWriter orders them), so the
     * last-registered views stay valid. The next TTL lapse retries.
     *
-    * Cold boot inside a torn-pointer window (nothing loaded, pointer
-    * unreadable): retry-with-backoff, not crash-loop. Each failed probe
+    * Cold boot with no adoptable snapshot — pointer torn/unreadable OR
+    * simply absent (fresh deployment, first publish pending): retry-
+    * with-backoff, not crash-loop. Each failed probe
     * raises a typed [[SnapshotUnavailableException]] (the serving layer
     * maps it to 503 + Retry-After) and arms `coldRetryBackoff`; calls
     * inside the backoff window replay the cached failure WITHOUT
@@ -85,7 +86,7 @@ final class SnapshotReader(store: SnapshotStore,
       case Some((t, e))
           if Duration.between(t, now).compareTo(coldRetryBackoff) < 0 =>
         throw new SnapshotUnavailableException(
-          s"snapshot pointer unreadable (retrying with backoff): " +
+          s"snapshot not yet available (retrying with backoff): " +
             s"${e.getMessage}", e)
       case _ => ()
     }
@@ -107,11 +108,27 @@ final class SnapshotReader(store: SnapshotStore,
               s" pointer every cycle): ${e.getMessage}", e)
         }
     }
-    lastColdFailure = None
     read match {
       case Some(m) if !loadedVersion.contains(m.version) =>
+        lastColdFailure = None
         register(m); true
-      case _ => false
+      case Some(_) =>
+        lastColdFailure = None
+        false
+      case None if loadedVersion.isEmpty =>
+        // cold + ABSENT pointer (fresh deployment, nothing published
+        // yet): the same retryable-503 policy as the torn window — a
+        // plain `false` here used to let the query proceed into a raw
+        // "table not found" 500 storm with an unthrottled exists()
+        // probe per request. The publisher's FIRST cycle creates the
+        // pointer, so this too is always transient.
+        val e = new SnapshotUnavailableException(
+          "no snapshot published yet — the publish pointer is absent;" +
+            " transient if a publisher is running (its first cycle" +
+            " creates it)")
+        lastColdFailure = Some((now, e))
+        throw e
+      case None => false // loaded: absent pointer degrades to staleness
     }
   }
 

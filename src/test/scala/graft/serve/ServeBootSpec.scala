@@ -149,6 +149,27 @@ class ServeBootSpec extends SparkSpec {
       store.writeString(store.currentManifestPath, "{torn again")
       val cold2 = new SnapshotReader(store, clock = () => now)
       intercept[SnapshotUnavailableException](cold2.refreshIfStale())
+
+      // an ABSENT pointer at cold boot (fresh deployment, first publish
+      // pending) gets the same retryable policy — previously a raw
+      // "table not found" 500 with an unthrottled exists() probe per
+      // request; probes are bounded by the same backoff
+      assert(store.fs.delete(store.currentManifestPath, false))
+      val cold3 = new SnapshotReader(store, clock = () => now,
+        coldRetryBackoff = Duration.ofSeconds(1))
+      (1 to 20).foreach { _ =>
+        val e = intercept[SnapshotUnavailableException](cold3.refreshIfStale())
+        assert(e.getMessage.contains("publish pointer is absent") ||
+          e.getMessage.contains("not yet available"), e.getMessage)
+      }
+      assert(cold3.pointerProbes.get() == 1,
+        s"absent-cold storm probed ${cold3.pointerProbes.get()} times")
+      // the first publish flips it to served, no restart
+      val r3 = sync.runCycle(Instant.parse("2024-11-01T03:00:00Z"))
+      assert(r3.success, r3.error)
+      now = now.plusMillis(1500)
+      assert(cold3.refreshIfStale(), "first publish was not adopted")
+      assert(cold3.currentManifest.get.version == r3.manifest.get.version)
     } finally api.stop()
   }
 }
