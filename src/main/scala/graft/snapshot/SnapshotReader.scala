@@ -7,11 +7,12 @@ import org.apache.spark.sql.DataFrame
 import graft.model.{MalformedManifest, Manifest}
 
 /** A query arrived while no snapshot generation is loaded AND the
-  * publish pointer is unreadable (torn by a non-atomic foreign writer,
-  * or an IO error) — the cold-boot torn-pointer window. Typed so the
-  * serving layer can answer 503 + Retry-After (a controlled "come back
-  * shortly") instead of a stack-trace 500: the pointer self-heals on
-  * the publisher's next cycle, so this is always transient.
+  * publish pointer yields nothing adoptable — unreadable (torn by a
+  * non-atomic foreign writer, or an IO error) or simply absent (fresh
+  * deployment, first publish pending). Typed so the serving layer can
+  * answer 503 + Retry-After (a controlled "come back shortly") instead
+  * of a stack-trace 500: a running publisher's next cycle writes the
+  * pointer, so this is always transient.
   */
 final class SnapshotUnavailableException(msg: String, cause: Throwable = null)
   extends RuntimeException(msg, cause)
