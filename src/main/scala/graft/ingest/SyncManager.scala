@@ -56,10 +56,11 @@ final class SyncManager(spark: SparkSession, source: Source,
                         store: SnapshotStore, keepCount: Int = 24,
                         mode: SyncMode = SyncMode.FullRebuild,
                         watermarkCol: String = "updated_at",
-                        keyCol: String = "id") {
+                        keyCol: String = "id",
+                        publisherEpoch: Long = 0L) {
 
-  private val writer = new SnapshotWriter(store)
-  private val retention = new Retention(store, keepCount)
+  private val writer = new SnapshotWriter(store, publisherEpoch)
+  private val retention = new Retention(store, keepCount, publisherEpoch)
   private val watermarks = new WatermarkStore(store)
 
   def runCycle(now: Instant = Instant.now()): SyncResult = synchronized {
@@ -176,9 +177,16 @@ final class SyncManager(spark: SparkSession, source: Source,
     }
   }
 
-  /** Scheduled loop (T1): fixed interval, immediate first run, skips
-    * (coalesces) ticks that would overlap a running cycle. Blocking —
-    * callers own the thread; `cycles` bounds it for tests.
+  /** Scheduled loop (T1): immediate first run, then FIXED-DELAY — the
+    * sleep starts AFTER each cycle completes, so the effective period
+    * is cycle-duration + interval (the reference's APScheduler cron
+    * trigger is fixed-RATE with coalesce; under its own semantics the
+    * two are observably equivalent, because a fixed-rate tick that
+    * lands mid-cycle is skipped either way — fixed-delay just never
+    * generates the tick it would have skipped). Deliberate: fixed-delay
+    * guarantees a full `intervalSeconds` of source/store quiet time
+    * between cycles regardless of how long a 100 TB cycle runs.
+    * Blocking — callers own the thread; `cycles` bounds it for tests.
     */
   def runLoop(intervalSeconds: Long, cycles: Int): Seq[SyncResult] =
     (1 to cycles).map { i =>
@@ -189,6 +197,24 @@ final class SyncManager(spark: SparkSession, source: Source,
 }
 
 object SyncManager {
+  /** Claim a publisher epoch strictly greater than anything the store
+    * has seen: current manifest's epoch + 1 (1 for a fresh or pre-epoch
+    * store; a torn pointer reads as pre-epoch — the claimer is about to
+    * become the publisher that heals it). Call ONCE at deployment boot
+    * and construct the SyncManager with the result; the fence then
+    * guarantees that when the new instance publishes, the old one's
+    * next swap/prune refuses (see [[graft.snapshot.SnapshotWriter]]).
+    * Two instances booting concurrently can claim the same epoch — the
+    * claim itself is not CAS; serialize DEPLOYS (which every rolling
+    * deployer does), not cycles.
+    */
+  def claimEpoch(store: graft.snapshot.SnapshotStore): Long = {
+    val cur =
+      try store.readCurrentManifest()
+      catch { case _: graft.model.MalformedManifest => None }
+    cur.map(_.publisherEpoch).getOrElse(0L) + 1L
+  }
+
   /** MERGE INTO as composed plans: previous-generation rows not
     * touched by the delta (left anti on the key) plus the delta
     * (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT).

@@ -14,13 +14,26 @@ import scala.jdk.CollectionConverters._
   * resolve `current/manifest.json` → `history/<key>/<table>` parquet
   * dirs, so a new snapshot becomes visible atomically when the manifest
   * swap lands (SURVEY.md §2.9 T6).
+  *
+  * `publisherEpoch` is the fencing token for the single-publisher
+  * contract: the reference enforces one publisher with APScheduler
+  * `max_instances=1` inside ONE process (etl-service/src/main.py:80-91)
+  * — a multi-node deployment loses that, and a rolling deploy routinely
+  * overlaps an old publisher with its replacement. Each deployment
+  * claims a strictly larger epoch ([[graft.ingest.SyncManager.claimEpoch]]);
+  * the writer refuses to swap the pointer, and retention refuses to
+  * prune, once a manifest with a HIGHER epoch is visible — so a stale
+  * publisher can neither regress the pointer to an older generation nor
+  * GC the generation its successor is serving. Absent in pre-epoch
+  * manifests → 0 (every claimed epoch outranks it).
   */
 final case class Manifest(
     version: String,
     timestamp: String,
     snapshotKey: String,
     tables: Map[String, Long],
-    metadata: Map[String, String] = Map.empty)
+    metadata: Map[String, String] = Map.empty,
+    publisherEpoch: Long = 0L)
 
 /** Parse-shaped manifest failure: the bytes at the pointer are not a
   * complete manifest — invalid JSON (a torn non-atomic overwrite), or
@@ -43,6 +56,7 @@ object Manifest {
     root.put("version", m.version)
     root.put("timestamp", m.timestamp)
     root.put("snapshot_key", m.snapshotKey)
+    root.put("publisher_epoch", m.publisherEpoch)
     val t = root.putObject("tables")
     m.tables.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
     val md = root.putObject("metadata")
@@ -52,10 +66,16 @@ object Manifest {
 
   /** Strict, validated parse: any shape defect — unparseable JSON, a
     * non-object root, a missing or non-string required field, a
-    * non-integral table row count — raises [[MalformedManifest]].
-    * Nothing else is caught or converted: an exception of any other
-    * type escaping this method is by construction a code bug, not a
-    * torn pointer.
+    * non-object `tables`/`metadata`, a non-integral table row count, a
+    * non-textual metadata value, a non-integral or negative
+    * `publisher_epoch` — raises [[MalformedManifest]]. Nothing else is
+    * caught or converted: an exception of any other type escaping this
+    * method is by construction a code bug, not a torn pointer.
+    * A merely ABSENT optional field is fine (`tables`/`metadata` empty,
+    * epoch 0 — pre-epoch manifests); a PRESENT-but-mistyped one is not:
+    * valid-JSON corruption (`"tables": []`) must classify as torn, or
+    * the reader would adopt a zero-table manifest and answer "table not
+    * found" 500s instead of the retryable-503 taxonomy.
     */
   def fromJson(json: String): Manifest = {
     val n = try mapper.readTree(json) catch {
@@ -73,16 +93,29 @@ object Manifest {
           s"manifest is missing required string field '$field'")
       v.asText()
     }
-    def strMap(field: String): Map[String, String] =
-      Option(n.get(field)).collect { case o: ObjectNode =>
-        o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-      }.getOrElse(Map.empty)
+    // present-but-not-an-object is a shape defect, not absence: a
+    // valid-JSON-corrupted pointer must classify as torn
+    def optObject(field: String): Option[ObjectNode] =
+      Option(n.get(field)).map {
+        case o: ObjectNode => o
+        case other => throw new MalformedManifest(
+          s"manifest field '$field' is not a JSON object: " +
+            other.getNodeType.toString)
+      }
+    val epoch = Option(n.get("publisher_epoch")).map { v =>
+      if (!v.isNumber || !v.canConvertToExactIntegral ||
+        !v.canConvertToLong || v.asLong() < 0L)
+        throw new MalformedManifest(
+          "manifest publisher_epoch is not a non-negative integer: " +
+            v.toString)
+      v.asLong()
+    }.getOrElse(0L) // pre-epoch manifest: every claimed epoch outranks it
     Manifest(
       version = reqString("version"),
       timestamp = reqString("timestamp"),
       snapshotKey = reqString("snapshot_key"),
-      tables = Option(n.get("tables")).collect { case o: ObjectNode =>
-        o.properties().asScala.map { e =>
+      tables = optObject("tables").map {
+        _.properties().asScala.map { e =>
           // canConvertToExactIntegral: rejects 1.5 (canConvertToLong
           // alone would silently truncate a fractional count to 1)
           if (!e.getValue.isNumber || !e.getValue.canConvertToExactIntegral
@@ -93,6 +126,15 @@ object Manifest {
           e.getKey -> e.getValue.asLong()
         }.toMap
       }.getOrElse(Map.empty),
-      metadata = strMap("metadata"))
+      metadata = optObject("metadata").map {
+        _.properties().asScala.map { e =>
+          if (!e.getValue.isTextual)
+            throw new MalformedManifest(
+              s"manifest metadata '${e.getKey}' is not a string: " +
+                e.getValue.toString)
+          e.getKey -> e.getValue.asText()
+        }.toMap
+      }.getOrElse(Map.empty),
+      publisherEpoch = epoch)
   }
 }

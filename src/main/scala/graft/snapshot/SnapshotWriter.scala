@@ -4,7 +4,18 @@ import java.time.Instant
 
 import org.apache.spark.sql.DataFrame
 
-import graft.model.Manifest
+import graft.model.{MalformedManifest, Manifest}
+
+/** A publisher observed a manifest carrying a HIGHER publisher epoch
+  * than its own at pointer-swap (or prune) time: a newer deployment has
+  * taken over this store root, and this instance is the stale half of a
+  * deploy overlap. The only safe response is to refuse the mutation —
+  * swapping would regress the pointer to an older generation; pruning
+  * could GC the generation the successor is serving. The stale
+  * instance's cycle fails soft (T7) and the operator retires it.
+  */
+final class StalePublisherException(msg: String)
+  extends RuntimeException(msg)
 
 /** Publishes one snapshot generation (reference sync cycle steps K1-K6,
   * etl-service/src/sync.py:58-157):
@@ -20,15 +31,27 @@ import graft.model.Manifest
   * `updated_at` index, SURVEY.md §1.5). Row counts ride on parquet
   * footer metadata, not a second full scan.
   *
-  * Contract: ONE publisher per store root. Generation keys are
-  * publish-time timestamps (ms precision), so two concurrent
-  * publishers can collide on a key and interleave writes into the same
-  * generation dir — the same hazard as two reference etl-services
-  * overwriting one DB file. Run a single SyncManager per root
-  * (`runCycle` serializes within a process; cross-process exclusion is
-  * the deployer's job, exactly as in the reference).
+  * Contract: ONE publisher per store root, FENCED by `publisherEpoch`.
+  * `runCycle` serializes within a process; across processes the epoch
+  * is the guard the reference's APScheduler `max_instances=1`
+  * (etl-service/src/main.py:80-91) cannot provide once there is more
+  * than one node: each deployment claims a strictly larger epoch
+  * (SyncManager.claimEpoch), the manifest carries it, and the pointer
+  * swap below re-reads the current manifest first — observing a higher
+  * epoch raises [[StalePublisherException]] instead of regressing the
+  * pointer (Retention applies the same guard before pruning). The
+  * read-then-rename pair is not CAS, so two publishers racing INSIDE
+  * the window between read and rename can still interleave once —
+  * but the loser's NEXT cycle observes the winner's epoch and stops,
+  * which closes the deploy-overlap shape (old instance still ticking
+  * while its replacement publishes). Publishers claiming the SAME
+  * epoch are indistinguishable by design — epoch assignment (boot-time
+  * claimEpoch under serialized deploys, or a deployer-issued token) is
+  * where true mutual exclusion lives, exactly like any fencing-token
+  * scheme over a store with no compare-and-swap.
   */
-final class SnapshotWriter(store: SnapshotStore) {
+final class SnapshotWriter(store: SnapshotStore,
+                           publisherEpoch: Long = 0L) {
 
   /** @param partitionBy per-table hive-style partition columns: the
     *   snapshot directory gains `col=value/` subdirs and any query
@@ -96,11 +119,26 @@ final class SnapshotWriter(store: SnapshotStore) {
       timestamp = now.toString, // ISO-8601, reference sync.py:151
       snapshotKey = s"history/$key",
       tables = counts,
-      metadata = Map("engine" -> "seretlspark") ++ metadata)
+      metadata = Map("engine" -> "seretlspark") ++ metadata,
+      publisherEpoch = publisherEpoch)
 
     val json = Manifest.toJson(manifest)
     store.writeString(new org.apache.hadoop.fs.Path(
       store.genDir(key), "manifest.json"), json)
+    // the fence: re-read the pointer IMMEDIATELY before the swap. A
+    // torn pointer proves nothing about epochs (and the swap below is
+    // exactly what heals it); an IO error propagates to T7 fail-soft.
+    val currentEpoch =
+      try store.readCurrentManifest().map(_.publisherEpoch)
+      catch { case _: MalformedManifest => None }
+    currentEpoch.filter(_ > publisherEpoch).foreach { winner =>
+      throw new StalePublisherException(
+        s"refusing to publish generation $key: this publisher's epoch" +
+          s" $publisherEpoch is older than the store's current epoch" +
+          s" $winner — a newer deployment owns this root; the written" +
+          s" generation is left unreferenced (retention collects it)" +
+          s" and the pointer is NOT regressed. Retire this instance.")
+    }
     store.writeString(store.currentManifestPath, json) // the publish
     manifest
   }

@@ -46,11 +46,16 @@ object SyncFuzzScenario {
     val snapDir = Files.createTempDirectory(s"graft-sfz$seed-snap").toString
     val archDir = Files.createTempDirectory(s"graft-sfz$seed-arch").toString
     val store = new SnapshotStore(spark, snapDir)
+    // the deployment's fencing token (fresh store → 1); every manager
+    // below publishes under it, so the stalepub op's epoch-0 publisher
+    // is fenced off exactly as a not-yet-retired old deployment would be
+    val epoch = SyncManager.claimEpoch(store)
     def mergeMgr() = new SyncManager(spark,
-      new ParquetSource(srcDir, Seq("orders")), store, mode = SyncMode.Merge)
+      new ParquetSource(srcDir, Seq("orders")), store, mode = SyncMode.Merge,
+      publisherEpoch = epoch)
     def fullMgr() = new SyncManager(spark,
       new ParquetSource(srcDir, Seq("orders")), store,
-      mode = SyncMode.FullRebuild)
+      mode = SyncMode.FullRebuild, publisherEpoch = epoch)
 
     def source() = spark.read.parquet(s"$srcDir/orders.parquet")
     def replaceSource(next: DataFrame): Unit = {
@@ -198,7 +203,7 @@ object SyncFuzzScenario {
     val deck = rng.shuffle(Seq.fill(8)("churn") ++ Seq.fill(2)("nochange") ++
       Seq.fill(2)("tie") ++ Seq.fill(2)("add") ++ Seq.fill(2)("drop") ++
       Seq("retype") ++ Seq.fill(2)("torn") ++ Seq("absent") ++
-      Seq.fill(2)("failpub"))
+      Seq.fill(2)("failpub") ++ Seq("stalepub") ++ Seq("crashpub"))
     log(s"seed $seed deck: ${deck.mkString(" ")}")
 
     deck.zipWithIndex.foreach { case (op, opIdx) =>
@@ -356,6 +361,76 @@ object SyncFuzzScenario {
             s"retry consumed ${rRetry.changedCounts("orders")} of $nDelta")
           require(storedWm == ts(cycleIdx), "retry lost the watermark")
           genIntegrity()
+
+        case "stalepub" =>
+          // deploy-overlap interleave (r11 verdict item 1): a stale
+          // publisher (lower epoch — the not-yet-retired old deployment)
+          // wakes mid-deck with a fresh delta pending. The fence must
+          // fail its cycle soft — pointer and watermark held, delta NOT
+          // consumed — and the live publisher then lands it exactly once.
+          val wmBefore = storedWm
+          val genBefore = store.readCurrentManifest().get.version
+          val delta = makeDelta(opIdx, None)
+          archive(delta) // lands on the live cycle below
+          val deltaDisk = spark.read.parquet(s"$archDir/v${nVersions - 1}")
+          val nDelta = deltaDisk.count()
+          replaceSource(source()
+            .join(deltaDisk.select("id"), Seq("id"), "left_anti")
+            .unionByName(deltaDisk, allowMissingColumns = true))
+          val staleMgr = new SyncManager(spark,
+            new ParquetSource(srcDir, Seq("orders")), store,
+            mode = SyncMode.Merge, publisherEpoch = epoch - 1)
+          val rStale = staleMgr.runCycle()
+          require(!rStale.success, "a stale publisher's cycle succeeded")
+          require(rStale.error.exists(e => e.contains("StalePublisher") &&
+            e.contains("epoch")),
+            s"stale failure lacks the diagnosis: ${rStale.error}")
+          require(storedWm == wmBefore,
+            "a fenced-off publish advanced the watermark")
+          require(store.readCurrentManifest().get.version == genBefore,
+            "a stale publisher regressed the pointer")
+          val rLive = mergeMgr().runCycle()
+          require(rLive.success, s"live cycle failed: ${rLive.error}")
+          require(rLive.changedCounts("orders") == nDelta,
+            s"live consumed ${rLive.changedCounts("orders")} of $nDelta")
+          require(storedWm == ts(cycleIdx), "live cycle lost the watermark")
+          genIntegrity()
+
+        case "crashpub" =>
+          // crash-orphan (r11 verdict item 2): a publisher dies BETWEEN
+          // the table/gen-manifest writes and the pointer swap — through
+          // the real publish path, crashing exactly at the swap write.
+          // The orphan generation must never be served, the next real
+          // cycle must proceed as if it did not exist, and retention
+          // ages it out like any generation (final ≤24 pin covers that).
+          val genBefore = store.readCurrentManifest().get.version
+          val crashAt = java.time.Instant.now()
+          val orphanKey = SnapshotStore.keyFor(crashAt)
+          val crashStore = new SnapshotStore(spark, snapDir) {
+            override def writeString(p: org.apache.hadoop.fs.Path,
+                                     content: String): Unit = {
+              if (p == currentManifestPath) throw new java.io.IOException(
+                "simulated publisher death at the pointer swap")
+              super.writeString(p, content)
+            }
+          }
+          val died =
+            try {
+              new graft.snapshot.SnapshotWriter(crashStore, epoch)
+                .publish(Map("orders" -> source()), crashAt,
+                  sortCol = Some("updated_at"))
+              false
+            } catch { case _: java.io.IOException => true }
+          require(died, "the crash injection did not fire")
+          require(store.fs.exists(store.genDir(orphanKey)),
+            "orphan generation missing — crash landed before the writes")
+          require(store.readGenerationManifest(orphanKey).nonEmpty,
+            "orphan gen manifest missing")
+          require(store.readCurrentManifest().get.version == genBefore,
+            "a crashed publish moved the pointer")
+          churnCycle(opIdx) // life goes on against the pointer generation
+          require(store.readCurrentManifest().get.version != orphanKey,
+            "the orphan generation got served")
       }
     }
 

@@ -10,7 +10,7 @@ import graft.SparkSpec
   * whose retry crosses a column add, a tie row flushed by a bootstrap
   * instead of a bump).
   *
-  * Per seed, a shuffled 22-op deck guarantees coverage of every op kind
+  * Per seed, a shuffled 24-op deck guarantees coverage of every op kind
   * while fuzzing the interleaving:
   *  - churn: updates + inserts, fresh MERGE manager per cycle
   *    (watermark durability is part of the claim);
@@ -28,7 +28,14 @@ import graft.SparkSpec
   *    its publish self-heals the pointer;
   *  - failpub: the previous generation is damaged so the publish
   *    fails AFTER change detection — watermark and pointer must hold,
-  *    the repaired retry must land the delta exactly once.
+  *    the repaired retry must land the delta exactly once;
+  *  - stalepub: a lower-epoch publisher (the not-yet-retired half of a
+  *    deploy overlap) attempts a cycle with a delta pending — the
+  *    fence fails it soft, pointer/watermark hold, the live publisher
+  *    lands the delta exactly once;
+  *  - crashpub: a publisher dies between the generation writes and the
+  *    pointer swap (real publish path, crash injected at the swap) —
+  *    the orphan generation is never served and ages out of retention.
   *
   * Oracle: latest-version-per-id over the archived delta history (a
   * window-rank formulation sharing no code with SyncManager's

@@ -14,7 +14,8 @@ class ManifestSpec extends AnyFunSuite {
     key <- nameGen
     tables <- Gen.mapOf(Gen.zip(nameGen, Gen.choose(0L, Long.MaxValue)))
     meta <- Gen.mapOf(Gen.zip(nameGen, nameGen))
-  } yield Manifest(version, ts, key, tables, meta)
+    epoch <- Gen.choose(0L, Long.MaxValue)
+  } yield Manifest(version, ts, key, tables, meta, epoch)
 
   test("property: JSON round-trip is the identity") {
     val res = SCTest.check(
@@ -26,9 +27,12 @@ class ManifestSpec extends AnyFunSuite {
   }
 
   test("missing optional fields tolerate absence") {
+    // pre-epoch manifests (no publisher_epoch) parse with epoch 0, so
+    // every claimed epoch (≥1) outranks them — back-compat is what
+    // makes the fence adoptable on a store with existing history
     val m = Manifest.fromJson(
       """{"version":"v1","timestamp":"t","snapshot_key":"k"}""")
-    assert(m.tables.isEmpty && m.metadata.isEmpty)
+    assert(m.tables.isEmpty && m.metadata.isEmpty && m.publisherEpoch == 0L)
   }
 
   test("strict parse: every shape defect is a typed MalformedManifest") {
@@ -55,7 +59,26 @@ class ManifestSpec extends AnyFunSuite {
       """{"version":"v1","timestamp":"t","snapshot_key":"k","tables":{"a":"x"}}""" ->
         "non-integral row count",
       """{"version":"v1","timestamp":"t","snapshot_key":"k","tables":{"a":1.5}}""" ->
-        "fractional row count")
+        "fractional row count",
+      // valid-JSON corruption: present-but-mistyped optional fields
+      // must classify as torn, not parse as a zero-table manifest the
+      // reader would adopt (r11 ADVICE low)
+      """{"version":"v1","timestamp":"t","snapshot_key":"k","tables":[]}""" ->
+        "tables is an array, not an object",
+      """{"version":"v1","timestamp":"t","snapshot_key":"k","tables":"x"}""" ->
+        "tables is a string",
+      """{"version":"v1","timestamp":"t","snapshot_key":"k","metadata":[1]}""" ->
+        "metadata is an array",
+      """{"version":"v1","timestamp":"t","snapshot_key":"k","metadata":{"a":7}}""" ->
+        "non-textual metadata value",
+      """{"version":"v1","timestamp":"t","snapshot_key":"k","metadata":{"a":null}}""" ->
+        "null metadata value",
+      """{"version":"v1","timestamp":"t","snapshot_key":"k","publisher_epoch":"x"}""" ->
+        "non-numeric publisher_epoch",
+      """{"version":"v1","timestamp":"t","snapshot_key":"k","publisher_epoch":1.5}""" ->
+        "fractional publisher_epoch",
+      """{"version":"v1","timestamp":"t","snapshot_key":"k","publisher_epoch":-1}""" ->
+        "negative publisher_epoch")
     defects.foreach { case (json, what) =>
       val e = intercept[Exception](Manifest.fromJson(json))
       assert(e.isInstanceOf[MalformedManifest],
