@@ -50,8 +50,11 @@ object Verify {
     // attempt must actually have launched — otherwise the "axis" dump
     // is just a slow baseline re-run proving nothing. Exit nonzero so
     // the gate recipe cannot record a vacuous pass.
-    val speculationOn =
-      spark.conf.getOption("spark.speculation").contains("true")
+    // case-insensitive: SPARK_GRAFT_EXTRA_CONFS='spark.speculation=TRUE'
+    // must arm the guard too — Spark parses the conf with toBoolean
+    // semantics, so the guard must match or it silently disarms
+    val speculationOn = spark.conf.getOption("spark.speculation")
+      .exists(_.trim.equalsIgnoreCase("true"))
     val speculativeTasks = new java.util.concurrent.atomic.AtomicLong(0)
     if (speculationOn)
       spark.sparkContext.addSparkListener(
@@ -89,15 +92,30 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     if (speculationOn) {
-      // listener events are posted async (no public drain API); give
-      // the bus a moment before counting
-      Thread.sleep(2000)
+      // listener events are posted async (no public drain API): poll
+      // instead of a fixed sleep — one attempt is enough to prove
+      // non-vacuity, so break as soon as any is counted; a genuinely
+      // vacuous run waits out the full window (rare, axis runs only)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (speculativeTasks.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(500)
       System.err.println(
         s"[verify] speculativeTasks=${speculativeTasks.get()}")
       if (speculativeTasks.get() == 0) {
         System.err.println("[verify] speculation axis was VACUOUS — no " +
           "speculative attempt ever launched (local master? multiplier/" +
           "quantile too lax?)")
+        // a vacuous dump must not be comparable even by a gate that
+        // ignores the exit code: remove the dump and leave a marker
+        // file AT the outDir path (any parquet read of it fails loudly)
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmRf))
+          f.delete()
+        }
+        rmRf(new java.io.File(outDir))
+        Files.writeString(Paths.get(outDir),
+          "VACUOUS: speculation axis launched zero speculative attempts;" +
+            " this dump was deleted — do not compare\n")
         spark.stop()
         sys.exit(3)
       }

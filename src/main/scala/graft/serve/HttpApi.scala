@@ -70,10 +70,14 @@ final class HttpApi(engine: QueryEngine,
         // cold-boot torn-pointer window: a controlled, retryable 503 —
         // the publisher's next cycle rewrites the pointer, so clients
         // should simply come back (no stack-trace 500 storm, and the
-        // reader's backoff caps pointer reads at one per second however
-        // hard clients hammer us)
+        // reader's backoff caps pointer reads at one per backoff period
+        // however hard clients hammer us). Retry-After echoes the
+        // reader's CONFIGURED backoff — advising a shorter retry than
+        // the backoff window schedules clients into guaranteed
+        // cached-failure 503s that still burn rate-limit tokens.
         case e: graft.snapshot.SnapshotUnavailableException =>
-          ex.getResponseHeaders.set("Retry-After", "1")
+          ex.getResponseHeaders.set("Retry-After",
+            e.retryAfterSeconds.toString)
           (503, err(s"Snapshot temporarily unavailable: ${e.getMessage}"))
         case e: Exception => (500, err(s"Internal error: ${e.getMessage}"))
       }

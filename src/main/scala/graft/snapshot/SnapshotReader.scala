@@ -13,8 +13,16 @@ import graft.model.{MalformedManifest, Manifest}
   * answer 503 + Retry-After (a controlled "come back shortly") instead
   * of a stack-trace 500: a running publisher's next cycle writes the
   * pointer, so this is always transient.
+  *
+  * `retryAfterSeconds` carries the reader's CONFIGURED cold-retry
+  * backoff (ceiled to whole seconds, floor 1) so the HTTP layer's
+  * Retry-After header tells clients the truth: with a hardcoded "1"
+  * and a 30 s backoff, 29 of every 30 advised retries would burn a
+  * rate-limit token on a replayed cached failure.
   */
-final class SnapshotUnavailableException(msg: String, cause: Throwable = null)
+final class SnapshotUnavailableException(msg: String,
+                                         cause: Throwable = null,
+                                         val retryAfterSeconds: Long = 1L)
   extends RuntimeException(msg, cause)
 
 /** Serving-side snapshot resolution with the reference's freshness
@@ -32,6 +40,12 @@ final class SnapshotReader(store: SnapshotStore,
                            ttl: Duration = Duration.ofSeconds(120),
                            clock: () => Instant = () => Instant.now(),
                            coldRetryBackoff: Duration = Duration.ofSeconds(1)) {
+
+  // what Retry-After should advise: the next probe is no sooner than
+  // the backoff, so advising anything shorter schedules guaranteed
+  // cache-hit failures
+  private val retryAfterSeconds: Long =
+    math.max(1L, (coldRetryBackoff.toMillis + 999L) / 1000L)
 
   @volatile private var loadedVersion: Option[String] = None
   @volatile private var loadedAt: Option[Instant] = None
@@ -73,10 +87,19 @@ final class SnapshotReader(store: SnapshotStore,
     * The pointer self-heals on the publisher's next cycle; the first
     * probe after it does loads and serves normally.
     *
-    * Only parse-shaped (MalformedManifest) and IO failures degrade/
-    * backoff — anything else (an NPE from a genuine bug) propagates;
-    * blanket-catching it would serve stale data forever while hiding
-    * the bug.
+    * Failure typing is asymmetric by state (r11 ADVICE):
+    *  - WHILE LOADED, any non-fatal refresh failure degrades to serving
+    *    the loaded generation as stale, LOGGED — store clients (Hadoop
+    *    s3a, object-store SDK shims) surface transient faults as
+    *    RuntimeException subclasses no taxonomy can enumerate, and
+    *    flipping a working deployment from "stale for one TTL" to
+    *    "500 per query" over an unrecognized exception class is the
+    *    wrong trade. The log line keeps a genuine bug from hiding: it
+    *    prints every TTL lapse until fixed.
+    *  - COLD, only parse-shaped (MalformedManifest) and IO failures
+    *    backoff into the retryable 503 — anything else propagates.
+    *    With nothing loaded there is no safe degraded state, so a bug
+    *    must surface as a bug, not masquerade as "not published yet".
     */
   def refreshIfStale(): Boolean = synchronized {
     val now = clock()
@@ -88,7 +111,7 @@ final class SnapshotReader(store: SnapshotStore,
           if Duration.between(t, now).compareTo(coldRetryBackoff) < 0 =>
         throw new SnapshotUnavailableException(
           s"snapshot not yet available (retrying with backoff): " +
-            s"${e.getMessage}", e)
+            s"${e.getMessage}", e, retryAfterSeconds)
       case _ => ()
     }
     loadedAt = Some(now)
@@ -106,8 +129,21 @@ final class SnapshotReader(store: SnapshotStore,
           throw new SnapshotUnavailableException(
             s"no snapshot loaded and the publish pointer is unreadable" +
               s" — transient if a publisher is running (it rewrites the" +
-              s" pointer every cycle): ${e.getMessage}", e)
+              s" pointer every cycle): ${e.getMessage}", e,
+            retryAfterSeconds)
         }
+      // loaded + an exception outside the taxonomy (store-client shims
+      // wrap IO faults in RuntimeExceptions): degrade to stale, loudly
+      // — a genuine bug keeps printing every TTL lapse, but a working
+      // deployment never flips to a 500 storm over a refresh blip
+      case e if loadedVersion.nonEmpty &&
+          scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[snapshot] WARNING: manifest refresh failed with " +
+            s"${e.getClass.getName}: ${e.getMessage} — continuing to " +
+            s"serve loaded generation ${loadedVersion.get} as stale; " +
+            "if this is not a transient store fault, it is a bug")
+        None
     }
     read match {
       case Some(m) if !loadedVersion.contains(m.version) =>
@@ -126,7 +162,7 @@ final class SnapshotReader(store: SnapshotStore,
         val e = new SnapshotUnavailableException(
           "no snapshot published yet — the publish pointer is absent;" +
             " transient if a publisher is running (its first cycle" +
-            " creates it)")
+            " creates it)", null, retryAfterSeconds)
         lastColdFailure = Some((now, e))
         throw e
       case None => false // loaded: absent pointer degrades to staleness

@@ -75,6 +75,43 @@ class ServeBootSpec extends SparkSpec {
         s"${reader.pointerProbes.get()} times — backoff not thread-safe")
   }
 
+  test("Retry-After derives from the configured cold-retry backoff") {
+    // r11 verdict item 4 / ADVICE low: a hardcoded Retry-After of 1
+    // with a 30 s backoff tells clients to retry 30× per window — 29
+    // of them replayed cached failures that still burn rate-limit
+    // tokens. The header must echo the reader's configured backoff.
+    val snapDir = Files.createTempDirectory("graft-ra-snap").toString
+    val store = new SnapshotStore(spark, snapDir) // nothing ever published
+    val now = Instant.parse("2024-11-03T00:00:00Z")
+
+    // exception-level: ceil to whole seconds, floor 1
+    val r30 = new SnapshotReader(store, clock = () => now,
+      coldRetryBackoff = Duration.ofMillis(29500))
+    assert(intercept[SnapshotUnavailableException](r30.refreshIfStale())
+      .retryAfterSeconds == 30L)
+    val rSub = new SnapshotReader(store, clock = () => now,
+      coldRetryBackoff = Duration.ofMillis(250))
+    assert(intercept[SnapshotUnavailableException](rSub.refreshIfStale())
+      .retryAfterSeconds == 1L)
+
+    // HTTP-level: the header is the reader's value, end to end
+    val reader = new SnapshotReader(store, clock = () => now,
+      coldRetryBackoff = Duration.ofSeconds(30))
+    val api = new HttpApi(new QueryEngine(spark, reader),
+      rateLimiter = new RateLimiter(maxRequests = 100000))
+    val port = api.start()
+    try {
+      val r = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query?q=" +
+          java.net.URLEncoder.encode(
+            "SELECT id, name FROM inventory ORDER BY id", "UTF-8")))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 503, s"${r.statusCode()}: ${r.body()}")
+      assert(r.headers().firstValue("Retry-After").orElse("") == "30",
+        s"Retry-After did not echo the configured backoff: ${r.headers()}")
+    } finally api.stop()
+  }
+
   test("cold boot under a torn pointer: controlled 503s, throttled probes, heal recovers") {
     val srcDir = Files.createTempDirectory("graft-boot-src").toString
     val snapDir = Files.createTempDirectory("graft-boot-snap").toString

@@ -159,6 +159,60 @@ class SnapshotSyncSpec extends SparkSpec {
     intercept[Exception](cold.refreshIfStale())
   }
 
+  test("loaded reader degrades to stale on a NON-taxonomy refresh failure; cold propagates it") {
+    // r11 ADVICE: object-store client shims (Hadoop s3a wrappers) can
+    // surface transient faults as RuntimeExceptions outside the
+    // MalformedManifest|IOException taxonomy. WHILE LOADED that must
+    // degrade to serving the loaded generation as stale (logged), not
+    // flip a working deployment into a per-query 500 storm; COLD it
+    // must propagate — with nothing loaded there is no safe degraded
+    // state, and masking a bug as "not published yet" would hide it.
+    val srcDir = Files.createTempDirectory("graft-flaky-src").toString
+    val snapDir = Files.createTempDirectory("graft-flaky-snap").toString
+    Seq((1L, 5L, 9.99, ts("2024-01-01 00:00:00")))
+      .toDF("id", "quantity", "price", "updated_at")
+      .write.parquet(s"$srcDir/inventory.parquet")
+    val plain = new SnapshotStore(spark, snapDir)
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), plain)
+    assert(mgr.runCycle(Instant.parse("2024-08-02T00:00:00Z")).success)
+
+    class FlakyStore extends SnapshotStore(spark, snapDir) {
+      @volatile var boom = false
+      override def readCurrentManifest(): Option[graft.model.Manifest] =
+        if (boom) throw new RuntimeException("shim-wrapped store fault")
+        else super.readCurrentManifest()
+    }
+    val store = new FlakyStore
+    var now = Instant.parse("2024-08-02T01:00:00Z")
+    val reader = new SnapshotReader(store,
+      ttl = java.time.Duration.ofSeconds(120), clock = () => now)
+    assert(reader.refreshIfStale())
+    val v1 = reader.currentManifest.get.version
+
+    store.boom = true
+    now = now.plusSeconds(300) // TTL lapse with the store faulting
+    assert(!reader.refreshIfStale(),
+      "a faulting refresh while loaded must degrade, not flip views")
+    assert(reader.currentManifest.get.version == v1,
+      "degraded refresh lost the loaded generation")
+
+    store.boom = false
+    now = now.plusSeconds(300) // fault clears: refresh resumes normally
+    assert(!reader.refreshIfStale() &&
+      reader.currentManifest.get.version == v1)
+
+    // cold: the same fault must PROPAGATE as itself, not classify as
+    // the retryable 503 (SnapshotUnavailableException is a RuntimeException
+    // subclass, so assert the exact class)
+    store.boom = true
+    val cold = new SnapshotReader(store, clock = () => now)
+    val e = intercept[RuntimeException](cold.refreshIfStale())
+    assert(e.getClass == classOf[RuntimeException] &&
+      e.getMessage.contains("shim-wrapped"),
+      s"cold non-taxonomy fault surfaced as ${e.getClass.getName}")
+  }
+
   test("publish ordering: pointer swap is last — a failed swap leaves a complete generation") {
     // pin the ordering the reader contract above depends on: if the
     // POINTER write fails, the generation's parquet data and per-gen
