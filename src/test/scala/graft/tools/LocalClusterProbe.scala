@@ -66,6 +66,33 @@ class StateBackendEchoListener extends StreamingQueryListener {
   */
 object LocalClusterProbe {
 
+  /** Plants a straggler INSIDE the publish write stage: the
+    * repartition puts the mapPartitions after the exchange, so the
+    * sleeping task is one of the stage's actual file-writing tasks;
+    * sleeping only on the FIRST attempt makes the speculative
+    * duplicate deterministically finish first (sync-spec), and gives
+    * sync-spec-kill a long, known window in which the original
+    * attempt is provably still running when its executor is killed.
+    */
+  private final class StragglerSource(inner: graft.ingest.Source,
+                                      sleepMs: Long = 8000)
+      extends graft.ingest.Source {
+    def tableNames: Seq[String] = inner.tableNames
+    def read(s: SparkSession, table: String):
+        org.apache.spark.sql.DataFrame = {
+      val df = inner.read(s, table).repartition(8)
+      // local copy: referencing the field would capture `this` (not
+      // serializable) in the task closure
+      val sleep = sleepMs
+      df.mapPartitions { it =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber() == 0 &&
+          tc.partitionId() == 3) Thread.sleep(sleep)
+        it
+      }(org.apache.spark.sql.Encoders.row(df.schema))
+    }
+  }
+
   private def digestOf(spark: SparkSession, name: String,
                        sfDir: String): (Long, String, Double) = {
     val t0 = System.nanoTime()
@@ -100,6 +127,23 @@ object LocalClusterProbe {
       }
       .map(_.getName.toLong)
 
+  /** PID of the executor JVM with a specific executor id (the backend
+    * cmdline carries `--executor-id <id>`), for targeted kills.
+    */
+  private def executorPidFor(appId: String, execId: String): Option[Long] =
+    Option(new java.io.File("/proc").listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(_.getName.forall(_.isDigit))
+      .find { d =>
+        val cl = try {
+          new String(java.nio.file.Files.readAllBytes(
+            d.toPath.resolve("cmdline"))).replace('\u0000', ' ')
+        } catch { case _: Exception => "" }
+        cl.contains("CoarseGrainedExecutorBackend") && cl.contains(appId) &&
+          cl.contains(s"--executor-id $execId ")
+      }
+      .map(_.getName.toLong)
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: LocalClusterProbe <master> <digest|kill|sync-kill> <sfDir> [entry...]")
@@ -129,7 +173,7 @@ object LocalClusterProbe {
         .config("spark.executor.extraClassPath",
           System.getProperty("java.class.path"))
     }
-    if (mode == "sync-spec") {
+    if (mode == "sync-spec" || mode == "sync-spec-kill") {
       // aggressive speculation (core confs — must land before the
       // context starts): ANY task slower than the fastest 5% duplicates
       // after 20 ms. minTaskRuntime=0 and efficiency.enabled=false are
@@ -373,26 +417,6 @@ object LocalClusterProbe {
         seed.write.parquet(s"$srcDir/orders.parquet")
         val n0 = spark.read.parquet(s"$srcDir/orders.parquet").count()
 
-        /** Plants a straggler INSIDE the publish write stage: the
-          * repartition puts the mapPartitions after the exchange, so
-          * the sleeping task is one of the stage's actual file-writing
-          * tasks; sleeping only on the FIRST attempt makes the
-          * speculative duplicate deterministically finish first.
-          */
-        final class StragglerSource(inner: graft.ingest.Source)
-            extends graft.ingest.Source {
-          def tableNames: Seq[String] = inner.tableNames
-          def read(s: SparkSession, table: String):
-              org.apache.spark.sql.DataFrame = {
-            val df = inner.read(s, table).repartition(8)
-            df.mapPartitions { it =>
-              val tc = org.apache.spark.TaskContext.get()
-              if (tc != null && tc.attemptNumber() == 0 &&
-                tc.partitionId() == 3) Thread.sleep(8000)
-              it
-            }(org.apache.spark.sql.Encoders.row(df.schema))
-          }
-        }
         val store = new SnapshotStore(spark, snapDir)
         def manager() = new SyncManager(spark,
           new StragglerSource(new ParquetSource(srcDir, Seq("orders"))),
@@ -478,6 +502,144 @@ object LocalClusterProbe {
         println(s"[xcluster] spec started=${specStarted.get()} " +
           s"succeeded=${specSucceeded.get()} rows=$n0 " +
           s"gen1=${cm1.version} gen2=${cm2.version}")
+
+      case "sync-spec-kill" =>
+        // Speculation × executor loss COMBINED (r11 verdict item 6):
+        // the two-host rig proves speculation, the SIGKILL probes prove
+        // executor loss — this mode crosses them at the sharpest point:
+        // while the planted straggler's ORIGINAL attempt is sleeping in
+        // the publish write stage and its speculative copy is in flight
+        // on the OTHER host, SIGKILL the executor hosting the original.
+        // The commit race now has a racer that DIES (taking its
+        // executor and any sibling write tasks with it) instead of
+        // merely losing. Accepts either documented arm — recovered (the
+        // speculative copy + relaunched executor complete the job) or
+        // failed-soft (nothing published, retry lands clean) — and in
+        // both requires the adopted generation to read back at exactly
+        // its manifest count with unique ids.
+        require(master.startsWith("spark://"),
+          "sync-spec-kill needs a multi-host standalone master " +
+            "(speculative copies never schedule on the original's host)")
+        import graft.ingest.{ParquetSource, SyncManager, SyncMode}
+        import graft.snapshot.SnapshotStore
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft-xsk-src").toString
+        val snapDir = java.nio.file.Files
+          .createTempDirectory("graft-xsk-snap").toString
+        val seed = graft.core.Tables.load(spark, sfDir, "orders")
+          .select(F.col("o_orderkey").as("id"),
+            F.col("o_orderdate").cast("timestamp").as("updated_at"),
+            F.col("o_custkey"), F.col("o_totalprice"))
+        seed.write.parquet(s"$srcDir/orders.parquet")
+        val n0 = spark.read.parquet(s"$srcDir/orders.parquet").count()
+        val store = new SnapshotStore(spark, snapDir)
+        // 20 s straggler: the original attempt is provably still
+        // sleeping when the kill lands (the spec copy launches ~20 ms
+        // after the fast 95% finish)
+        def manager(straggle: Boolean) = new SyncManager(spark,
+          if (straggle) new StragglerSource(
+            new ParquetSource(srcDir, Seq("orders")), sleepMs = 20000)
+          else new ParquetSource(srcDir, Seq("orders")),
+          store, mode = SyncMode.Merge)
+
+        val publishStages =
+          java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+        // (stageId, partition index) -> executorId of the ORIGINAL
+        // (non-speculative) attempt, so the kill can target its host
+        val origExec = new java.util.concurrent.ConcurrentHashMap[
+          (Int, Int), String]()
+        val specStarted = new AtomicLong(0)
+        val specSucceeded = new AtomicLong(0)
+        val killFired = new AtomicBoolean(false)
+        @volatile var killedExec: String = ""
+        val appId = spark.sparkContext.applicationId
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = Option(j.properties).map(
+              _.getProperty("spark.job.description", "")).getOrElse("")
+            if (desc.startsWith("graft publish"))
+              j.stageIds.foreach(publishStages.add(_))
+          }
+          override def onTaskStart(t: SparkListenerTaskStart): Unit =
+            if (publishStages.contains(t.stageId)) {
+              if (!t.taskInfo.speculative)
+                origExec.put((t.stageId, t.taskInfo.index),
+                  t.taskInfo.executorId)
+              else {
+                specStarted.incrementAndGet()
+                // the copy is in flight on the other host: kill the
+                // original's executor, once, off the listener thread
+                val victim = origExec.get((t.stageId, t.taskInfo.index))
+                if (victim != null && victim != t.taskInfo.executorId &&
+                  killFired.compareAndSet(false, true)) {
+                  killedExec = victim
+                  new Thread(() => {
+                    executorPidFor(appId, victim) match {
+                      case Some(pid) =>
+                        ProcessHandle.of(pid).ifPresent(_.destroyForcibly())
+                        println(s"[xcluster] killed original-attempt " +
+                          s"executor id=$victim pid=$pid while its " +
+                          s"speculative copy ran on ${t.taskInfo.executorId}")
+                      case None =>
+                        killFired.set(false) // pid gone already; not our kill
+                        println(s"[xcluster] executor $victim JVM not " +
+                          "found for targeted kill")
+                    }
+                  }, "graft-spec-killer").start()
+                }
+              }
+            }
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (publishStages.contains(e.stageId) &&
+              e.taskInfo.speculative && e.taskInfo.successful)
+              specSucceeded.incrementAndGet()
+        })
+
+        val r1 = manager(straggle = true).runCycle()
+        Thread.sleep(2000) // listener bus drain (no public API)
+        println(s"[xcluster] spec started=${specStarted.get()} " +
+          s"succeeded=${specSucceeded.get()} killFired=${killFired.get()} " +
+          s"killedExec=$killedExec cycleSucceeded=${r1.success}")
+        require(specStarted.get() >= 1,
+          "no speculative attempt launched — the combined run is vacuous")
+        require(killFired.get(),
+          "the targeted executor kill never fired — the combined run " +
+            "is vacuous (original attempt's executor not identified?)")
+
+        if (r1.success) {
+          // recovered arm: speculative copy + relaunched executor
+          // completed the publish — contract must be exact
+          val cm = store.readCurrentManifest().get
+          require(cm.version == r1.manifest.get.version)
+          val g = spark.read.parquet(
+            store.tableDir(cm.version, "orders").toString)
+          require(g.count() == cm.tables("orders") &&
+            cm.tables("orders") == n0,
+            s"recovered publish wrong: manifest=${cm.tables("orders")} " +
+              s"parquet=${g.count()} seed=$n0")
+          require(g.select("id").distinct().count() == n0,
+            "duplicate rows landed under speculation + executor loss")
+        } else {
+          // failed-soft arm: nothing adopted, retry publishes clean
+          println(s"[xcluster] cycle failed soft (${r1.error.getOrElse("")})" +
+            "; retrying without the straggler")
+          require(store.readCurrentManifest().isEmpty,
+            "a failed bootstrap cycle left an adopted pointer")
+          val r2 = manager(straggle = false).runCycle()
+          require(r2.success, s"retry failed: ${r2.error}")
+          val cm = store.readCurrentManifest().get
+          val g = spark.read.parquet(
+            store.tableDir(cm.version, "orders").toString)
+          require(g.count() == cm.tables("orders") &&
+            cm.tables("orders") == n0 &&
+            g.select("id").distinct().count() == n0,
+            s"retry publish wrong: manifest=${cm.tables("orders")} " +
+              s"parquet=${g.count()} seed=$n0")
+        }
+        println(s"[xcluster] sync-spec-kill arm=" +
+          s"${if (r1.success) "recovered" else "failed-soft"} rows=$n0")
 
       case "fuzz-kill" =>
         // The last untested interaction (r10 verdict item 7): RocksDB

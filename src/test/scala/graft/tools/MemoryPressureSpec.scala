@@ -86,15 +86,25 @@ class MemoryPressureSpec extends AnyFunSuite {
     // the tight heaps are deliberately at the edge; under full-suite
     // parallelism (several other suites fork 3-4g JVMs concurrently)
     // scheduler contention can shift spill pacing enough to tip a run
-    // over. One retry keeps the flake out of the gate while a GENUINE
-    // memory regression — deterministic for a fixed heap — still fails
-    // both attempts.
+    // over. One retry keeps that flake out of the gate — but ONLY for
+    // an OOM-shaped first failure (the contention mode): any other
+    // failure (wrong digest, probe crash, missing entry) is a real
+    // defect and fails immediately, so the retry cannot launder it
+    // (r11 ADVICE low). A GENUINE memory regression — deterministic
+    // for a fixed heap — still fails both attempts.
     def runTight(heap: String, entries: Seq[String], what: String) = {
       val first = runProbe(heap, entries)
       if (first._1 == 0) first
       else {
-        info(s"$what probe at $heap exited ${first._1} once; retrying " +
-          "(suite-parallel contention is the known benign cause)")
+        val oomShaped = Seq("OutOfMemoryError", "Java heap space",
+          "GC overhead limit", "SparkOutOfMemory", "Direct buffer memory",
+          "Killed").exists(first._2.contains)
+        assert(oomShaped,
+          s"$what probe at $heap failed NON-OOM-shaped (exit " +
+            s"${first._1}) — not heap contention, not retryable:\n" +
+            first._2.takeRight(4000))
+        info(s"$what probe at $heap OOMed once (exit ${first._1}); " +
+          "retrying — suite-parallel contention is the known benign cause")
         runProbe(heap, entries)
       }
     }

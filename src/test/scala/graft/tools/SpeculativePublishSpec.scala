@@ -107,6 +107,26 @@ class SpeculativePublishSpec extends AnyFunSuite {
       assert(started >= 1 && succeeded >= 1,
         s"vacuous run: started=$started succeeded=$succeeded")
       out.linesIterator.filter(_.startsWith("[xcluster]")).foreach(info(_))
+
+      // ── speculation × executor loss COMBINED (r11 verdict item 6):
+      // same rig, second probe app — SIGKILL the executor hosting the
+      // straggler's ORIGINAL attempt while its speculative copy runs on
+      // the other host; either documented arm must leave an exact,
+      // unique-id generation. Non-vacuity (≥1 speculative attempt AND
+      // the targeted kill fired) is asserted inside the probe and
+      // re-pinned here. The worker survives its executor's death and
+      // relaunches one, so the rig is reusable across probe apps.
+      val (code2, out2) = ForkedJvm.run("graft.tools.LocalClusterProbe",
+        Seq(url, "sync-spec-kill", sf), heap = "4g",
+        extraEnv = Seq("SPARK_SCALA_VERSION" -> "2.13",
+          "SPARK_LOCAL_HOSTNAME" -> "127.0.0.1"))
+      assert(code2 == 0 && out2.contains("XCLUSTER_OK"),
+        s"sync-spec-kill probe failed:\n${out2.takeRight(5000)}")
+      val kc = """spec started=(\d+) succeeded=\d+ killFired=(\w+)""".r
+        .findFirstMatchIn(out2)
+      assert(kc.exists(m => m.group(1).toInt >= 1 && m.group(2) == "true"),
+        s"combined run vacuous:\n${out2.takeRight(3000)}")
+      out2.linesIterator.filter(_.startsWith("[xcluster]")).foreach(info(_))
     } finally {
       workers.foreach(_.destroy())
       master.destroy()
