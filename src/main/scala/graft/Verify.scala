@@ -113,9 +113,17 @@ object Verify {
           f.delete()
         }
         rmRf(new java.io.File(outDir))
-        Files.writeString(Paths.get(outDir),
+        val markerText =
           "VACUOUS: speculation axis launched zero speculative attempts;" +
-            " this dump was deleted — do not compare\n")
+            " this dump was deleted — do not compare\n"
+        // if rmRf couldn't fully delete (open handle, permission), the
+        // path is still a directory and writeString AT it would throw —
+        // leaving the partially-intact dump unmarked, the exact
+        // exit-code-ignoring-gate hole the marker exists to plug. Fall
+        // back to planting the marker INSIDE the survivor.
+        if (new java.io.File(outDir).isDirectory)
+          Files.writeString(Paths.get(outDir, "VACUOUS"), markerText)
+        else Files.writeString(Paths.get(outDir), markerText)
         spark.stop()
         sys.exit(3)
       }

@@ -198,22 +198,72 @@ final class SyncManager(spark: SparkSession, source: Source,
 
 object SyncManager {
   /** Claim a publisher epoch strictly greater than anything the store
-    * has seen: current manifest's epoch + 1 (1 for a fresh or pre-epoch
-    * store; a torn pointer reads as pre-epoch — the claimer is about to
-    * become the publisher that heals it). Call ONCE at deployment boot
-    * and construct the SyncManager with the result; the fence then
-    * guarantees that when the new instance publishes, the old one's
-    * next swap/prune refuses (see [[graft.snapshot.SnapshotWriter]]).
-    * Two instances booting concurrently can claim the same epoch — the
-    * claim itself is not CAS; serialize DEPLOYS (which every rolling
-    * deployer does), not cycles.
+    * has seen. Call ONCE at deployment boot and construct the
+    * SyncManager with the result; the fence then guarantees that when
+    * the new instance publishes, the old one's next swap/prune refuses
+    * (see [[graft.snapshot.SnapshotWriter]]).
+    *
+    * The floor is the max over THREE epoch records, not just the
+    * pointer:
+    *  - the current manifest (the common case);
+    *  - every parseable `history/<key>/manifest.json` — so a TORN
+    *    pointer does NOT read as pre-epoch. Generation manifests are
+    *    written atomically before every swap, so a live higher-epoch
+    *    publisher is still visible through them; reading a torn
+    *    pointer as epoch 0 would hand the replacement a LOWER epoch
+    *    than the stale instance it must outrank — the stale publisher's
+    *    next swap would then permanently fence the replacement out,
+    *    the exact inversion of what the fence is for;
+    *  - existing claim markers under `epochs/` (a prior boot may have
+    *    claimed but not yet published).
+    *
+    * The claim itself is a create-exclusive marker `epochs/<n>`:
+    * `FileSystem.create(path, overwrite = false)` is namenode-atomic on
+    * HDFS and O_EXCL-atomic on the local FS (via
+    * `java.io.File.createNewFile` — Hadoop's RawLocalFileSystem create
+    * is exists-check-then-open, not exclusive), so two concurrently
+    * booting publishers race for the marker and the loser retries at
+    * n+1 — distinct epochs, no shared-epoch indistinguishability. On
+    * object stores WITHOUT an atomic create-exclusive (plain S3 puts)
+    * the marker degrades to advisory: serialize DEPLOYS there (which
+    * every rolling deployer does), not cycles. Markers are a few bytes
+    * per deployment boot — negligible; retention leaves them alone.
     */
   def claimEpoch(store: graft.snapshot.SnapshotStore): Long = {
-    val cur =
-      try store.readCurrentManifest()
-      catch { case _: graft.model.MalformedManifest => None }
-    cur.map(_.publisherEpoch).getOrElse(0L) + 1L
+    val epochsDir =
+      new org.apache.hadoop.fs.Path(store.rootPath, "epochs")
+    val claimed: Seq[Long] =
+      if (!store.fs.exists(epochsDir)) Seq.empty
+      else store.fs.listStatus(epochsDir).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+    val floor = (store.maxRecordedEpoch().toSeq ++ claimed)
+      .foldLeft(0L)(_ max _)
+    store.fs.mkdirs(epochsDir)
+    var n = floor + 1
+    while (n <= floor + 1000) {
+      if (tryCreateExclusive(store.fs,
+          new org.apache.hadoop.fs.Path(epochsDir, n.toString))) return n
+      n += 1
+    }
+    throw new IllegalStateException(
+      s"claimEpoch lost ${n - floor - 1} consecutive marker races under" +
+        s" $epochsDir — a runaway boot loop is claiming epochs")
   }
+
+  /** True iff this call created the file (it did not exist). Atomic on
+    * HDFS (namenode create) and local (O_CREAT|O_EXCL via NIO);
+    * check-then-create (advisory) on stores with neither primitive.
+    */
+  private def tryCreateExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: org.apache.hadoop.fs.Path): Boolean =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem =>
+        new java.io.File(path.toUri.getPath).createNewFile()
+      case other =>
+        try { other.create(path, false).close(); true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          false }
+    }
 
   /** MERGE INTO as composed plans: previous-generation rows not
     * touched by the delta (left anti on the key) plus the delta

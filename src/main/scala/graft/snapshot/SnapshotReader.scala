@@ -50,8 +50,13 @@ final class SnapshotReader(store: SnapshotStore,
   @volatile private var loadedVersion: Option[String] = None
   @volatile private var loadedAt: Option[Instant] = None
   @volatile private var manifest: Option[Manifest] = None
-  // cold-boot torn-pointer state: last failed probe, for backoff
-  @volatile private var lastColdFailure: Option[(Instant, Throwable)] = None
+  // cold-boot failed-probe state, for backoff: (at, cause, retryable).
+  // retryable=true → taxonomy failures, replayed as the 503-shaped
+  // SnapshotUnavailableException; false → a bug-shaped fault, replayed
+  // AS ITSELF so it keeps surfacing as a 500 — but still without
+  // re-probing the store inside the window
+  @volatile private var lastColdFailure:
+    Option[(Instant, Throwable, Boolean)] = None
   // test observability: how many times the pointer was actually read
   private[graft] val pointerProbes =
     new java.util.concurrent.atomic.AtomicLong(0)
@@ -97,9 +102,15 @@ final class SnapshotReader(store: SnapshotStore,
     *    wrong trade. The log line keeps a genuine bug from hiding: it
     *    prints every TTL lapse until fixed.
     *  - COLD, only parse-shaped (MalformedManifest) and IO failures
-    *    backoff into the retryable 503 — anything else propagates.
+    *    map to the retryable 503 — anything else propagates AS ITSELF.
     *    With nothing loaded there is no safe degraded state, so a bug
     *    must surface as a bug, not masquerade as "not published yet".
+    *    BOTH arms arm the backoff (r12 ADVICE): the same shim-wrapped
+    *    RuntimeException a store client throws transiently would
+    *    otherwise drive one store probe per request during a cold boot
+    *    — the exact storm the backoff exists to cap. Inside the window
+    *    the cached throwable is replayed without touching the store;
+    *    the response shape (500 vs 503) is unchanged by the cap.
     */
   def refreshIfStale(): Boolean = synchronized {
     val now = clock()
@@ -107,11 +118,12 @@ final class SnapshotReader(store: SnapshotStore,
       Duration.between(t, now).compareTo(ttl) >= 0)
     if (!stale) return false
     if (loadedVersion.isEmpty) lastColdFailure match {
-      case Some((t, e))
+      case Some((t, e, retryable))
           if Duration.between(t, now).compareTo(coldRetryBackoff) < 0 =>
-        throw new SnapshotUnavailableException(
+        if (retryable) throw new SnapshotUnavailableException(
           s"snapshot not yet available (retrying with backoff): " +
             s"${e.getMessage}", e, retryAfterSeconds)
+        else throw e // a bug replays as a bug — throttled, not re-typed
       case _ => ()
     }
     loadedAt = Some(now)
@@ -125,7 +137,7 @@ final class SnapshotReader(store: SnapshotStore,
       case e @ (_: MalformedManifest | _: java.io.IOException) =>
         if (loadedVersion.nonEmpty) None
         else {
-          lastColdFailure = Some((now, e))
+          lastColdFailure = Some((now, e, true))
           throw new SnapshotUnavailableException(
             s"no snapshot loaded and the publish pointer is unreadable" +
               s" — transient if a publisher is running (it rewrites the" +
@@ -144,6 +156,14 @@ final class SnapshotReader(store: SnapshotStore,
             s"serve loaded generation ${loadedVersion.get} as stale; " +
             "if this is not a transient store fault, it is a bug")
         None
+      // cold + outside the taxonomy: surface the bug AS ITSELF, but arm
+      // the backoff first — a cold boot during a shim-wrapped transient
+      // store fault must not probe the store once per request (the 500s
+      // inside the window are throttled replays of THIS throwable)
+      case e if loadedVersion.isEmpty &&
+          scala.util.control.NonFatal(e) =>
+        lastColdFailure = Some((now, e, false))
+        throw e
     }
     read match {
       case Some(m) if !loadedVersion.contains(m.version) =>
@@ -163,7 +183,7 @@ final class SnapshotReader(store: SnapshotStore,
           "no snapshot published yet — the publish pointer is absent;" +
             " transient if a publisher is running (its first cycle" +
             " creates it)", null, retryAfterSeconds)
-        lastColdFailure = Some((now, e))
+        lastColdFailure = Some((now, e, true))
         throw e
       case None => false // loaded: absent pointer degrades to staleness
     }

@@ -65,6 +65,30 @@ class SnapshotStore(val spark: SparkSession, val root: String) {
     if (!fs.exists(historyDir)) Seq.empty
     else fs.listStatus(historyDir).filter(_.isDirectory)
       .map(_.getPath.getName).toSeq.sorted
+
+  /** Highest publisher epoch recorded ANYWHERE in the store: the publish
+    * pointer (when parseable) plus every parseable per-generation
+    * manifest. Generation manifests are written atomically BEFORE the
+    * pointer swap ([[SnapshotWriter]] orders them), so a higher-epoch
+    * publisher that has ever published here stays visible through
+    * history even while the pointer itself is torn — the floor the
+    * fence fallbacks need (a torn pointer must not read as "pre-epoch"
+    * while a live higher-epoch publisher owns the root, or the fence
+    * inverts). Torn artifacts are skipped; a store with no parseable
+    * epoch anywhere is `None`. Cost: one listing + up to keepCount
+    * small JSON reads — paid at deployment boot and on the rare
+    * torn-pointer arm of the swap fence, never per query or per cycle.
+    */
+  def maxRecordedEpoch(): Option[Long] = {
+    val pointer =
+      try readCurrentManifest().map(_.publisherEpoch)
+      catch { case _: graft.model.MalformedManifest => None }
+    val gens = listGenerations().flatMap { k =>
+      try readGenerationManifest(k).map(_.publisherEpoch)
+      catch { case _: graft.model.MalformedManifest => None }
+    }
+    (pointer.toSeq ++ gens).reduceOption(_ max _)
+  }
 }
 
 object SnapshotStore {

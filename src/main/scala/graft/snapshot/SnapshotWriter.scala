@@ -95,7 +95,10 @@ final class SnapshotWriter(store: SnapshotStore,
       // row count observed DURING the write job (no second job): at
       // 100 TB × 60 s publish cycles even the parquet-footer count
       // fast path is one scheduler round-trip per table per cycle
-      val obs = org.apache.spark.sql.Observation(s"publish_$name")
+      // name keyed by generation: two publishers racing in the same
+      // session (the deploy-overlap window) must not cross-match
+      // observed metrics
+      val obs = org.apache.spark.sql.Observation(s"publish_${name}_$key")
       val out = sorted.observe(obs,
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("rows"))
@@ -126,11 +129,21 @@ final class SnapshotWriter(store: SnapshotStore,
     store.writeString(new org.apache.hadoop.fs.Path(
       store.genDir(key), "manifest.json"), json)
     // the fence: re-read the pointer IMMEDIATELY before the swap. A
-    // torn pointer proves nothing about epochs (and the swap below is
-    // exactly what heals it); an IO error propagates to T7 fail-soft.
+    // torn pointer proves nothing about epochs BY ITSELF — but
+    // generation manifests are written atomically before every swap, so
+    // a higher-epoch publisher that ever published here is still
+    // visible through history: fall back to the max recorded epoch
+    // instead of healing blindly (a foreign torn pointer scribbled over
+    // a higher-epoch manifest must not let a stale publisher's swap
+    // land). A SOLE healthy publisher still self-heals a genuinely torn
+    // pointer — history then holds only its own epoch, the filter below
+    // passes, and the swap rewrites the pointer. An IO error propagates
+    // to T7 fail-soft. Note the fallback sees the generation manifest
+    // written just above, carrying OUR epoch — harmless, the fence is
+    // strictly-greater.
     val currentEpoch =
       try store.readCurrentManifest().map(_.publisherEpoch)
-      catch { case _: MalformedManifest => None }
+      catch { case _: MalformedManifest => store.maxRecordedEpoch() }
     currentEpoch.filter(_ > publisherEpoch).foreach { winner =>
       throw new StalePublisherException(
         s"refusing to publish generation $key: this publisher's epoch" +

@@ -38,9 +38,12 @@ object SyncFuzzScenario {
     (row.getLong(0), row.getDecimal(1))
   }
 
+  /** Runs the seeded scenario; returns the dealt deck so callers can
+    * pin op coverage (every kind is force-included, but the PIN makes
+    * that measured, not assumed — r12 verdict item 5). */
   def run(spark: SparkSession, sfDir: String, seed: Int,
           log: String => Unit,
-          killer: Option[(Int, () => Unit)] = None): Unit = {
+          killer: Option[(Int, () => Unit)] = None): Seq[String] = {
     val rng = new scala.util.Random(seed)
     val srcDir = Files.createTempDirectory(s"graft-sfz$seed-src").toString
     val snapDir = Files.createTempDirectory(s"graft-sfz$seed-snap").toString
@@ -479,5 +482,6 @@ object SyncFuzzScenario {
         s"${store.listGenerations().size} generations survive")
     log(s"seed $seed: ${deck.size} ops, $nVersions versions, " +
       s"$en rows converged")
+    deck
   }
 }

@@ -63,7 +63,14 @@ class SyncFuzzSpec extends SparkSpec {
 
   seeds.foreach { s =>
     test(s"seeded sync-lifecycle scenario converges to the window oracle (seed $s)") {
-      SyncFuzzScenario.run(spark, sfDir, s, info(_))
+      val deck = SyncFuzzScenario.run(spark, sfDir, s, info(_))
+      // every run MUST have exercised the multi-publisher ops (r12
+      // verdict item 5): the deck force-includes every kind, but pin it
+      // so a future deck-grammar edit can't silently drop the fence and
+      // crash-orphan coverage from the always-run seeds
+      Seq("stalepub", "crashpub", "torn", "failpub").foreach(op =>
+        assert(deck.contains(op),
+          s"always-run deck for seed $s lost the '$op' op: $deck"))
     }
   }
 }

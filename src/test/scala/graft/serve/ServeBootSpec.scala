@@ -209,4 +209,44 @@ class ServeBootSpec extends SparkSpec {
       assert(cold3.currentManifest.get.version == r3.manifest.get.version)
     } finally api.stop()
   }
+
+  test("cold boot during a non-taxonomy store fault: the bug surfaces as itself, probes stay capped") {
+    // r12 ADVICE: object-store client shims wrap transient IO faults in
+    // RuntimeException subclasses no taxonomy can enumerate. Cold, such
+    // a fault must PROPAGATE (there is no safe degraded state and a bug
+    // must not masquerade as "not published yet") — but it must still
+    // arm the backoff, or a request storm during the fault drives one
+    // store probe per request: the exact storm coldRetryBackoff caps.
+    val snapDir = Files.createTempDirectory("graft-boot-shim").toString
+    class ShimFaultStore extends SnapshotStore(spark, snapDir) {
+      override def readCurrentManifest(): Option[graft.model.Manifest] =
+        throw new RuntimeException("shim-wrapped transient store fault")
+    }
+    val t0 = Instant.parse("2024-11-03T00:00:00Z")
+    var now = t0
+    val reader = new SnapshotReader(new ShimFaultStore, clock = () => now,
+      coldRetryBackoff = Duration.ofSeconds(30))
+    val e1 = intercept[RuntimeException](reader.refreshIfStale())
+    assert(e1.getMessage.contains("shim-wrapped"), e1.getMessage)
+    assert(!e1.isInstanceOf[SnapshotUnavailableException],
+      "a cold non-taxonomy fault was re-typed into the retryable 503")
+    assert(reader.pointerProbes.get() == 1)
+    // a storm inside the window replays the SAME throwable, same type,
+    // without touching the store
+    (1 to 25).foreach { i =>
+      now = t0.plusSeconds(i.toLong) // all < the 30 s window
+      val e = intercept[RuntimeException](reader.refreshIfStale())
+      assert(!e.isInstanceOf[SnapshotUnavailableException],
+        s"replay $i re-typed the fault: ${e.getClass.getName}")
+      assert(e.getMessage.contains("shim-wrapped"), e.getMessage)
+    }
+    assert(reader.pointerProbes.get() == 1,
+      s"25-request cold storm probed the store " +
+        s"${reader.pointerProbes.get()} times — backoff not armed for " +
+        "non-taxonomy faults")
+    // window lapses: exactly one fresh probe
+    now = t0.plusSeconds(35)
+    intercept[RuntimeException](reader.refreshIfStale())
+    assert(reader.pointerProbes.get() == 2)
+  }
 }

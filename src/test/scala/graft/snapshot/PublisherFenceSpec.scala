@@ -57,15 +57,98 @@ class PublisherFenceSpec extends SparkSpec {
     assert(fs.rename(new Path(tmp), new Path(s"$srcDir/fitems.parquet")))
   }
 
-  test("claimEpoch: fresh store → 1; outranks published; torn reads as pre-epoch") {
+  test("claimEpoch: fresh store → 1; outranks published, prior claims, AND torn-pointer history") {
     val (srcDir, store) = freshEnv()
     assert(SyncManager.claimEpoch(store) == 1L)
     val r = manager(srcDir, store, epoch = 5L).runCycle(t("2024-02-01T00:00:00Z"))
     assert(r.success, r.error)
     assert(store.readCurrentManifest().get.publisherEpoch == 5L)
     assert(SyncManager.claimEpoch(store) == 6L)
+    // torn pointer must NOT read as pre-epoch (r12 ADVICE: that handed
+    // the replacement a LOWER epoch than a live stale publisher — the
+    // fence inverted). The floor survives through the atomically-written
+    // generation manifests (epoch 5) and prior claim markers (1, 6).
     store.writeString(store.currentManifestPath, "{torn")
-    assert(SyncManager.claimEpoch(store) == 1L) // about to heal it
+    assert(SyncManager.claimEpoch(store) == 7L,
+      "a torn pointer erased the epoch floor — the fence would invert")
+  }
+
+  test("fence inversion regression: replacement booting on a torn pointer still outranks the live stale publisher") {
+    // the exact r12 ADVICE scenario: the pointer is torn at boot while
+    // an OLDER deployment is still alive and publishing. The
+    // replacement's claim must come out HIGHER, so the stale instance is
+    // the one fenced out — never the replacement.
+    val (srcDir, store) = freshEnv()
+    val stale = manager(srcDir, store,
+      epoch = SyncManager.claimEpoch(store)) // epoch 1, stays alive
+    assert(stale.runCycle(t("2024-02-01T00:00:00Z")).success)
+    store.writeString(store.currentManifestPath, "{torn at deploy time")
+
+    val replEpoch = SyncManager.claimEpoch(store)
+    assert(replEpoch == 2L,
+      s"replacement claimed $replEpoch — not above the live publisher")
+    // the nastier interleave: the STALE instance publishes FIRST over
+    // the torn pointer (sole-publisher self-heal still works for it —
+    // history holds nothing above its own epoch)
+    assert(stale.runCycle(t("2024-02-01T01:00:00Z")).success,
+      "sole-publisher torn-pointer self-heal regressed")
+    // the replacement is NOT fenced out (this was the inversion)…
+    val repl = manager(srcDir, store, epoch = replEpoch)
+    val rRepl = repl.runCycle(t("2024-02-01T02:00:00Z"))
+    assert(rRepl.success, s"replacement permanently fenced: ${rRepl.error}")
+    assert(store.readCurrentManifest().get.publisherEpoch == replEpoch)
+    // …and from here the stale instance is
+    val rStale = stale.runCycle(t("2024-02-01T03:00:00Z"))
+    assert(!rStale.success &&
+      rStale.error.exists(_.contains("StalePublisher")), rStale.error)
+    assert(store.readCurrentManifest().get.publisherEpoch == replEpoch)
+  }
+
+  test("concurrent boots claim distinct epochs (create-exclusive marker)") {
+    val (_, store) = freshEnv()
+    val n = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val claims = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to n).map(_ => new Thread(() =>
+      try {
+        barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        claims.add(SyncManager.claimEpoch(store))
+      } catch { case e: Throwable => errs.add(e) }))
+    threads.foreach(_.start()); threads.foreach(_.join(15000))
+    assert(errs.isEmpty, s"claimers failed: ${errs.peek()}")
+    val got = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(claims).asScala.toSeq
+    assert(got.size == n && got.toSet.size == n,
+      s"concurrent boots shared an epoch: ${got.sorted}")
+    assert(got.toSet == (1L to n.toLong).toSet, s"gaps/regression: $got")
+  }
+
+  test("a torn pointer over a higher-epoch manifest does not let a stale swap land") {
+    // r12 ADVICE low: the writer's fence used to treat a torn pointer
+    // as "proves nothing" and proceed to heal — so a foreign torn write
+    // OVER a higher-epoch manifest opened a door for a stale publisher.
+    // Now the fence falls back to the max epoch recorded in history.
+    val (srcDir, store) = freshEnv()
+    val df = spark.read.parquet(s"$srcDir/fitems.parquet")
+    new SnapshotWriter(store, publisherEpoch = 2L)
+      .publish(Map("fitems" -> df), t("2024-02-01T00:00:00Z"),
+        sortCol = Some("updated_at"))
+    store.writeString(store.currentManifestPath, "{foreign torn write")
+    val ex = intercept[StalePublisherException] {
+      new SnapshotWriter(store, publisherEpoch = 1L)
+        .publish(Map("fitems" -> df), t("2024-02-01T01:00:00Z"),
+          sortCol = Some("updated_at"))
+    }
+    assert(ex.getMessage.contains("epoch"), ex.getMessage)
+    // the stale attempt neither healed nor regressed the pointer; its
+    // generation is an unreferenced orphan
+    intercept[graft.model.MalformedManifest](store.readCurrentManifest())
+    // the live publisher's next cycle heals at its own epoch
+    new SnapshotWriter(store, publisherEpoch = 2L)
+      .publish(Map("fitems" -> df), t("2024-02-01T02:00:00Z"),
+        sortCol = Some("updated_at"))
+    assert(store.readCurrentManifest().get.publisherEpoch == 2L)
   }
 
   test("deploy overlap: the stale publisher can neither regress the pointer nor consume the delta") {
@@ -143,6 +226,90 @@ class PublisherFenceSpec extends SparkSpec {
       sortCol = Some("updated_at")) // heals the pointer
     assert(ret.prune().nonEmpty)
     assert(store.listGenerations().size == 2)
+  }
+
+  test("in-window swap race: interleaves once, the winner's next cycle restores, the loser then stops") {
+    // SnapshotWriter documents the non-CAS window precisely: two
+    // publishers BOTH passing the epoch re-read before either renames
+    // can interleave ONCE — the stale rename lands last and regresses
+    // the pointer — after which the winner's next cycle restores it and
+    // the loser's next cycle refuses. r12 verdict item 3: measure that
+    // claim, don't reason it. The store below barriers both publishers
+    // at the fence re-read, then forces the worst-case rename order.
+    val (srcDir, store0) = freshEnv()
+    val df = spark.read.parquet(s"$srcDir/fitems.parquet")
+
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val bothRead = new java.util.concurrent.CyclicBarrier(2)
+    val liveSwapped = new java.util.concurrent.CountDownLatch(1)
+    class RacingStore extends SnapshotStore(spark, store0.root) {
+      override def readCurrentManifest(): Option[graft.model.Manifest] = {
+        val r = super.readCurrentManifest()
+        if (armed.get) // the fence re-read: hold until BOTH passed it
+          bothRead.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        r
+      }
+      override def writeString(p: Path, content: String): Unit = {
+        if (armed.get && p == currentManifestPath) {
+          if (Thread.currentThread().getName == "stale-pub")
+            assert(liveSwapped.await(30,
+              java.util.concurrent.TimeUnit.SECONDS),
+              "forced rename ordering timed out")
+          super.writeString(p, content)
+          if (Thread.currentThread().getName == "live-pub")
+            liveSwapped.countDown()
+        } else super.writeString(p, content)
+      }
+    }
+    val store = new RacingStore
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def pub(name: String, epoch: Long, at: Instant): Thread = {
+      val th = new Thread(() =>
+        try new SnapshotWriter(store, epoch).publish(Map("fitems" -> df),
+          at, sortCol = Some("updated_at"))
+        catch { case e: Throwable => errs.add(e) }, name)
+      th.start(); th
+    }
+    val tStale = t("2024-02-01T00:00:00Z")
+    val tLive = t("2024-02-01T01:00:00Z")
+    val a = pub("stale-pub", 1L, tStale)
+    val b = pub("live-pub", 2L, tLive)
+    a.join(120000); b.join(120000)
+    assert(!a.isAlive && !b.isAlive, "racing publishers hung")
+    assert(errs.isEmpty, s"in-window race threw: ${errs.peek()}")
+    armed.set(false)
+
+    val staleKey = SnapshotStore.keyFor(tStale)
+    val liveKey = SnapshotStore.keyFor(tLive)
+    // the interleave happened: the final pointer is a VALID manifest
+    // naming the STALE generation (regressed exactly once) — never torn
+    val ptr = store.readCurrentManifest().get
+    assert(ptr.publisherEpoch == 1L && ptr.version == staleKey,
+      s"expected the forced regression, pointer names ${ptr.version}" +
+        s" at epoch ${ptr.publisherEpoch}")
+    // no generation lost: both gens' data + manifests intact
+    Seq(staleKey, liveKey).foreach { k =>
+      assert(store.readGenerationManifest(k).nonEmpty,
+        s"generation $k manifest lost in the race")
+      assert(spark.read.parquet(store.tableDir(k, "fitems").toString)
+        .count() == 3L, s"generation $k data lost in the race")
+    }
+    // the winner's next cycle restores the pointer…
+    val tHeal = t("2024-02-01T02:00:00Z")
+    new SnapshotWriter(store, 2L).publish(Map("fitems" -> df), tHeal,
+      sortCol = Some("updated_at"))
+    val healed = store.readCurrentManifest().get
+    assert(healed.publisherEpoch == 2L &&
+      healed.version == SnapshotStore.keyFor(tHeal),
+      s"winner did not restore: $healed")
+    // …and the loser's next cycle raises StalePublisherException
+    // without moving it: the race interleaves ONCE, then stops
+    intercept[StalePublisherException] {
+      new SnapshotWriter(store, 1L).publish(Map("fitems" -> df),
+        t("2024-02-01T03:00:00Z"), sortCol = Some("updated_at"))
+    }
+    assert(store.readCurrentManifest().get.version ==
+      SnapshotStore.keyFor(tHeal), "the fenced loser moved the pointer")
   }
 
   test("crash between table writes and pointer swap: orphan is never served and eventually pruned") {
