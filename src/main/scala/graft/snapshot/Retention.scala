@@ -12,6 +12,14 @@ import graft.model.MalformedManifest
   * at pointer-swap time: GC is the OTHER mutation a stale overlapping
   * publisher must not perform, because its notion of "old generations"
   * can include one its successor just published and pointed at.
+  *
+  * Sizing note: the keep window is also the safety margin for
+  * TTL-stale readers. A [[SnapshotReader]] keeps serving its loaded
+  * generation for up to `ttl` after the pointer moves (and longer while
+  * degraded on refresh faults), so `keepCount × cycle interval` must
+  * comfortably exceed the reader TTL or a prune could delete parquet a
+  * long-running query is still scanning — the defaults (24 generations
+  * at 60 s cycles vs a 120 s TTL) give a 12× margin.
   */
 final class Retention(store: SnapshotStore, keepCount: Int = 24,
                       publisherEpoch: Long = 0L) {
@@ -37,6 +45,23 @@ final class Retention(store: SnapshotStore, keepCount: Int = 24,
     val gens = store.listGenerations().sorted.reverse // newest first
     val doomed = gens.drop(keepCount).filterNot(currentKey.contains)
     doomed.foreach(k => store.fs.delete(store.genDir(k), true))
+    // claim-marker hygiene: an epoch strictly below the SERVED
+    // manifest's can never be claimed again (claimEpoch's floor
+    // includes the published epoch), so its marker is dead weight —
+    // one file per deployment boot accumulates without bound under a
+    // crash-looping deployer. Markers AT or ABOVE the served epoch are
+    // kept: they may belong to a claimed-but-not-yet-published
+    // successor whose first publish is in flight.
+    current.map(_.publisherEpoch).foreach { served =>
+      val epochsDir = new org.apache.hadoop.fs.Path(
+        store.rootPath, "epochs")
+      if (store.fs.exists(epochsDir))
+        store.fs.listStatus(epochsDir).toSeq
+          .flatMap(s => scala.util.Try(s.getPath.getName.toLong)
+            .toOption.map(n => (s.getPath, n)))
+          .filter(_._2 < served)
+          .foreach { case (p, _) => store.fs.delete(p, false) }
+    }
     doomed
   }
 }

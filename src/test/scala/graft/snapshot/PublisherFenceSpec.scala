@@ -71,6 +71,13 @@ class PublisherFenceSpec extends SparkSpec {
     store.writeString(store.currentManifestPath, "{torn")
     assert(SyncManager.claimEpoch(store) == 7L,
       "a torn pointer erased the epoch floor — the fence would invert")
+    // a torn GENERATION manifest is skipped, not a boot-wedge: the
+    // floor survives through the claim markers (1, 6, 7)
+    val gen = store.listGenerations().head
+    store.writeString(new org.apache.hadoop.fs.Path(
+      store.genDir(gen), "manifest.json"), "{also torn")
+    assert(SyncManager.claimEpoch(store) == 8L,
+      "a torn generation manifest wedged or regressed the claim")
   }
 
   test("fence inversion regression: replacement booting on a torn pointer still outranks the live stale publisher") {
@@ -209,6 +216,29 @@ class PublisherFenceSpec extends SparkSpec {
     val live = new Retention(store, keepCount = 2, publisherEpoch = 2L)
     assert(live.prune().size == 3)
     assert(store.listGenerations().size == 2)
+  }
+
+  test("retention collects claim markers below the served epoch, keeps the live one and successors") {
+    val (srcDir, store) = freshEnv()
+    // three deployment boots, only the last ever publishes: markers 1-3
+    assert(SyncManager.claimEpoch(store) == 1L)
+    assert(SyncManager.claimEpoch(store) == 2L)
+    val live = SyncManager.claimEpoch(store)
+    assert(live == 3L)
+    assert(manager(srcDir, store, epoch = live)
+      .runCycle(t("2024-02-01T00:00:00Z")).success)
+    // a successor has claimed (marker 4) but not yet published
+    val successor = SyncManager.claimEpoch(store)
+    assert(successor == 4L)
+    new Retention(store, keepCount = 24, publisherEpoch = live).prune()
+    val epochsDir = new Path(store.rootPath, "epochs")
+    val markers = store.fs.listStatus(epochsDir)
+      .map(_.getPath.getName.toLong).sorted.toSeq
+    assert(markers == Seq(3L, 4L),
+      s"expected dead markers 1-2 collected, 3 (served) + 4 (claimed " +
+        s"successor) kept — got $markers")
+    // the floor is unharmed: the next boot still outranks everything
+    assert(SyncManager.claimEpoch(store) == 5L)
   }
 
   test("a torn pointer suspends GC entirely until the next publish heals it") {
