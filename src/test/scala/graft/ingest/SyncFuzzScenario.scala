@@ -50,9 +50,11 @@ object SyncFuzzScenario {
     val archDir = Files.createTempDirectory(s"graft-sfz$seed-arch").toString
     val store = new SnapshotStore(spark, snapDir)
     // the deployment's fencing token (fresh store → 1); every manager
-    // below publishes under it, so the stalepub op's epoch-0 publisher
-    // is fenced off exactly as a not-yet-retired old deployment would be
-    val epoch = SyncManager.claimEpoch(store)
+    // below publishes under it, so the stalepub op's lower-epoch
+    // publisher is fenced off exactly as a not-yet-retired old
+    // deployment would be. `var`: the deploy op hands the role over to
+    // a replacement that claims a strictly higher epoch mid-deck.
+    var epoch = SyncManager.claimEpoch(store)
     def mergeMgr() = new SyncManager(spark,
       new ParquetSource(srcDir, Seq("orders")), store, mode = SyncMode.Merge,
       publisherEpoch = epoch)
@@ -206,7 +208,8 @@ object SyncFuzzScenario {
     val deck = rng.shuffle(Seq.fill(8)("churn") ++ Seq.fill(2)("nochange") ++
       Seq.fill(2)("tie") ++ Seq.fill(2)("add") ++ Seq.fill(2)("drop") ++
       Seq("retype") ++ Seq.fill(2)("torn") ++ Seq("absent") ++
-      Seq.fill(2)("failpub") ++ Seq("stalepub") ++ Seq("crashpub"))
+      Seq.fill(2)("failpub") ++ Seq("stalepub") ++ Seq("crashpub") ++
+      Seq.fill(2)("deploy"))
     log(s"seed $seed deck: ${deck.mkString(" ")}")
 
     deck.zipWithIndex.foreach { case (op, opIdx) =>
@@ -434,6 +437,39 @@ object SyncFuzzScenario {
           churnCycle(opIdx) // life goes on against the pointer generation
           require(store.readCurrentManifest().get.version != orphanKey,
             "the orphan generation got served")
+
+        case "deploy" =>
+          // rolling deploy mid-deck (round 13): the replacement claims a
+          // strictly higher epoch — through whatever the deck just did
+          // to the pointer (a torn/absent/crashpub op may immediately
+          // precede this, exactly the boot window where the r12 claim
+          // inverted the fence) — publishes, and the retired instance's
+          // next wake-up is fenced out. Every later manager publishes
+          // under the new epoch; later stalepub ops draw the retired
+          // epoch. Marker GC (retention collects claims below the
+          // served epoch) runs live across the handover.
+          val prev = epoch
+          epoch = SyncManager.claimEpoch(store)
+          require(epoch > prev,
+            s"deploy claimed $epoch — not above the live epoch $prev;" +
+              " the fence would invert")
+          val r = mergeMgr().runCycle()
+          require(r.success, s"replacement's first cycle failed: ${r.error}")
+          require(store.readCurrentManifest().get.publisherEpoch == epoch,
+            "handover did not take the pointer")
+          // the retired instance ticks once more: fenced, clean
+          val wmBefore = storedWm
+          val genBefore = store.readCurrentManifest().get.version
+          val retiredMgr = new SyncManager(spark,
+            new ParquetSource(srcDir, Seq("orders")), store,
+            mode = SyncMode.Merge, publisherEpoch = prev)
+          val rOld = retiredMgr.runCycle()
+          require(!rOld.success && rOld.error.exists(
+            _.contains("StalePublisher")),
+            s"retired instance was not fenced: $rOld")
+          require(storedWm == wmBefore && store.readCurrentManifest()
+            .get.version == genBefore, "a fenced wake-up was not clean")
+          genIntegrity()
       }
     }
 

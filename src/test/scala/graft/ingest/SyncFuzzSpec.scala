@@ -10,7 +10,7 @@ import graft.SparkSpec
   * whose retry crosses a column add, a tie row flushed by a bootstrap
   * instead of a bump).
   *
-  * Per seed, a shuffled 24-op deck guarantees coverage of every op kind
+  * Per seed, a shuffled 26-op deck guarantees coverage of every op kind
   * while fuzzing the interleaving:
   *  - churn: updates + inserts, fresh MERGE manager per cycle
   *    (watermark durability is part of the claim);
@@ -35,7 +35,13 @@ import graft.SparkSpec
   *    lands the delta exactly once;
   *  - crashpub: a publisher dies between the generation writes and the
   *    pointer swap (real publish path, crash injected at the swap) —
-  *    the orphan generation is never served and ages out of retention.
+  *    the orphan generation is never served and ages out of retention;
+  *  - deploy: a rolling deploy mid-deck — the replacement claims a
+  *    strictly higher epoch THROUGH whatever the deck just did to the
+  *    pointer (torn/absent may immediately precede it — the r12
+  *    fence-inversion window), takes the pointer, and the retired
+  *    instance's next wake-up is fenced; claim-marker GC runs live
+  *    across the handover.
   *
   * Oracle: latest-version-per-id over the archived delta history (a
   * window-rank formulation sharing no code with SyncManager's
@@ -68,7 +74,7 @@ class SyncFuzzSpec extends SparkSpec {
       // verdict item 5): the deck force-includes every kind, but pin it
       // so a future deck-grammar edit can't silently drop the fence and
       // crash-orphan coverage from the always-run seeds
-      Seq("stalepub", "crashpub", "torn", "failpub").foreach(op =>
+      Seq("stalepub", "crashpub", "torn", "failpub", "deploy").foreach(op =>
         assert(deck.contains(op),
           s"always-run deck for seed $s lost the '$op' op: $deck"))
     }
