@@ -227,7 +227,9 @@ object SyncManager {
     * object stores WITHOUT an atomic create-exclusive (plain S3 puts)
     * the marker degrades to advisory: serialize DEPLOYS there (which
     * every rolling deployer does), not cycles. Markers are a few bytes
-    * per deployment boot — negligible; retention leaves them alone.
+    * per deployment boot; retention collects the ones strictly below
+    * the served epoch (they can never be claimed again), so a crash-
+    * looping deployer's backlog is swept the moment a boot succeeds.
     */
   def claimEpoch(store: graft.snapshot.SnapshotStore): Long = {
     val epochsDir =
