@@ -21,15 +21,69 @@ final class WatermarkStore(store: SnapshotStore) {
   private val path = new Path(store.rootPath, "state/watermarks.json")
   private val mapper = new ObjectMapper()
 
+  private def warn(what: String): Unit = System.err.println(
+    s"[watermarks] WARNING: $path $what — treating the affected " +
+      "watermark(s) as absent; the next cycle re-reads those tables in " +
+      "full and a successful publish rewrites the file (self-heal). If " +
+      "this is not a torn foreign write, it is a bug.")
+
+  /** True iff the stored text will round-trip through the casts
+    * `readChangedSince` / the JDBC dialect literal apply: the formats
+    * `save` can produce (Spark's timestamp→string cast, space-separated,
+    * optional fraction) plus ISO-8601 `T`/offset forms for tolerance.
+    */
+  private def parseableTs(s: String): Boolean =
+    scala.util.Try(java.sql.Timestamp.valueOf(s)).isSuccess ||
+      scala.util.Try(java.time.Instant.parse(s)).isSuccess ||
+      scala.util.Try(java.time.LocalDateTime.parse(s)).isSuccess
+
+  /** Loads the persisted state. Torn-state policy (round 13 — same
+    * threat model as the publish pointer: tmp+rename writes, but a
+    * foreign non-rename writer or partial store failure can still
+    * leave garbage): a GARBAGE watermark is strictly worse than a LOST
+    * one. Garbage either wedges the publisher forever — the cycle
+    * fails at load (ANSI cast) and only a successful cycle rewrites
+    * the file — or, where the value casts to NULL, makes the strict-`>`
+    * delta predicate eternally false and silently skips every future
+    * row of that table. A lost watermark is merely expensive: the next
+    * delta scan degrades to a full table read whose stats re-establish
+    * it, and the publish rewrites the file — self-healing, exactly like
+    * the torn-pointer bootstrap. So: an unparseable file or non-object
+    * root heals to empty, and a non-textual or non-timestamp value
+    * drops THAT entry — each loudly logged, so an operator seeing a
+    * surprisingly expensive cycle can find its cause. IO errors
+    * propagate to the cycle's fail-soft catch and retry next tick: a
+    * store blip is not corruption and must not trigger a 100 TB
+    * re-read.
+    */
   def load(): Map[String, String] =
-    store.readString(path).map { json =>
-      mapper.readTree(json) match {
-        case o: ObjectNode =>
-          o.properties().asScala
-            .map(e => e.getKey -> e.getValue.asText()).toMap
-        case _ => Map.empty[String, String]
-      }
-    }.getOrElse(Map.empty)
+    store.readString(path) match {
+      case None => Map.empty
+      case Some(json) =>
+        val root =
+          try Some(mapper.readTree(json))
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              warn(s"is unparseable (${e.getMessage})"); None
+          }
+        root match {
+          case Some(o: ObjectNode) =>
+            o.properties().asScala.flatMap { e =>
+              val v = e.getValue
+              if (v.isTextual && parseableTs(v.asText()))
+                Some(e.getKey -> v.asText())
+              else {
+                warn(s"entry '${e.getKey}' holds a non-timestamp value " +
+                  s"${v.toString.take(48)}")
+                None
+              }
+            }.toMap
+          case Some(other) =>
+            warn(s"root is ${other.getNodeType}, not an object")
+            Map.empty
+          case None => Map.empty
+        }
+    }
 
   def save(state: Map[String, String]): Unit = {
     val root = mapper.createObjectNode()
