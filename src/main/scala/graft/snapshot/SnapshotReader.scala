@@ -167,8 +167,32 @@ final class SnapshotReader(store: SnapshotStore,
     }
     read match {
       case Some(m) if !loadedVersion.contains(m.version) =>
-        lastColdFailure = None
-        register(m); true
+        // adopting the generation can itself fail — a damaged dir
+        // behind a valid manifest (foreign partial delete; the writer
+        // always completes data before the swap). Same state-dependent
+        // policy as the pointer probe: loaded degrades to serving the
+        // loaded generation as stale, loudly (register is
+        // all-or-nothing, so the catalog still serves it consistently);
+        // cold surfaces the fault as itself but arms the backoff so a
+        // request storm replays it instead of re-reading footers per
+        // request. Either way the publisher's next cycle writes a
+        // fresh generation and the next lapse adopts it.
+        try { register(m); lastColdFailure = None; true }
+        catch {
+          case e if loadedVersion.nonEmpty &&
+              scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[snapshot] WARNING: generation ${m.version} is " +
+                s"unreadable (${e.getClass.getName}: ${e.getMessage}) — " +
+                s"continuing to serve loaded generation " +
+                s"${loadedVersion.get} as stale; if no foreign writer " +
+                "damaged the store, this is a bug")
+            false
+          case e if loadedVersion.isEmpty &&
+              scala.util.control.NonFatal(e) =>
+            lastColdFailure = Some((now, e, false))
+            throw e
+        }
       case Some(_) =>
         lastColdFailure = None
         false
@@ -193,11 +217,17 @@ final class SnapshotReader(store: SnapshotStore,
     store.spark.table(name)
 
   private def register(m: Manifest): Unit = {
-    m.tables.keys.foreach { t =>
-      store.spark.read
-        .parquet(store.tableDir(m.version, t).toString)
-        .createOrReplaceTempView(t)
+    // resolve EVERY table before touching the catalog: spark.read
+    // .parquet is where a damaged/missing generation dir fails (footer
+    // + schema read), and a mid-loop failure must not leave the
+    // catalog half-swapped — some views on the new generation, some on
+    // the old — or queries silently join ACROSS generations. All
+    // reads succeed first; only then are the views swapped (view
+    // registration itself is metadata-only and cannot fail on data).
+    val resolved = m.tables.keys.toSeq.map { t =>
+      t -> store.spark.read.parquet(store.tableDir(m.version, t).toString)
     }
+    resolved.foreach { case (t, df) => df.createOrReplaceTempView(t) }
     if (m.tables.contains("inventory")) {
       store.spark.sql(
         """CREATE OR REPLACE TEMP VIEW v_inventory_summary AS

@@ -213,6 +213,84 @@ class SnapshotSyncSpec extends SparkSpec {
       s"cold non-taxonomy fault surfaced as ${e.getClass.getName}")
   }
 
+  test("a damaged generation behind a valid pointer: adoption is all-or-nothing, loaded degrades, cold is throttled") {
+    // foreign partial delete: the pointer parses but one of the new
+    // generation's table dirs is gone (the writer always completes data
+    // before the swap, so this is foreign interference). Adoption must
+    // be ALL-OR-NOTHING — a mid-loop register used to leave the catalog
+    // half-swapped (some views on the new generation, some on the old:
+    // silent cross-generation joins) — and the failure follows the same
+    // state-dependent policy as the pointer probe: loaded keeps serving
+    // the loaded generation CONSISTENTLY; cold surfaces the fault with
+    // the store probes throttled by the backoff.
+    val srcDir = Files.createTempDirectory("graft-dmg-src").toString
+    val snapDir = Files.createTempDirectory("graft-dmg-snap").toString
+    def seed(n: Int): Unit = (1 to n).map(i =>
+      (i.toLong, i.toLong, ts(s"2024-01-0$i 00:00:00")))
+      .toDF("id", "quantity", "updated_at")
+      .write.mode("overwrite").parquet(s"$srcDir/a_items.parquet")
+    def seedB(n: Int): Unit = (1 to n).map(i =>
+      (i.toLong, s"b$i", ts(s"2024-01-0$i 00:00:00")))
+      .toDF("id", "name", "updated_at")
+      .write.mode("overwrite").parquet(s"$srcDir/b_items.parquet")
+    seed(1); seedB(1)
+    val store = new SnapshotStore(spark, snapDir)
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("a_items", "b_items")), store)
+    assert(mgr.runCycle(Instant.parse("2024-08-03T00:00:00Z")).success)
+
+    var now = Instant.parse("2024-08-03T01:00:00Z")
+    val reader = new SnapshotReader(store,
+      ttl = java.time.Duration.ofSeconds(120), clock = () => now)
+    assert(reader.refreshIfStale())
+    val v1 = reader.currentManifest.get.version
+
+    // a second generation lands, then a foreign actor deletes ONE of
+    // its table dirs (which table the register loop would hit first is
+    // a Map-ordering accident — all-or-nothing means it cannot matter)
+    seed(2); seedB(2)
+    val r2 = mgr.runCycle(Instant.parse("2024-08-03T02:00:00Z"))
+    assert(r2.success, r2.error)
+    val v2 = r2.manifest.get.version
+    assert(store.fs.delete(store.tableDir(v2, "b_items"), true))
+
+    now = now.plusSeconds(300)
+    assert(!reader.refreshIfStale(),
+      "adopting a damaged generation must degrade, not flip views")
+    assert(reader.currentManifest.get.version == v1)
+    // BOTH views still serve generation v1 — no half-swap
+    assert(spark.sql("SELECT count(*) FROM a_items").first().getLong(0) == 1,
+      "a_items view half-swapped onto the damaged generation")
+    assert(spark.sql("SELECT count(*) FROM b_items").first().getLong(0) == 1)
+
+    // cold boot against the damaged pointer target: the fault surfaces
+    // (nothing to fall back to) but a request storm costs ONE pointer
+    // probe per backoff window, not one per request
+    val cold = new SnapshotReader(store, clock = () => now,
+      coldRetryBackoff = java.time.Duration.ofSeconds(30))
+    (1 to 10).foreach { i =>
+      now = now.plusSeconds(1)
+      val e = intercept[Exception](cold.refreshIfStale())
+      assert(!e.isInstanceOf[SnapshotUnavailableException],
+        s"storm call $i re-typed the fault: ${e.getClass.getName}")
+    }
+    assert(cold.pointerProbes.get() == 1,
+      s"cold storm against a damaged generation probed " +
+        s"${cold.pointerProbes.get()} times — backoff not armed")
+
+    // heal: the publisher's next cycle writes an intact generation;
+    // both readers adopt it on their next lapse/window
+    seed(3); seedB(3)
+    val r3 = mgr.runCycle(Instant.parse("2024-08-03T03:00:00Z"))
+    assert(r3.success, r3.error)
+    now = now.plusSeconds(300)
+    assert(reader.refreshIfStale(), "healed generation not adopted")
+    assert(reader.currentManifest.get.version == r3.manifest.get.version)
+    assert(spark.sql("SELECT count(*) FROM b_items").first().getLong(0) == 3)
+    assert(cold.refreshIfStale(), "cold reader did not recover post-heal")
+    assert(cold.currentManifest.get.version == r3.manifest.get.version)
+  }
+
   test("publish ordering: pointer swap is last — a failed swap leaves a complete generation") {
     // pin the ordering the reader contract above depends on: if the
     // POINTER write fails, the generation's parquet data and per-gen
