@@ -291,6 +291,65 @@ class SnapshotSyncSpec extends SparkSpec {
     assert(cold.currentManifest.get.version == r3.manifest.get.version)
   }
 
+  test("a traversal-shaped pointer classifies as torn — versions and table names validated before any path is built") {
+    // defense in depth on shared storage: manifest version/table names
+    // flow into Path construction (genDir/tableDir) and view names, so
+    // a forged or corrupt pointer with "version": "../../x" would walk
+    // the reader — or a MERGE publisher's prev-generation read —
+    // outside the store root. The writer only ever produces
+    // keyFor-shaped versions and plain identifiers, so anything else
+    // classifies as MalformedManifest: the full torn-pointer taxonomy
+    // (reader degrades/503s, publisher bootstraps and heals, retention
+    // suspends) applies with no new code paths.
+    val srcDir = Files.createTempDirectory("graft-trav-src").toString
+    val snapDir = Files.createTempDirectory("graft-trav-snap").toString
+    Seq((1L, 5L, 9.99, ts("2024-01-01 00:00:00")))
+      .toDF("id", "quantity", "price", "updated_at")
+      .write.parquet(s"$srcDir/inventory.parquet")
+    val store = new SnapshotStore(spark, snapDir)
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("inventory")), store,
+      mode = SyncMode.Merge)
+    assert(mgr.runCycle(Instant.parse("2024-08-04T00:00:00Z")).success)
+    var now = Instant.parse("2024-08-04T01:00:00Z")
+    val reader = new SnapshotReader(store,
+      ttl = java.time.Duration.ofSeconds(120), clock = () => now)
+    assert(reader.refreshIfStale())
+    val v1 = reader.currentManifest.get.version
+
+    // a forged pointer: valid JSON, valid shape, traversal version
+    val forged = graft.model.Manifest(
+      version = "../../../outside", timestamp = "t",
+      snapshotKey = "k", tables = Map("inventory" -> 1L),
+      metadata = Map.empty, publisherEpoch = 99L)
+    store.writeString(store.currentManifestPath,
+      graft.model.Manifest.toJson(forged))
+    intercept[graft.model.MalformedManifest](store.readCurrentManifest())
+    // loaded reader: degrades to the loaded generation, never follows
+    now = now.plusSeconds(300)
+    assert(!reader.refreshIfStale() &&
+      reader.currentManifest.get.version == v1)
+    // retention: suspends entirely (torn-pointer rule) — and the
+    // forged higher epoch is NOT adopted as a fence signal either
+    assert(new Retention(store, keepCount = 0, publisherEpoch = 1L)
+      .prune().isEmpty, "pruned under a traversal-shaped pointer")
+    // publisher: next cycle treats it as torn, bootstraps, heals
+    val r2 = mgr.runCycle(Instant.parse("2024-08-04T02:00:00Z"))
+    assert(r2.success, r2.error)
+    assert(store.readCurrentManifest().get.version == r2.manifest.get.version)
+
+    // a traversal-shaped TABLE NAME is equally refused
+    val badTable = graft.model.Manifest(
+      version = r2.manifest.get.version, timestamp = "t",
+      snapshotKey = "k", tables = Map("../escape" -> 1L),
+      metadata = Map.empty, publisherEpoch = 1L)
+    store.writeString(store.currentManifestPath,
+      graft.model.Manifest.toJson(badTable))
+    intercept[graft.model.MalformedManifest](store.readCurrentManifest())
+    // heal again for good measure
+    assert(mgr.runCycle(Instant.parse("2024-08-04T03:00:00Z")).success)
+  }
+
   test("publish ordering: pointer swap is last — a failed swap leaves a complete generation") {
     // pin the ordering the reader contract above depends on: if the
     // POINTER write fails, the generation's parquet data and per-gen
