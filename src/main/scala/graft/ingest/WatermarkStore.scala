@@ -56,7 +56,14 @@ final class WatermarkStore(store: SnapshotStore) {
     * store blip is not corruption and must not trigger a 100 TB
     * re-read.
     */
-  def load(): Map[String, String] =
+  def load(): Map[String, String] = {
+    // size guard first (same policy as the manifest reads): a foreign
+    // blob at this path must heal like any other corruption, not OOM
+    // the publisher slurping it
+    store.oversized(path).foreach { len =>
+      warn(s"is $len bytes — far above any real watermark state")
+      return Map.empty
+    }
     store.readString(path) match {
       case None => Map.empty
       case Some(json) =>
@@ -84,6 +91,7 @@ final class WatermarkStore(store: SnapshotStore) {
           case None => Map.empty
         }
     }
+  }
 
   def save(state: Map[String, String]): Unit = {
     val root = mapper.createObjectNode()

@@ -105,6 +105,10 @@ class WatermarkStoreSpec extends SparkSpec {
         |"empty": "", "text": "not a timestamp",
         |"nested": {"x": 1}}""".stripMargin)
     assert(wm.load() == Map("good" -> "2024-01-03 00:00:00"))
+    // an oversized blob heals to absent from file status alone —
+    // never slurped into publisher memory
+    store.writeString(wmPath(store), "x" * (17 * 1024 * 1024))
+    assert(wm.load().isEmpty, "oversized state file did not heal")
   }
 
   test("an IO error propagates — a store blip must not trigger the full re-read") {

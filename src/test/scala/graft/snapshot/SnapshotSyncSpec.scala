@@ -348,6 +348,17 @@ class SnapshotSyncSpec extends SparkSpec {
     intercept[graft.model.MalformedManifest](store.readCurrentManifest())
     // heal again for good measure
     assert(mgr.runCycle(Instant.parse("2024-08-04T03:00:00Z")).success)
+
+    // an OVERSIZED pointer (a foreign blob) classifies as torn from
+    // file status alone — never slurped into driver memory — and the
+    // same heal applies
+    store.writeString(store.currentManifestPath,
+      "x" * (17 * 1024 * 1024))
+    val big = intercept[graft.model.MalformedManifest](
+      store.readCurrentManifest())
+    assert(big.getMessage.contains("cap"), big.getMessage)
+    assert(mgr.runCycle(Instant.parse("2024-08-04T04:00:00Z")).success)
+    assert(store.readCurrentManifest().nonEmpty)
   }
 
   test("publish ordering: pointer swap is last — a failed swap leaves a complete generation") {
