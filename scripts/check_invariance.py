@@ -28,6 +28,20 @@ dump_a, dump_b = sys.argv[1], sys.argv[2]
 assert os.path.realpath(dump_a) != os.path.realpath(dump_b), \
     "dump_a and dump_b are the same directory — nothing is being compared"
 
+# a dump graft.Verify declared VACUOUS must never be compared, even by a
+# caller that ignored Verify's nonzero exit: Verify deletes the dump and
+# plants a marker AT the path (a plain file) or, if the delete partially
+# failed, a VACUOUS file INSIDE the surviving directory. Refuse both.
+for d in (dump_a, dump_b):
+    if os.path.isfile(d):
+        sys.exit(f"REFUSED: {d} is a file, not a dump directory — "
+                 f"graft.Verify replaced a vacuous dump with this marker: "
+                 f"{open(d).read().strip()!r}")
+    if os.path.exists(os.path.join(d, "VACUOUS")):
+        sys.exit(f"REFUSED: {d}/VACUOUS exists — graft.Verify declared "
+                 f"this dump vacuous and its deletion partially failed; "
+                 f"nothing in it may be compared")
+
 con = duckdb.connect()
 names = sorted(json.load(open(f"{dump_a}/oracle_sql.json")))
 names_b = sorted(json.load(open(f"{dump_b}/oracle_sql.json")))

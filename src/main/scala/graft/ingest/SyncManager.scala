@@ -163,10 +163,11 @@ final class SyncManager(spark: SparkSession, source: Source,
         sortCol = Some(watermarkCol))
 
       // watermarks advance ONLY after the publish landed — advancing
-      // first would permanently skip (old, new] rows if publish failed
-      stats.foreach { case (t, (_, wm)) =>
-        wm.foreach(w => watermarks.update(t, w))
-      }
+      // first would permanently skip (old, new] rows if publish failed.
+      // One batched write for the whole cycle: N per-table round-trips
+      // would be N tiny rename windows against the store per cycle.
+      watermarks.updateAll(
+        stats.collect { case (t, (_, Some(w))) => t -> w }.toMap)
 
       val pruned = retention.prune()
       SyncResult(success = true, Some(manifest), changed, pruned)
@@ -256,10 +257,15 @@ object SyncManager {
     * HDFS (namenode create) and local (O_CREAT|O_EXCL via NIO);
     * check-then-create (advisory) on stores with neither primitive.
     */
-  private def tryCreateExclusive(fs: org.apache.hadoop.fs.FileSystem,
+  private[ingest] def tryCreateExclusive(fs: org.apache.hadoop.fs.FileSystem,
                                  path: org.apache.hadoop.fs.Path): Boolean =
     fs match {
-      case _: org.apache.hadoop.fs.LocalFileSystem =>
+      // both local flavors: LocalFileSystem (the default checksummed
+      // wrapper) AND RawLocalFileSystem (fs.file.impl configured raw) —
+      // the generic arm below would silently lose O_EXCL atomicity for
+      // the raw flavor, whose create is exists-check-then-open
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
         new java.io.File(path.toUri.getPath).createNewFile()
       case other =>
         try { other.create(path, false).close(); true }

@@ -27,15 +27,30 @@ final class WatermarkStore(store: SnapshotStore) {
       "full and a successful publish rewrites the file (self-heal). If " +
       "this is not a torn foreign write, it is a bug.")
 
-  /** True iff the stored text will round-trip through the casts
-    * `readChangedSince` / the JDBC dialect literal apply: the formats
-    * `save` can produce (Spark's timestamp→string cast, space-separated,
-    * optional fraction) plus ISO-8601 `T`/offset forms for tolerance.
+  /** True iff the stored text is a shape `save` can actually have
+    * produced — i.e. `max(watermarkCol).cast("string")` over a SUPPORTED
+    * watermark column type. `readChangedSince` casts the literal back to
+    * the COLUMN's type, so the accepted set must cover every column type
+    * the delta contract supports, not just TIMESTAMP (round 14 — the
+    * timestamp-only check silently dropped legitimately-saved DATE and
+    * numeric/rowversion watermarks on every load, permanently degrading
+    * those tables to full re-reads each cycle while warning about
+    * corruption that never happened):
+    *  - TIMESTAMP / TIMESTAMP_NTZ: Spark's space-separated cast with
+    *    optional fraction, plus ISO-8601 `T`/offset forms for tolerance;
+    *  - DATE: `yyyy-MM-dd` (Spark's date→string cast);
+    *  - numeric (int/long/decimal version counters, rowversion): an
+    *    optionally-signed decimal literal. Bounded length so a garbage
+    *    blob of digits still heals rather than round-tripping.
+    * Anything else cannot have come from `save` and is dropped as
+    * garbage (see `load`'s torn-state policy).
     */
-  private def parseableTs(s: String): Boolean =
+  private def parseableWatermark(s: String): Boolean =
     scala.util.Try(java.sql.Timestamp.valueOf(s)).isSuccess ||
       scala.util.Try(java.time.Instant.parse(s)).isSuccess ||
-      scala.util.Try(java.time.LocalDateTime.parse(s)).isSuccess
+      scala.util.Try(java.time.LocalDateTime.parse(s)).isSuccess ||
+      scala.util.Try(java.sql.Date.valueOf(s)).isSuccess ||
+      WatermarkStore.NumericLiteral.matches(s)
 
   /** Loads the persisted state. Torn-state policy (round 13 — same
     * threat model as the publish pointer: tmp+rename writes, but a
@@ -77,10 +92,11 @@ final class WatermarkStore(store: SnapshotStore) {
           case Some(o: ObjectNode) =>
             o.properties().asScala.flatMap { e =>
               val v = e.getValue
-              if (v.isTextual && parseableTs(v.asText()))
+              if (v.isTextual && parseableWatermark(v.asText()))
                 Some(e.getKey -> v.asText())
               else {
-                warn(s"entry '${e.getKey}' holds a non-timestamp value " +
+                warn(s"entry '${e.getKey}' holds a value no supported " +
+                  s"watermark column type can produce: " +
                   s"${v.toString.take(48)}")
                 None
               }
@@ -102,9 +118,28 @@ final class WatermarkStore(store: SnapshotStore) {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
   }
 
-  def update(table: String, wm: String): Map[String, String] = {
-    val next = load() + (table -> wm)
-    save(next)
-    next
-  }
+  /** Advance several watermarks with ONE store round-trip (round 14 —
+    * the per-table `update` loop was N loads + N saves + N renames per
+    * cycle: chatty against an object store at 60 s cycles with many
+    * tables, and each rename a tiny torn-write window of the exact
+    * class `load`'s heal policy exists for). The caller's ordering
+    * guarantee is unchanged: one call, strictly after the publish.
+    * No advances → no write at all (the old loop's behavior for an
+    * all-empty-delta cycle; an untouched file is one fewer torn-write
+    * window than a rewritten identical one).
+    */
+  def updateAll(advances: Map[String, String]): Map[String, String] =
+    if (advances.isEmpty) load()
+    else {
+      val next = load() ++ advances
+      save(next)
+      next
+    }
+}
+
+object WatermarkStore {
+  /** Optionally-signed decimal literal — the string cast of any numeric
+    * watermark column. 38 digits covers DECIMAL(38)'s full range.
+    */
+  private val NumericLiteral = "^-?[0-9]{1,38}(\\.[0-9]{1,38})?$".r
 }

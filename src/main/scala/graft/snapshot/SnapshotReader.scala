@@ -219,11 +219,19 @@ final class SnapshotReader(store: SnapshotStore,
   private def register(m: Manifest): Unit = {
     // resolve EVERY table before touching the catalog: spark.read
     // .parquet is where a damaged/missing generation dir fails (footer
-    // + schema read), and a mid-loop failure must not leave the
+    // + schema read), and a mid-loop FAILURE must not leave the
     // catalog half-swapped — some views on the new generation, some on
     // the old — or queries silently join ACROSS generations. All
     // reads succeed first; only then are the views swapped (view
     // registration itself is metadata-only and cannot fail on data).
+    // Scope: this makes ADOPTION failure-atomic. The swap loop below
+    // still replaces views one at a time, so a query running
+    // CONCURRENTLY with a successful refresh can observe a mixed
+    // catalog for the duration of the loop — a known limitation of
+    // temp-view swapping (metadata-only, so the window is microseconds,
+    // but not zero; a serving tier that needs a zero-width window would
+    // resolve all frames once and serve from the resolved map instead
+    // of the session catalog).
     val resolved = m.tables.keys.toSeq.map { t =>
       t -> store.spark.read.parquet(store.tableDir(m.version, t).toString)
     }

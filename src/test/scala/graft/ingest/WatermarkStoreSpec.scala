@@ -47,13 +47,104 @@ class WatermarkStoreSpec extends SparkSpec {
   test("save/load round-trips every format save can produce") {
     val (_, store) = freshEnv()
     val wm = new WatermarkStore(store)
+    // every supported watermark column type's cast-to-string shape:
+    // TIMESTAMP (space-separated, optional fraction), ISO tolerance
+    // forms, DATE, and numeric version counters / rowversion (round 14
+    // — the timestamp-only load dropped the last two as "corruption",
+    // permanently degrading those tables to full re-reads every cycle)
     val state = Map(
       "plain" -> "2024-01-01 00:00:00",
       "micros" -> "2024-01-01 00:00:00.123456",
       "iso_t" -> "2024-01-01T00:00:00",
-      "iso_z" -> "2024-01-01T00:00:00Z")
+      "iso_z" -> "2024-01-01T00:00:00Z",
+      "date_col" -> "2024-01-01",
+      "int_col" -> "12345",
+      "neg_col" -> "-7",
+      "dec_col" -> "123.450000")
     wm.save(state)
     assert(wm.load() == state)
+  }
+
+  test("a non-timestamp watermark column keeps its watermark across load — no eternal full re-reads") {
+    // end-to-end regression for the round-14 advice: a DATE (or
+    // numeric) watermark column's saved state must survive the next
+    // cycle's load, so the delta scan stays incremental. Before the
+    // fix, load() dropped the entry and EVERY subsequent cycle did a
+    // full table read while warning about corruption that never
+    // happened.
+    import org.apache.spark.sql.functions.{col, to_date}
+    val srcDir = Files.createTempDirectory("graft-wm-date-src").toString
+    val snapDir = Files.createTempDirectory("graft-wm-date-snap").toString
+    Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (2L, ts("2024-01-02 00:00:00"), 20.0),
+      (3L, ts("2024-01-03 00:00:00"), 30.0))
+      .toDF("id", "updated_at", "v")
+      .withColumn("updated_at", to_date(col("updated_at")))
+      .write.mode("overwrite").parquet(s"$srcDir/ditems.parquet")
+    val store = new SnapshotStore(spark, snapDir)
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("ditems")), store,
+      mode = SyncMode.Merge)
+    val r1 = mgr.runCycle(t("2024-02-01T00:00:00Z"))
+    assert(r1.success, r1.error)
+    assert(new WatermarkStore(store).load()("ditems") == "2024-01-03",
+      "DATE watermark was not persisted in the date cast shape")
+    // the second cycle must be CHEAP: strict > on the loaded DATE
+    // watermark, zero changed rows — not a full-read bootstrap
+    val r2 = mgr.runCycle(t("2024-02-01T01:00:00Z"))
+    assert(r2.success && r2.changedCounts("ditems") == 0L,
+      s"DATE watermark was dropped on load — the cycle degraded to a " +
+        s"full re-read: $r2")
+  }
+
+  test("one store write per cycle: the batched advance replaces N per-table round-trips") {
+    val srcDir = Files.createTempDirectory("graft-wm-batch-src").toString
+    val snapDir = Files.createTempDirectory("graft-wm-batch-snap").toString
+    Seq((1L, ts("2024-01-01 00:00:00"), 10.0),
+        (2L, ts("2024-01-02 00:00:00"), 20.0))
+      .toDF("id", "updated_at", "v")
+      .write.mode("overwrite").parquet(s"$srcDir/wa.parquet")
+    Seq((1L, ts("2024-01-05 00:00:00"), 1.0),
+        (2L, ts("2024-01-06 00:00:00"), 2.0))
+      .toDF("id", "updated_at", "v")
+      .write.mode("overwrite").parquet(s"$srcDir/wb.parquet")
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val store = new SnapshotStore(spark, snapDir) {
+      override def writeString(p: Path, content: String): Unit = {
+        if (p == wmPath(this)) writes.incrementAndGet()
+        super.writeString(p, content)
+      }
+    }
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("wa", "wb")), store,
+      mode = SyncMode.Merge)
+    val r1 = mgr.runCycle(t("2024-02-01T00:00:00Z"))
+    assert(r1.success, r1.error)
+    assert(writes.get() == 1,
+      s"expected ONE watermark write for the 2-table cycle, got ${writes.get()}")
+    assert(new WatermarkStore(store).load() == Map(
+      "wa" -> "2024-01-02 00:00:00", "wb" -> "2024-01-06 00:00:00"))
+    // an all-empty-delta cycle advances nothing → touches the file not
+    // at all (an untouched file is one fewer torn-write window than a
+    // rewritten identical one)
+    val r2 = mgr.runCycle(t("2024-02-01T01:00:00Z"))
+    assert(r2.success && r2.changedCounts.values.forall(_ == 0L), s"$r2")
+    assert(writes.get() == 1,
+      s"an empty-delta cycle rewrote the watermark file (${writes.get()} writes)")
+  }
+
+  test("garbage shapes no supported column type can produce still drop") {
+    val (_, store) = freshEnv()
+    val wm = new WatermarkStore(store)
+    store.writeString(wmPath(store),
+      """{"good_num": "12345", "good_date": "2024-01-01",
+        |"blob": "9999999999999999999999999999999999999999999",
+        |"notanum": "12a45", "baddate": "2024-13-99",
+        |"empty": "", "text": "not a timestamp"}""".stripMargin)
+    assert(wm.load() == Map(
+      "good_num" -> "12345", "good_date" -> "2024-01-01"),
+      "a garbage shape round-tripped (or a legitimate one was dropped)")
   }
 
   test("a torn watermark file heals to absent; the cycle degrades to a full read and rewrites it") {
