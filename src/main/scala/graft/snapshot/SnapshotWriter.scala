@@ -36,8 +36,10 @@ final class StalePublisherException(msg: String)
   * is the guard the reference's APScheduler `max_instances=1`
   * (etl-service/src/main.py:80-91) cannot provide once there is more
   * than one node: each deployment claims a strictly larger epoch
-  * (SyncManager.claimEpoch), the manifest carries it, and the pointer
-  * swap below re-reads the current manifest first — observing a higher
+  * (SyncManager.claimEpoch), the manifest carries it, and the fence is
+  * checked TWICE per publish — before any table write (a fenced
+  * wake-up must cost zero bytes, not a discarded 100 TB generation)
+  * and again immediately before the pointer swap — observing a higher
   * epoch raises [[StalePublisherException]] instead of regressing the
   * pointer (Retention applies the same guard before pruning). The
   * read-then-rename pair is not CAS, so two publishers racing INSIDE
@@ -87,6 +89,18 @@ final class SnapshotWriter(store: SnapshotStore,
                             partitionBy: Map[String, Seq[String]],
                             now: Instant,
                             metadata: Map[String, String]): Manifest = {
+    // the PRE-WRITE fence (round 14): a fenced instance must discover
+    // it is stale BEFORE materializing the snapshot. At 100 TB the
+    // table writes ARE the cycle cost — the swap-time check alone let
+    // a retired deployment's wake-up build and upload a full
+    // generation just to throw it away at the swap, and the sync
+    // fuzzer caught the orphan it leaves: a deck whose LAST op was a
+    // fenced wake-up ended at 25 surviving generations, the orphan
+    // landing after the final prune (seed 1408002). One small pointer
+    // read up front turns that into zero bytes written. The at-swap
+    // re-read below STAYS — the two checks bracket the non-CAS window
+    // (this one cannot see a publisher that lands mid-build).
+    fenceOrThrow(key, wrote = false)
     val counts = tables.map { case (name, df) =>
       val sorted = df.schema.fieldNames.find(sortCol.contains) match {
         case Some(c) => df.sortWithinPartitions(c)
@@ -141,18 +155,37 @@ final class SnapshotWriter(store: SnapshotStore,
     // to T7 fail-soft. Note the fallback sees the generation manifest
     // written just above, carrying OUR epoch — harmless, the fence is
     // strictly-greater.
+    fenceOrThrow(key, wrote = true)
+    store.writeString(store.currentManifestPath, json) // the publish
+    manifest
+  }
+
+  /** The fence read: the current pointer's epoch, or — when the
+    * pointer is torn — the max epoch recorded anywhere in the store
+    * (generation manifests + claim markers cannot tear away with the
+    * pointer; healing blindly would let a foreign torn write over a
+    * higher-epoch manifest admit a stale swap). Strictly-greater wins;
+    * an IO error propagates to the cycle's T7 fail-soft. Called twice
+    * per publish: before any table write (so a fenced wake-up costs
+    * zero bytes) and immediately before the swap (the non-CAS window).
+    */
+  private def fenceOrThrow(key: String, wrote: Boolean): Unit = {
     val currentEpoch =
       try store.readCurrentManifest().map(_.publisherEpoch)
       catch { case _: MalformedManifest => store.maxRecordedEpoch() }
     currentEpoch.filter(_ > publisherEpoch).foreach { winner =>
       throw new StalePublisherException(
-        s"refusing to publish generation $key: this publisher's epoch" +
-          s" $publisherEpoch is older than the store's current epoch" +
-          s" $winner — a newer deployment owns this root; the written" +
-          s" generation is left unreferenced (retention collects it)" +
-          s" and the pointer is NOT regressed. Retire this instance.")
+        if (wrote)
+          s"refusing to publish generation $key: this publisher's epoch" +
+            s" $publisherEpoch is older than the store's current epoch" +
+            s" $winner — a newer deployment owns this root; the written" +
+            s" generation is left unreferenced (retention collects it)" +
+            s" and the pointer is NOT regressed. Retire this instance."
+        else
+          s"refusing to build generation $key: this publisher's epoch" +
+            s" $publisherEpoch is older than the store's current epoch" +
+            s" $winner — a newer deployment owns this root; nothing was" +
+            s" written and the pointer is untouched. Retire this instance.")
     }
-    store.writeString(store.currentManifestPath, json) // the publish
-    manifest
   }
 }

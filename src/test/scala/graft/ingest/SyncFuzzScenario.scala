@@ -386,11 +386,19 @@ object SyncFuzzScenario {
           val staleMgr = new SyncManager(spark,
             new ParquetSource(srcDir, Seq("orders")), store,
             mode = SyncMode.Merge, publisherEpoch = epoch - 1)
+          val gensBeforeStale = store.listGenerations().size
           val rStale = staleMgr.runCycle()
           require(!rStale.success, "a stale publisher's cycle succeeded")
           require(rStale.error.exists(e => e.contains("StalePublisher") &&
             e.contains("epoch")),
             s"stale failure lacks the diagnosis: ${rStale.error}")
+          // the pre-write fence (round 14): a fenced wake-up must cost
+          // ZERO bytes — before it, the stale cycle built and wrote a
+          // full orphan generation just to throw it away at the swap
+          // (at 100 TB, an entire wasted snapshot per wake-up; seed
+          // 1408002's deck ended on one and broke the ≤24 bound)
+          require(store.listGenerations().size == gensBeforeStale,
+            "a fenced-off publish left an orphan generation")
           require(storedWm == wmBefore,
             "a fenced-off publish advanced the watermark")
           require(store.readCurrentManifest().get.version == genBefore,
@@ -463,12 +471,16 @@ object SyncFuzzScenario {
           val retiredMgr = new SyncManager(spark,
             new ParquetSource(srcDir, Seq("orders")), store,
             mode = SyncMode.Merge, publisherEpoch = prev)
+          val gensBeforeRetired = store.listGenerations().size
           val rOld = retiredMgr.runCycle()
           require(!rOld.success && rOld.error.exists(
             _.contains("StalePublisher")),
             s"retired instance was not fenced: $rOld")
           require(storedWm == wmBefore && store.readCurrentManifest()
             .get.version == genBefore, "a fenced wake-up was not clean")
+          // zero bytes, not a discarded generation (pre-write fence)
+          require(store.listGenerations().size == gensBeforeRetired,
+            "the retired instance's fenced wake-up left an orphan")
           genIntegrity()
       }
     }

@@ -148,8 +148,9 @@ class PublisherFenceSpec extends SparkSpec {
           sortCol = Some("updated_at"))
     }
     assert(ex.getMessage.contains("epoch"), ex.getMessage)
-    // the stale attempt neither healed nor regressed the pointer; its
-    // generation is an unreferenced orphan
+    // the stale attempt neither healed nor regressed the pointer (and
+    // since round 14's pre-write fence it wrote nothing at all — the
+    // history fallback fences it before any table write)
     intercept[graft.model.MalformedManifest](store.readCurrentManifest())
     // the live publisher's next cycle heals at its own epoch
     new SnapshotWriter(store, publisherEpoch = 2L)
@@ -185,10 +186,13 @@ class PublisherFenceSpec extends SparkSpec {
       s"pointer moved: ${served.version} -> ${after.version}")
     assert(new WatermarkStore(store).load() == wmBefore,
       "a fenced-off publish advanced the watermark")
-    // the stale attempt's generation exists as an unreferenced orphan
-    // (written before the fence check fired) — never served
+    // the pre-write fence (round 14): the fenced wake-up wrote NOTHING
+    // — before it, the stale attempt built a full generation just to
+    // throw it away at the swap (at 100 TB, an entire wasted snapshot
+    // write per retired-instance tick)
     val orphan = SnapshotStore.keyFor(t("2024-02-01T02:00:00Z"))
-    assert(store.fs.exists(store.genDir(orphan)))
+    assert(!store.fs.exists(store.genDir(orphan)),
+      "a fenced wake-up materialized an orphan generation")
 
     // the live publisher consumes the delta exactly once
     val r3 = newMgr.runCycle(t("2024-02-01T03:00:00Z"))
@@ -273,10 +277,21 @@ class PublisherFenceSpec extends SparkSpec {
     val bothRead = new java.util.concurrent.CyclicBarrier(2)
     val liveSwapped = new java.util.concurrent.CountDownLatch(1)
     class RacingStore extends SnapshotStore(spark, store0.root) {
+      // publish checks the fence TWICE (round 14): a pre-write read
+      // (zero-cost fenced wake-ups) and the at-swap re-read. Only the
+      // SECOND read per publisher thread is the swap-window read this
+      // race forces; barriering the first would pair one publisher's
+      // pre-read with the other's swap-read and deadlock the forcing.
+      private val readsOnThread = new ThreadLocal[Int] {
+        override def initialValue(): Int = 0
+      }
       override def readCurrentManifest(): Option[graft.model.Manifest] = {
         val r = super.readCurrentManifest()
-        if (armed.get) // the fence re-read: hold until BOTH passed it
-          bothRead.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        if (armed.get) {
+          readsOnThread.set(readsOnThread.get + 1)
+          if (readsOnThread.get == 2) // at-swap: hold until BOTH passed
+            bothRead.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
         r
       }
       override def writeString(p: Path, content: String): Unit = {
