@@ -68,10 +68,26 @@ object SemDedup {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1 && col("__cnt") <= maxCellSize)
       .select("cell_id")
-    val sized = cells.join(pairable, Seq("cell_id"))
+    // pairable is ≤ k rows — ALWAYS the broadcast side. Left unhinted,
+    // AQE's runtime broadcast conversion sometimes built the hash
+    // relation from the CORPUS side instead (id + full embedding,
+    // BuildLeft, reused for both pair sides): measured at the sf1 gate
+    // corpus as the 2.3× slow mode of the r13 "bimodal e08" — which
+    // side won depended on stage-completion order, hence the per-draw
+    // flip on identical code and data. At any real scale the corpus
+    // side can never be a broadcast; say so explicitly.
+    val sized = cells.join(broadcast(pairable), Seq("cell_id"))
     val a = sized.select(col("cell_id"), col(idCol).as("__ida"), col(vecCol).as("__va"))
     val b = sized.select(col("cell_id"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
-    val dropped = a.join(b, Seq("cell_id"))
+    // both pair sides are the CORPUS (id + embedding): at any real
+    // scale neither fits a broadcast, and even where one squeaks under
+    // the runtime threshold, AQE's broadcast conversion is a
+    // pessimization — measured at the sf1 gate corpus, the converted
+    // plan draws 5.4–6.9 s where the shuffled pair join draws 2.2–3.0 s
+    // (the r13 "bimodal e08" mystery: AQE flipped between the two
+    // per draw). The merge hint keeps the pair join a shuffle join at
+    // every scale; AQE still coalesces its partitions freely.
+    val dropped = a.hint("merge").join(b.hint("merge"), Seq("cell_id"))
       .filter(col("__ida") < col("__idb"))
       .filter(VectorKernels.cosineSim(col("__va"), col("__vb")) >= threshold)
       .select(col("__idb")).distinct()

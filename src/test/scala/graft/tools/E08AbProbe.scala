@@ -21,9 +21,8 @@ import org.apache.spark.sql.SparkSession
   * file as a finding instead.
   *
   * Run (fresh JVM per arm — that IS the experiment):
-  *   java <add-opens> -cp "target/scala-2.13/test-classes:target/
-  *     scala-2.13/classes:/opt/spark/jars/*" graft.tools.E08AbProbe \
-  *     solo|sweep <sf01Dir> <sf1Dir> [draws]
+  *   java <add-opens> -cp "<test-classes>:<classes>:<spark jars glob>"
+  *     graft.tools.E08AbProbe solo|sweep <sf01Dir> <sf1Dir> [draws]
   * Prints one JSON line {"arm":…,"draws":[…]}.
   */
 object E08AbProbe {
@@ -32,18 +31,48 @@ object E08AbProbe {
     val Array(arm, sf01, sf1) = args.take(3)
     val draws = if (args.length > 3) args(3).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       // identical static confs to graft.Bench — the codegen cache size
       // is load-bearing for the "sweep" arm (Bench sets it too)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=false isolates whether AQE's runtime re-plans
+      // are the per-draw flipper (same override Bench honors)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra static confs for hypothesis isolation, Verify's k=v;k=v shape
+    sys.env.get("SPARK_GRAFT_PROBE_CONFS").foreach {
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // SPARK_GRAFT_PROBE_PLANS=<dir>: dump every query's FINAL adaptive
+    // plan, filename carrying the wall duration — diff a slow draw's
+    // plan against a fast one to see which AQE decision flipped
+    sys.env.get("SPARK_GRAFT_PROBE_PLANS").foreach { dir =>
+      new java.io.File(dir).mkdirs()
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val f = s"$dir/plan_${durationNs / 1000000}ms_${System.nanoTime()}.txt"
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+              qe.executedPlan.toString)
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
 
     def exec(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
