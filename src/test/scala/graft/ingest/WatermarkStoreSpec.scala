@@ -134,6 +134,55 @@ class WatermarkStoreSpec extends SparkSpec {
       s"an empty-delta cycle rewrote the watermark file (${writes.get()} writes)")
   }
 
+  test("property: every shape save can produce round-trips; shapes it cannot produce never do") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val (_, store) = freshEnv()
+    val wm = new WatermarkStore(store)
+    val pad2 = (n: Int) => f"$n%02d"
+    // the string-cast images of the supported watermark column types
+    val tsG = for {
+      y <- Gen.choose(1970, 2100); mo <- Gen.choose(1, 12)
+      d <- Gen.choose(1, 28); h <- Gen.choose(0, 23)
+      mi <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
+      frac <- Gen.oneOf("", ".1", ".123", ".123456")
+    } yield s"$y-${pad2(mo)}-${pad2(d)} ${pad2(h)}:${pad2(mi)}:${pad2(s)}$frac"
+    val dateG = for {
+      y <- Gen.choose(1970, 2100); mo <- Gen.choose(1, 12)
+      d <- Gen.choose(1, 28)
+    } yield s"$y-${pad2(mo)}-${pad2(d)}"
+    val numG = for {
+      neg <- Gen.oneOf("", "-")
+      digits <- Gen.choose(1, 38)
+      ds <- Gen.listOfN(digits, Gen.numChar).map(_.mkString)
+      frac <- Gen.oneOf(Gen.const(""), Gen.listOfN(6, Gen.numChar)
+        .map("." + _.mkString))
+    } yield s"$neg$ds$frac"
+    val goodG = Gen.oneOf(tsG, dateG, numG)
+    val stateG = Gen.mapOf(Gen.zip(Gen.identifier.suchThat(_.nonEmpty), goodG))
+    val roundTrips = Prop.forAll(stateG) { state =>
+      wm.save(state); wm.load() == state
+    }
+    // shapes save cannot produce: any letter anywhere, a 39+-digit
+    // blob, empty — must drop (never silently feed the strict-> cast)
+    val badG = Gen.oneOf(
+      Gen.identifier.suchThat(s => s.exists(_.isLetter)),
+      Gen.listOfN(45, Gen.numChar).map(_.mkString),
+      Gen.const(""))
+    val drops = Prop.forAll(badG) { bad =>
+      wm.save(Map.empty)
+      store.writeString(
+        new Path(store.rootPath, "state/watermarks.json"),
+        s"""{"t": ${new com.fasterxml.jackson.databind.ObjectMapper()
+          .writeValueAsString(bad)}}""")
+      wm.load().isEmpty
+    }
+    Seq(roundTrips, drops).foreach { p =>
+      val r = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(120), p)
+      assert(r.passed, r.status.toString)
+    }
+  }
+
   test("garbage shapes no supported column type can produce still drop") {
     val (_, store) = freshEnv()
     val wm = new WatermarkStore(store)
