@@ -61,11 +61,16 @@ class SyncFuzzSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.01"
 
-  // two always-run seeds; override to widen locally:
+  // always-run seeds; override to widen locally:
   //   GRAFT_SYNC_FUZZ_SEEDS=7,8,9 sbt "testOnly graft.ingest.SyncFuzzSpec"
+  // 1408002 is pinned on merit (round 14): its deck ENDS on a rolling
+  // deploy whose retired instance ticks once after the final prune —
+  // the interleaving that caught the swap-time-only fence writing a
+  // full orphan generation per fenced wake-up (25 > keep-24). Keeping
+  // it always-run makes that regression shape part of every suite run.
   private val seeds = sys.env.get("GRAFT_SYNC_FUZZ_SEEDS")
     .map(_.split(",").map(_.trim.toInt).toSeq)
-    .getOrElse(Seq(20260815, 424242))
+    .getOrElse(Seq(20260815, 424242, 1408002))
 
   seeds.foreach { s =>
     test(s"seeded sync-lifecycle scenario converges to the window oracle (seed $s)") {
