@@ -34,9 +34,15 @@ assert os.path.realpath(dump_a) != os.path.realpath(dump_b), \
 # failed, a VACUOUS file INSIDE the surviving directory. Refuse both.
 for d in (dump_a, dump_b):
     if os.path.isfile(d):
+        # bounded, decode-error-proof read: a mistakenly-passed large or
+        # binary file must not turn the clear REFUSED diagnostic into a
+        # MemoryError/UnicodeDecodeError (exit stays nonzero either way,
+        # but the message should survive)
+        with open(d, errors="replace") as f:
+            marker = f.read(200).strip()
         sys.exit(f"REFUSED: {d} is a file, not a dump directory — "
                  f"graft.Verify replaced a vacuous dump with this marker: "
-                 f"{open(d).read().strip()!r}")
+                 f"{marker!r}")
     if os.path.exists(os.path.join(d, "VACUOUS")):
         sys.exit(f"REFUSED: {d}/VACUOUS exists — graft.Verify declared "
                  f"this dump vacuous and its deletion partially failed; "
