@@ -65,6 +65,14 @@ final class SyncManager(spark: SparkSession, source: Source,
 
   def runCycle(now: Instant = Instant.now()): SyncResult = synchronized {
     try {
+      // cycle-entry fence (round 15): a retired instance's wake-up
+      // must cost ONE pointer read. The r14 pre-write fence already
+      // made it zero bytes written, but the per-table delta-scan stats
+      // jobs below still charged the SOURCE N full delta reads per
+      // stale tick. The publish-time checks remain for a successor
+      // landing mid-cycle; this one just stops the known-stale case
+      // before any source I/O.
+      writer.assertCurrentPublisher()
       val state = watermarks.load()
 
       // change detection (S2+S3): ONE delta scan per table yields both
@@ -76,12 +84,20 @@ final class SyncManager(spark: SparkSession, source: Source,
       }.toMap
       val stats = deltas.map { case (t, delta) =>
         import org.apache.spark.sql.functions.{col, count, lit, max}
-        if (delta.schema.fieldNames.contains(watermarkCol)) {
-          val row = delta.agg(count(lit(1)),
-            max(col(watermarkCol)).cast("string")).first()
-          t -> ((row.getLong(0),
-            if (row.isNullAt(1)) None else Some(row.getString(1))))
-        } else t -> ((delta.count(), Option.empty[String]))
+        // resolve case-insensitively, like readChangedSince does
+        // (round 15): databases surface folded identifiers (Derby/SQL
+        // Server uppercase "UPDATED_AT"), and an exact-match miss here
+        // meant the watermark was never ESTABLISHED for those sources —
+        // every cycle silently degraded to a full re-read while the
+        // delta path stood ready to serve incremental reads
+        Source.resolve(delta, watermarkCol) match {
+          case Some(c) =>
+            val row = delta.agg(count(lit(1)),
+              max(col(c)).cast("string")).first()
+            t -> ((row.getLong(0),
+              if (row.isNullAt(1)) None else Some(row.getString(1))))
+          case None => t -> ((delta.count(), Option.empty[String]))
+        }
       }
       val changed = stats.map { case (t, (n, _)) => t -> n }
 

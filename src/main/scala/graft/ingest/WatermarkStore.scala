@@ -42,6 +42,17 @@ final class WatermarkStore(store: SnapshotStore) {
     *  - numeric (int/long/decimal version counters, rowversion): an
     *    optionally-signed decimal literal. Bounded length so a garbage
     *    blob of digits still heals rather than round-tripping.
+    *  - FLOAT/DOUBLE (round 15): Spark's double→string cast emits Java
+    *    `Double.toString` shapes — scientific notation ("1.2345678E7",
+    *    "1.0E-4") past the plain-decimal range — which the bare
+    *    NumericLiteral missed, so a legitimately-saved double watermark
+    *    was dropped on every load: the exact eternal-full-re-read
+    *    degradation the r14 DATE/numeric fix closed. The optional
+    *    bounded exponent suffix covers every FINITE double; the
+    *    NON-finite casts ("NaN", "Infinity") are rejected at SAVE time
+    *    instead (see [[updateAll]]) — a NaN watermark would make the
+    *    strict-`>` delta predicate eternally false and silently skip
+    *    every future row, so it must never be persisted at all.
     * Anything else cannot have come from `save` and is dropped as
     * garbage (see `load`'s torn-state policy).
     */
@@ -128,18 +139,43 @@ final class WatermarkStore(store: SnapshotStore) {
     * all-empty-delta cycle; an untouched file is one fewer torn-write
     * window than a rewritten identical one).
     */
-  def updateAll(advances: Map[String, String]): Map[String, String] =
-    if (advances.isEmpty) load()
+  def updateAll(advances: Map[String, String]): Map[String, String] = {
+    // save-side mirror of `parseableWatermark` (round 15): an advance
+    // the loader would drop must never be PERSISTED in the first place
+    // — otherwise it ships, gets dropped on the next load with a
+    // "corruption" warning, and the table silently degrades to full
+    // re-reads. The one real producer is a FLOAT/DOUBLE watermark
+    // column containing NaN/Infinity (max() propagates NaN as the
+    // greatest value under Spark's ordering; persisted, it would make
+    // the strict-`>` delta predicate eternally FALSE and skip every
+    // future row). Refusing loudly keeps the PREVIOUS watermark: rows
+    // past it are re-read each cycle — correct and expensive, with
+    // this warning naming the cause every time — until the source
+    // value becomes finite again.
+    val (ok, bad) = advances.partition {
+      case (_, v) => parseableWatermark(v)
+    }
+    bad.foreach { case (t, v) =>
+      warn(s"advance for '$t' is not a round-trippable watermark " +
+        s"(${v.take(48)} — e.g. NaN/Infinity from a float column); NOT" +
+        " persisted — the previous watermark holds")
+    }
+    if (ok.isEmpty) load()
     else {
-      val next = load() ++ advances
+      val next = load() ++ ok
       save(next)
       next
     }
+  }
 }
 
 object WatermarkStore {
-  /** Optionally-signed decimal literal — the string cast of any numeric
-    * watermark column. 38 digits covers DECIMAL(38)'s full range.
+  /** Optionally-signed decimal literal with an optional bounded
+    * exponent — the string cast of any numeric watermark column.
+    * 38 digits covers DECIMAL(38)'s full range; the `[eE]±ddd` suffix
+    * covers Java `Double.toString`'s scientific notation for every
+    * finite FLOAT/DOUBLE (exponents max out at 3 digits: |e| ≤ 324).
     */
-  private val NumericLiteral = "^-?[0-9]{1,38}(\\.[0-9]{1,38})?$".r
+  private val NumericLiteral =
+    "^-?[0-9]{1,38}(\\.[0-9]{1,38})?([eE][+-]?[0-9]{1,3})?$".r
 }

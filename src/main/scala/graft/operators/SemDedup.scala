@@ -42,6 +42,18 @@ object SemDedup {
     if (nCells > 0) nCells
     else math.max(16, ((n + targetCellSize - 1) / targetCellSize).toInt)
 
+  /** Largest cell count for which the pairable cell-id list may be
+    * HINTED as a broadcast: 4M bare longs is a few tens of MB as a
+    * hash relation — comfortably inside driver/executor headroom —
+    * while auto-k crosses it only past ~8B documents (4M cells ×
+    * targetCellSize 2048), where a forced broadcast would be exactly
+    * the OOM the hint's own rule ("broadcast iff bounded by
+    * construction") forbids. Past the bound the cells⋈pairable join
+    * falls to a SHUFFLE_HASH hint on the same side: the build side
+    * stays pinned off the corpus (the r14 e08 lesson) at any k.
+    */
+  val BroadcastableCells: Int = 4 * 1000 * 1000
+
   /** Per-document verdicts: (idCol, cell_id, kept).
     *
     * `nCells <= 0` auto-sizes k ∝ corpus (`ceil(N / targetCellSize)`,
@@ -68,15 +80,25 @@ object SemDedup {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1 && col("__cnt") <= maxCellSize)
       .select("cell_id")
-    // pairable is ≤ k rows — ALWAYS the broadcast side. Left unhinted,
-    // AQE's runtime broadcast conversion sometimes built the hash
-    // relation from the CORPUS side instead (id + full embedding,
-    // BuildLeft, reused for both pair sides): measured at the sf1 gate
-    // corpus as the 2.3× slow mode of the r13 "bimodal e08" — which
-    // side won depended on stage-completion order, hence the per-draw
-    // flip on identical code and data. At any real scale the corpus
-    // side can never be a broadcast; say so explicitly.
-    val sized = cells.join(broadcast(pairable), Seq("cell_id"))
+    // pairable is ≤ k rows of a bare cell_id — the build side at every
+    // scale. Left unhinted, AQE's runtime broadcast conversion
+    // sometimes built the hash relation from the CORPUS side instead
+    // (id + full embedding, BuildLeft, reused for both pair sides):
+    // measured at the sf1 gate corpus as the 2.3× slow mode of the r13
+    // "bimodal e08" — which side won depended on stage-completion
+    // order, hence the per-draw flip on identical code and data. BUT
+    // "small by construction" holds only up to a bound (r15 ADVICE):
+    // auto-k scales k LINEARLY with the corpus (N / targetCellSize),
+    // so at trillion-document scale a forced broadcast of hundreds of
+    // millions of cell ids would override AQE's size threshold and OOM
+    // the driver. k is known driver-side, so the guard is exact: below
+    // the bound, broadcast; above it, SHUFFLE_HASH on the SAME side —
+    // still pins the build side away from the corpus, without shipping
+    // a multi-GB relation through the driver.
+    val sized =
+      if (k <= SemDedup.BroadcastableCells)
+        cells.join(broadcast(pairable), Seq("cell_id"))
+      else cells.join(pairable.hint("shuffle_hash"), Seq("cell_id"))
     val a = sized.select(col("cell_id"), col(idCol).as("__ida"), col(vecCol).as("__va"))
     val b = sized.select(col("cell_id"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
     // both pair sides are the CORPUS (id + embedding): at any real

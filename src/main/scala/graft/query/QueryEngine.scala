@@ -51,8 +51,15 @@ final class QueryEngine(spark: SparkSession, reader: SnapshotReader,
 
     reader.refreshIfStale()
 
-    PlanGuard.assertReadOnly(spark, query) // parse-time, pre-execution
-    val df = spark.sql(query)
+    // ONE volatile read pins this query to a single generation's
+    // catalog: the reader swaps whole child sessions on adoption and
+    // never mutates a published one, so even a refresh landing between
+    // here and the collect cannot mix generations inside this query
+    // (round 15 — the per-view swap loop this replaces had a
+    // microseconds-wide mixed-catalog window)
+    val session = reader.session
+    PlanGuard.assertReadOnly(session, query) // parse-time, pre-execution
+    val df = session.sql(query)
     val capped = v.maxRows.map(df.limit).getOrElse(df)
 
     val schema = capped.schema
@@ -117,8 +124,10 @@ final class QueryEngine(spark: SparkSession, reader: SnapshotReader,
     */
   def schema(): Map[String, Seq[String]] = {
     reader.refreshIfStale()
+    // same capture discipline as execute(): one session, one generation
+    val session = reader.session
     reader.tableNames
-      .map(t => t -> spark.table(t).schema.fieldNames.toSeq).toMap
+      .map(t => t -> session.table(t).schema.fieldNames.toSeq).toMap
   }
 }
 

@@ -2,7 +2,7 @@ package graft.snapshot
 
 import java.time.{Duration, Instant}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.{MalformedManifest, Manifest}
 
@@ -36,6 +36,15 @@ final class SnapshotUnavailableException(msg: String,
   * `v_inventory_summary` (etl-service/src/sync.py:105-114) whenever an
   * `inventory` table is present.
   */
+/** One adopted generation: the manifest plus the CHILD SparkSession
+  * whose temp-view catalog holds exactly that generation's tables.
+  * Swapped as a single volatile reference (round 15) — see
+  * `SnapshotReader.register` for why this closes the mixed-catalog
+  * window the per-view swap loop used to have.
+  */
+private[snapshot] final case class Served(manifest: Manifest,
+                                          session: SparkSession)
+
 final class SnapshotReader(store: SnapshotStore,
                            ttl: Duration = Duration.ofSeconds(120),
                            clock: () => Instant = () => Instant.now(),
@@ -47,9 +56,9 @@ final class SnapshotReader(store: SnapshotStore,
   private val retryAfterSeconds: Long =
     math.max(1L, (coldRetryBackoff.toMillis + 999L) / 1000L)
 
-  @volatile private var loadedVersion: Option[String] = None
+  @volatile private var served: Option[Served] = None
   @volatile private var loadedAt: Option[Instant] = None
-  @volatile private var manifest: Option[Manifest] = None
+  private def loadedVersion: Option[String] = served.map(_.manifest.version)
   // cold-boot failed-probe state, for backoff: (at, cause, retryable).
   // retryable=true → taxonomy failures, replayed as the 503-shaped
   // SnapshotUnavailableException; false → a bug-shaped fault, replayed
@@ -61,10 +70,23 @@ final class SnapshotReader(store: SnapshotStore,
   private[graft] val pointerProbes =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  def currentManifest: Option[Manifest] = manifest
+  def currentManifest: Option[Manifest] = served.map(_.manifest)
 
   def tableNames: Seq[String] =
-    manifest.map(_.tables.keys.toSeq.sorted).getOrElse(Seq.empty)
+    currentManifest.map(_.tables.keys.toSeq.sorted).getOrElse(Seq.empty)
+
+  /** The serving session: a query executed against it (`session.sql`,
+    * `session.table`) sees ONE generation's tables, atomically. Capture
+    * it ONCE per query — a single volatile read — and run the whole
+    * query against the captured session; a refresh landing mid-query
+    * publishes a NEW session and never mutates this one, so an
+    * in-flight query keeps a consistent catalog for its whole life
+    * (the serving analog of snapshot isolation). Falls back to the
+    * store's session when nothing is adopted yet, where the catalog is
+    * simply empty — refreshIfStale throws before any query reaches SQL
+    * in that state.
+    */
+  def session: SparkSession = served.map(_.session).getOrElse(store.spark)
 
   /** Re-resolve the manifest if the TTL has lapsed — or on EVERY call
     * while nothing is loaded yet (reference parity: `_get_connection`
@@ -214,30 +236,33 @@ final class SnapshotReader(store: SnapshotStore,
   }
 
   def table(name: String): DataFrame =
-    store.spark.table(name)
+    session.table(name)
 
   private def register(m: Manifest): Unit = {
-    // resolve EVERY table before touching the catalog: spark.read
-    // .parquet is where a damaged/missing generation dir fails (footer
-    // + schema read), and a mid-loop FAILURE must not leave the
-    // catalog half-swapped — some views on the new generation, some on
-    // the old — or queries silently join ACROSS generations. All
-    // reads succeed first; only then are the views swapped (view
-    // registration itself is metadata-only and cannot fail on data).
-    // Scope: this makes ADOPTION failure-atomic. The swap loop below
-    // still replaces views one at a time, so a query running
-    // CONCURRENTLY with a successful refresh can observe a mixed
-    // catalog for the duration of the loop — a known limitation of
-    // temp-view swapping (metadata-only, so the window is microseconds,
-    // but not zero; a serving tier that needs a zero-width window would
-    // resolve all frames once and serve from the resolved map instead
-    // of the session catalog).
-    val resolved = m.tables.keys.toSeq.map { t =>
-      t -> store.spark.read.parquet(store.tableDir(m.version, t).toString)
+    // Zero-width swap (round 15; closes the r14-documented limitation):
+    // the generation's views are registered in a FRESH child session
+    // (same SparkContext, its own temp-view catalog) that no query can
+    // see until the single volatile write of `served` below. The old
+    // per-view createOrReplaceTempView loop over the SHARED session
+    // meant a query racing a successful refresh could resolve some
+    // tables against the new generation and some against the old —
+    // cross-generation joins in a microseconds-but-nonzero window.
+    // Now: adoption failure-atomic (a damaged dir fails the parquet
+    // footer/schema read here, `served` untouched, the loaded
+    // generation keeps serving) AND publication atomic (one reference
+    // write); an in-flight query that captured the previous session
+    // keeps its complete old catalog — nothing is ever mutated behind
+    // it. Old sessions are unreferenced once their queries finish and
+    // are GC'd; a child session is a driver-side metadata object
+    // (shared SparkContext/executors), so one per adoption at a 60 s
+    // publish cadence is noise.
+    val s = store.spark.newSession()
+    m.tables.keys.toSeq.foreach { t =>
+      s.read.parquet(store.tableDir(m.version, t).toString)
+        .createOrReplaceTempView(t)
     }
-    resolved.foreach { case (t, df) => df.createOrReplaceTempView(t) }
     if (m.tables.contains("inventory")) {
-      store.spark.sql(
+      s.sql(
         """CREATE OR REPLACE TEMP VIEW v_inventory_summary AS
           |SELECT COUNT(*)        AS total_items,
           |       SUM(quantity)   AS total_quantity,
@@ -246,7 +271,6 @@ final class SnapshotReader(store: SnapshotStore,
           |       MAX(updated_at) AS latest_update
           |FROM inventory""".stripMargin)
     }
-    loadedVersion = Some(m.version)
-    manifest = Some(m)
+    served = Some(Served(m, s))
   }
 }

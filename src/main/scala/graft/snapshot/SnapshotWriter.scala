@@ -160,32 +160,53 @@ final class SnapshotWriter(store: SnapshotStore,
     manifest
   }
 
+  /** Cycle-entry fence (round 15, ADVICE): SyncManager calls this at
+    * the TOP of runCycle, BEFORE the per-table delta scans. The r14
+    * pre-write fence made a retired instance's wake-up cost zero bytes
+    * WRITTEN — but the cycle had already run one forced delta-scan job
+    * per table against the SOURCE by the time publish was called, so a
+    * fenced instance still charged the source N full delta reads per
+    * tick. With this check first, a retired wake-up costs exactly one
+    * pointer read. The two publish-time checks stay: this one cannot
+    * see a successor that lands mid-cycle.
+    */
+  def assertCurrentPublisher(): Unit = fenceOrThrow(winner =>
+    s"refusing to run a sync cycle: this publisher's epoch" +
+      s" $publisherEpoch is older than the store's current epoch" +
+      s" $winner — a newer deployment owns this root; nothing was read" +
+      s" from the source or written. Retire this instance.")
+
   /** The fence read: the current pointer's epoch, or — when the
     * pointer is torn — the max epoch recorded anywhere in the store
     * (generation manifests + claim markers cannot tear away with the
     * pointer; healing blindly would let a foreign torn write over a
     * higher-epoch manifest admit a stale swap). Strictly-greater wins;
-    * an IO error propagates to the cycle's T7 fail-soft. Called twice
-    * per publish: before any table write (so a fenced wake-up costs
-    * zero bytes) and immediately before the swap (the non-CAS window).
+    * an IO error propagates to the cycle's T7 fail-soft. Called three
+    * times per cycle: at cycle entry (so a fenced wake-up costs one
+    * pointer read, zero source scans), before any table write (zero
+    * bytes written even when the successor landed mid-cycle), and
+    * immediately before the swap (the non-CAS window).
     */
-  private def fenceOrThrow(key: String, wrote: Boolean): Unit = {
+  private def fenceOrThrow(key: String, wrote: Boolean): Unit =
+    fenceOrThrow(winner =>
+      if (wrote)
+        s"refusing to publish generation $key: this publisher's epoch" +
+          s" $publisherEpoch is older than the store's current epoch" +
+          s" $winner — a newer deployment owns this root; the written" +
+          s" generation is left unreferenced (retention collects it)" +
+          s" and the pointer is NOT regressed. Retire this instance."
+      else
+        s"refusing to build generation $key: this publisher's epoch" +
+          s" $publisherEpoch is older than the store's current epoch" +
+          s" $winner — a newer deployment owns this root; nothing was" +
+          s" written and the pointer is untouched. Retire this instance.")
+
+  private def fenceOrThrow(msg: Long => String): Unit = {
     val currentEpoch =
       try store.readCurrentManifest().map(_.publisherEpoch)
       catch { case _: MalformedManifest => store.maxRecordedEpoch() }
     currentEpoch.filter(_ > publisherEpoch).foreach { winner =>
-      throw new StalePublisherException(
-        if (wrote)
-          s"refusing to publish generation $key: this publisher's epoch" +
-            s" $publisherEpoch is older than the store's current epoch" +
-            s" $winner — a newer deployment owns this root; the written" +
-            s" generation is left unreferenced (retention collects it)" +
-            s" and the pointer is NOT regressed. Retire this instance."
-        else
-          s"refusing to build generation $key: this publisher's epoch" +
-            s" $publisherEpoch is older than the store's current epoch" +
-            s" $winner — a newer deployment owns this root; nothing was" +
-            s" written and the pointer is untouched. Retire this instance.")
+      throw new StalePublisherException(msg(winner))
     }
   }
 }

@@ -60,6 +60,46 @@ class JdbcSourceSpec extends SparkSpec {
     assert(cols.take(3).forall(_.default.isEmpty))
   }
 
+  test("a DATE watermark round-trips end-to-end through the real JDBC dialect literal path") {
+    // closes the last untested edge of the r14 DATE-watermark fix: the
+    // parquet-backed pin proved store round-trip + Catalyst cast, but a
+    // JDBC source compiles the strict-> predicate into the DIALECT's
+    // WHERE literal — prove the saved "yyyy-MM-dd" cast shape survives
+    // that path too. Also pins case-insensitive watermark resolution in
+    // the cycle's stats scan (Derby folds to "UPDATED_AT"; an
+    // exact-match miss meant the watermark was never established for
+    // folded-identifier databases — eternal full re-reads).
+    val u2 = "jdbc:derby:memory:graftjdbcdate;create=true"
+    val c = DriverManager.getConnection(u2)
+    val st = c.createStatement()
+    st.executeUpdate(
+      "CREATE TABLE ditems(id INT NOT NULL, updated_at DATE, v DOUBLE)")
+    (1 to 3).foreach(i => st.executeUpdate(
+      s"INSERT INTO ditems VALUES($i, DATE('2024-01-0$i'), ${i * 1.5})"))
+    val src = new JdbcSource(u2, Seq("ditems"), new java.util.Properties(),
+      partitionCol = Some("id"))
+    val snapDir =
+      java.nio.file.Files.createTempDirectory("graft-jdbc-date").toString
+    val store = new graft.snapshot.SnapshotStore(spark, snapDir)
+    val mgr = new SyncManager(spark, src, store, mode = SyncMode.Merge)
+    val r1 = mgr.runCycle(java.time.Instant.parse("2024-02-01T00:00:00Z"))
+    assert(r1.success, r1.error)
+    assert(new WatermarkStore(store).load()("ditems") == "2024-01-03",
+      "DATE watermark not established from the folded-case JDBC column")
+    // second cycle: the saved DATE literal rides the dialect WHERE —
+    // strict >, zero changed rows, NOT a full-read bootstrap
+    val r2 = mgr.runCycle(java.time.Instant.parse("2024-02-01T01:00:00Z"))
+    assert(r2.success && r2.changedCounts("ditems") == 0L,
+      s"saved DATE watermark did not round-trip through the dialect: $r2")
+    // a newer row lands; only IT crosses the literal
+    st.executeUpdate(
+      "INSERT INTO ditems VALUES(4, DATE('2024-02-05'), 9.0)")
+    val r3 = mgr.runCycle(java.time.Instant.parse("2024-02-01T02:00:00Z"))
+    assert(r3.success && r3.changedCounts("ditems") == 1L, s"$r3")
+    assert(new WatermarkStore(store).load()("ditems") == "2024-02-05")
+    st.close(); c.close()
+  }
+
   test("watermark probe and strict > incremental read work over JDBC") {
     val s = source()
     val wm = s.maxWatermark(spark, "items")

@@ -38,6 +38,22 @@ object SyncFuzzScenario {
     (row.getLong(0), row.getDecimal(1))
   }
 
+  /** The seed's dealt deck — the shuffle is the seed rng's FIRST
+    * consumption inside [[run]], so `deckFor(new Random(seed))` is a
+    * pure preview of what run(seed) will deal. Exposed (round 15) so
+    * seed hunts can bias deck SHAPES — decks ENDING on deploy (the
+    * 1408002 fenced-wake-up-after-final-prune shape) or STARTING with
+    * deploy (claim-at-boot against a near-empty store) — by scanning
+    * previews instead of running scenarios. Must remain the exact
+    * multiset + shuffle `run` deals from the same rng position.
+    */
+  def deckFor(rng: scala.util.Random): Seq[String] =
+    rng.shuffle(Seq.fill(8)("churn") ++ Seq.fill(2)("nochange") ++
+      Seq.fill(2)("tie") ++ Seq.fill(2)("add") ++ Seq.fill(2)("drop") ++
+      Seq("retype") ++ Seq.fill(2)("torn") ++ Seq("absent") ++
+      Seq.fill(2)("failpub") ++ Seq("stalepub") ++ Seq("crashpub") ++
+      Seq.fill(2)("deploy"))
+
   /** Runs the seeded scenario; returns the dealt deck so callers can
     * pin op coverage (every kind is force-included, but the PIN makes
     * that measured, not assumed — r12 verdict item 5). */
@@ -205,11 +221,7 @@ object SyncFuzzScenario {
       s"bootstrap failed: ${r0.error}")
 
     // ── the deck: every op kind present, seeded-random order ─────────
-    val deck = rng.shuffle(Seq.fill(8)("churn") ++ Seq.fill(2)("nochange") ++
-      Seq.fill(2)("tie") ++ Seq.fill(2)("add") ++ Seq.fill(2)("drop") ++
-      Seq("retype") ++ Seq.fill(2)("torn") ++ Seq("absent") ++
-      Seq.fill(2)("failpub") ++ Seq("stalepub") ++ Seq("crashpub") ++
-      Seq.fill(2)("deploy"))
+    val deck = deckFor(rng)
     log(s"seed $seed deck: ${deck.mkString(" ")}")
 
     deck.zipWithIndex.foreach { case (op, opIdx) =>

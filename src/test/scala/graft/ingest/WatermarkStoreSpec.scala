@@ -60,7 +60,13 @@ class WatermarkStoreSpec extends SparkSpec {
       "date_col" -> "2024-01-01",
       "int_col" -> "12345",
       "neg_col" -> "-7",
-      "dec_col" -> "123.450000")
+      "dec_col" -> "123.450000",
+      // FLOAT/DOUBLE casts (round 15): Java Double.toString shapes —
+      // scientific notation past the plain-decimal range
+      "dbl_col" -> "1.2345678E7",
+      "dbl_small" -> "1.0E-4",
+      "dbl_neg" -> "-3.5E10",
+      "dbl_max" -> "1.7976931348623157E308")
     wm.save(state)
     assert(wm.load() == state)
   }
@@ -96,6 +102,58 @@ class WatermarkStoreSpec extends SparkSpec {
     assert(r2.success && r2.changedCounts("ditems") == 0L,
       s"DATE watermark was dropped on load — the cycle degraded to a " +
         s"full re-read: $r2")
+  }
+
+  test("a DOUBLE watermark column round-trips in scientific notation; NaN is refused at save and never skips rows") {
+    // r15 ADVICE: Spark's double→string cast emits Java Double.toString
+    // shapes — "1.2345678E7" past the plain-decimal range — which the
+    // bare NumericLiteral rejected, silently degrading a double
+    // watermark to a full re-read every cycle. And the NON-finite casts
+    // must never be persisted at all: a stored "NaN" casts back to NaN,
+    // the strict-`>` delta predicate goes eternally false, and every
+    // future row of the table is silently skipped — the worst failure
+    // class this store knows. Pinned end-to-end on a real sync.
+    val srcDir = Files.createTempDirectory("graft-wm-dbl-src").toString
+    val snapDir = Files.createTempDirectory("graft-wm-dbl-snap").toString
+    def seed(rows: Seq[(Long, Double, Double)]): Unit =
+      rows.toDF("id", "updated_at", "v")
+        .write.mode("overwrite").parquet(s"$srcDir/fitems.parquet")
+    seed(Seq((1L, 1.0e7, 10.0), (2L, 1.2345678e7, 20.0)))
+    val store = new SnapshotStore(spark, snapDir)
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("fitems")), store,
+      mode = SyncMode.Merge)
+    val r1 = mgr.runCycle(t("2024-02-01T00:00:00Z"))
+    assert(r1.success, r1.error)
+    assert(new WatermarkStore(store).load()("fitems") == "1.2345678E7",
+      "double watermark not persisted in the Double.toString cast shape")
+    // the loaded scientific-notation watermark keeps the cycle cheap
+    val r2 = mgr.runCycle(t("2024-02-01T01:00:00Z"))
+    assert(r2.success && r2.changedCounts("fitems") == 0L,
+      s"scientific-notation watermark dropped on load — degraded to a" +
+        s" full re-read: $r2")
+
+    // a NaN lands in the watermark column: Spark's ordering makes it
+    // the max (NaN is greatest), so the advance WOULD be "NaN"
+    seed(Seq((1L, 1.0e7, 10.0), (2L, 1.2345678e7, 20.0),
+      (3L, Double.NaN, 30.0)))
+    val r3 = mgr.runCycle(t("2024-02-01T02:00:00Z"))
+    assert(r3.success, r3.error)
+    assert(r3.changedCounts("fitems") == 1L,
+      s"the NaN row must be visible to the strict-> delta scan " +
+        s"(NaN is greatest under Spark ordering): $r3")
+    assert(new WatermarkStore(store).load()("fitems") == "1.2345678E7",
+      "a NaN watermark was persisted — it would make strict-> " +
+        "eternally false and silently skip every future row")
+    // subsequent cycles RE-READ the NaN row (expensive + loud beats
+    // silently skipped) and still refuse to advance onto it
+    val r4 = mgr.runCycle(t("2024-02-01T03:00:00Z"))
+    assert(r4.success && r4.changedCounts("fitems") == 1L,
+      s"the NaN row was silently skipped: $r4")
+    // the published snapshot carries it exactly once (MERGE on id)
+    val snap = spark.read.parquet(
+      store.tableDir(r4.manifest.get.version, "fitems").toString)
+    assert(snap.count() == 3L && snap.filter($"id" === 3L).count() == 1L)
   }
 
   test("one store write per cycle: the batched advance replaces N per-table round-trips") {
@@ -157,7 +215,12 @@ class WatermarkStoreSpec extends SparkSpec {
       frac <- Gen.oneOf(Gen.const(""), Gen.listOfN(6, Gen.numChar)
         .map("." + _.mkString))
     } yield s"$neg$ds$frac"
-    val goodG = Gen.oneOf(tsG, dateG, numG)
+    // finite FLOAT/DOUBLE casts (round 15): the literal Double.toString
+    // image, exactly what max(col).cast("string") yields for a double
+    // watermark column
+    val dblG = Gen.chooseNum(-1.0e300, 1.0e300)
+      .suchThat(d => !d.isNaN && !d.isInfinite).map(_.toString)
+    val goodG = Gen.oneOf(tsG, dateG, numG, dblG)
     val stateG = Gen.mapOf(Gen.zip(Gen.identifier.suchThat(_.nonEmpty), goodG))
     val roundTrips = Prop.forAll(stateG) { state =>
       wm.save(state); wm.load() == state

@@ -80,6 +80,29 @@ class SemDedupSpec extends SparkSpec {
       s"per-cell population stays bounded (max ${sizes.max})")
   }
 
+  test("the pairable broadcast hint is bounded by k (r15): past BroadcastableCells the cells join degrades to a shuffled hash build on the SAME side") {
+    // auto-k scales k linearly with the corpus, so "pairable is tiny"
+    // holds only up to a bound — past it a forced broadcast of the
+    // cell-id list would override AQE's size threshold and OOM exactly
+    // where the hint was meant to prevent an OOM. k is driver-side, so
+    // the guard is exact; both regimes pin the build side OFF the
+    // corpus. Static plans (pre-AQE), where the hints' effect lives.
+    def plan(k: Int): String = SemDedup.verdicts(vecs, "vec_id",
+      "embedding", threshold = 0.9, nCells = k, iterations = 1)
+      .queryExecution.sparkPlan.toString
+    val small = plan(2)
+    assert(small.contains("BroadcastHashJoin"), small.take(1500))
+    assert(!small.contains("ShuffledHashJoin"),
+      s"small-k regime must broadcast, not shuffle: ${small.take(1500)}")
+    val big = plan(SemDedup.BroadcastableCells + 1)
+    val shj = big.linesIterator.filter(_.contains("ShuffledHashJoin")).toSeq
+    assert(shj.nonEmpty,
+      s"guard did not fall back to shuffle_hash: ${big.take(1500)}")
+    // pairable is the RIGHT side of cells.join(pairable): the build
+    // side must stay there — never the corpus
+    assert(shj.forall(_.contains("BuildRight")), shj.mkString("\n"))
+  }
+
   test("oversized cells pair nothing (guard)") {
     val all = SemDedup.verdicts(vecs, "vec_id", "embedding",
       threshold = 0.9, nCells = 1, iterations = 1, maxCellSize = 3)

@@ -12,7 +12,7 @@ import graft.validate.PlanGuard
 class QueryEngineSpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val engine: QueryEngine = {
+  private lazy val (engine: QueryEngine, reader: SnapshotReader) = {
     val srcDir = Files.createTempDirectory("graft-qsrc").toString
     val snapDir = Files.createTempDirectory("graft-qsnap").toString
     Seq(
@@ -25,7 +25,7 @@ class QueryEngineSpec extends SparkSpec {
     new SyncManager(spark, new ParquetSource(srcDir, Seq("inventory")), store)
       .runCycle(Instant.parse("2024-06-01T00:00:00Z"))
     val reader = new SnapshotReader(store)
-    new QueryEngine(spark, reader)
+    (new QueryEngine(spark, reader), reader)
   }
 
   test("envelope shape on a valid query") {
@@ -66,14 +66,17 @@ class QueryEngineSpec extends SparkSpec {
     val r = engine.execute("SELECT COUNT(*) FROM inventory")
     assert(r.rowCount == 1)
     // enforcement is .limit(cap) pre-collect: a select_all on a big view
-    // can never hand the driver more than 10000 rows
-    spark.range(20000).toDF("x").createOrReplaceTempView("big")
+    // can never hand the driver more than 10000 rows. The helper view
+    // goes in the SERVING session's catalog — since r15 the engine
+    // executes against reader.session (the zero-width swap), so parent-
+    // session views are rightly invisible to it
+    reader.session.range(20000).toDF("x").createOrReplaceTempView("big")
     val big = engine.execute("SELECT * FROM big")
     assert(big.rowCount == 10000)
   }
 
   test("execution timeout cancels the job group (declared 30s cap, enforced)") {
-    val impatient = {
+    val (impatient, impatientReader) = {
       val srcDir = Files.createTempDirectory("graft-tosrc").toString
       val snapDir = Files.createTempDirectory("graft-tosnap").toString
       Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00")))
@@ -82,12 +85,17 @@ class QueryEngineSpec extends SparkSpec {
       val store = new SnapshotStore(spark, snapDir)
       new SyncManager(spark, new ParquetSource(srcDir, Seq("t")), store)
         .runCycle()
-      new QueryEngine(spark, new SnapshotReader(store),
-        maxExecutionSeconds = 2)
+      val r = new SnapshotReader(store)
+      (new QueryEngine(spark, r, maxExecutionSeconds = 2), r)
     }
-    // a cross join large enough to outlive the 2s cap
-    spark.range(3000000).toDF("a").createOrReplaceTempView("big_a")
-    spark.range(3000000).toDF("b").createOrReplaceTempView("big_b")
+    // a cross join large enough to outlive the 2s cap — registered in
+    // the SERVING session (the engine executes against reader.session
+    // since r15), which exists once the first refresh adopts
+    impatientReader.refreshIfStale()
+    impatientReader.session.range(3000000).toDF("a")
+      .createOrReplaceTempView("big_a")
+    impatientReader.session.range(3000000).toDF("b")
+      .createOrReplaceTempView("big_b")
     val t0 = System.nanoTime()
     intercept[QueryTimeoutException] {
       impatient.execute(

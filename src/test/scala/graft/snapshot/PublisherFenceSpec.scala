@@ -204,6 +204,46 @@ class PublisherFenceSpec extends SparkSpec {
     assert(snap.filter($"id" === 100L).count() == 1L)
   }
 
+  test("cycle-entry fence (r15): a fenced wake-up performs ZERO source reads") {
+    // the r14 pre-write fence made a retired instance's tick cost zero
+    // bytes WRITTEN, but runCycle had already run one delta-scan job
+    // per table against the SOURCE before publish was ever called — at
+    // 100 TB, N full source delta reads per stale tick. The
+    // cycle-entry fence stops the wake-up at one pointer read.
+    final class CountingSource(inner: graft.ingest.Source)
+        extends graft.ingest.Source {
+      val reads = new java.util.concurrent.atomic.AtomicLong(0)
+      def tableNames: Seq[String] = inner.tableNames
+      def read(s: org.apache.spark.sql.SparkSession,
+               table: String): org.apache.spark.sql.DataFrame = {
+        reads.incrementAndGet(); inner.read(s, table)
+      }
+    }
+    val (srcDir, store) = freshEnv()
+    val counting =
+      new CountingSource(new ParquetSource(srcDir, Seq("fitems")))
+    val oldMgr = new SyncManager(spark, counting, store,
+      mode = SyncMode.Merge,
+      publisherEpoch = SyncManager.claimEpoch(store))
+    assert(oldMgr.runCycle(t("2024-02-01T00:00:00Z")).success)
+    assert(counting.reads.get() > 0, "healthy cycles read the source")
+
+    // rolling deploy: the replacement claims a higher epoch, publishes
+    val newMgr = manager(srcDir, store,
+      epoch = SyncManager.claimEpoch(store))
+    assert(newMgr.runCycle(t("2024-02-01T01:00:00Z")).success)
+
+    val before = counting.reads.get()
+    val rStale = oldMgr.runCycle(t("2024-02-01T02:00:00Z"))
+    assert(!rStale.success && rStale.error.exists(e =>
+      e.contains("StalePublisher") && e.contains("nothing was read")),
+      rStale.error)
+    assert(counting.reads.get() == before,
+      s"a fenced wake-up read the source " +
+        s"${counting.reads.get() - before} time(s) — the cycle-entry" +
+        " fence must fire before any delta scan")
+  }
+
   test("a stale publisher's retention refuses to prune; the live one's prunes") {
     val (srcDir, store) = freshEnv()
     val writer = new SnapshotWriter(store, publisherEpoch = 2L)

@@ -76,7 +76,7 @@ class SnapshotSyncSpec extends SparkSpec {
     mgr.runCycle(Instant.parse("2024-04-01T00:00:00Z"))
     val reader = new SnapshotReader(store)
     assert(reader.refreshIfStale())
-    val row = spark.sql(
+    val row = reader.session.sql(
       "SELECT total_items, total_quantity, avg_price FROM v_inventory_summary").first()
     assert(row.getLong(0) == 3L)
     assert(row.getLong(1) == 15L)
@@ -128,7 +128,7 @@ class SnapshotSyncSpec extends SparkSpec {
     now = now.plusSeconds(300)
     assert(!reader.refreshIfStale(), "absent pointer must not flip views")
     assert(reader.currentManifest.get.version == v1)
-    assert(spark.sql("SELECT count(*) FROM inventory").first().getLong(0) == 1,
+    assert(reader.session.sql("SELECT count(*) FROM inventory").first().getLong(0) == 1,
       "serving must continue on the last-registered generation")
 
     // pointer returns as garbage (torn non-rename overwrite)
@@ -136,7 +136,7 @@ class SnapshotSyncSpec extends SparkSpec {
     now = now.plusSeconds(300)
     assert(!reader.refreshIfStale(), "torn pointer must not flip views")
     assert(reader.currentManifest.get.version == v1)
-    assert(spark.sql("SELECT count(*) FROM inventory").first().getLong(0) == 1)
+    assert(reader.session.sql("SELECT count(*) FROM inventory").first().getLong(0) == 1)
 
     // recovery cycle: next publish restores the pointer and the reader
     // picks up the new generation on the next TTL lapse
@@ -149,7 +149,7 @@ class SnapshotSyncSpec extends SparkSpec {
     now = now.plusSeconds(300)
     assert(reader.refreshIfStale(), "recovered pointer must be adopted")
     assert(reader.currentManifest.get.version == r2.manifest.get.version)
-    assert(spark.sql("SELECT count(*) FROM inventory").first().getLong(0) == 2)
+    assert(reader.session.sql("SELECT count(*) FROM inventory").first().getLong(0) == 2)
 
     // a FRESH reader with nothing loaded has no generation to fall back
     // to: a torn pointer on first load must surface, not serve nothing
@@ -259,9 +259,9 @@ class SnapshotSyncSpec extends SparkSpec {
       "adopting a damaged generation must degrade, not flip views")
     assert(reader.currentManifest.get.version == v1)
     // BOTH views still serve generation v1 — no half-swap
-    assert(spark.sql("SELECT count(*) FROM a_items").first().getLong(0) == 1,
+    assert(reader.session.sql("SELECT count(*) FROM a_items").first().getLong(0) == 1,
       "a_items view half-swapped onto the damaged generation")
-    assert(spark.sql("SELECT count(*) FROM b_items").first().getLong(0) == 1)
+    assert(reader.session.sql("SELECT count(*) FROM b_items").first().getLong(0) == 1)
 
     // cold boot against the damaged pointer target: the fault surfaces
     // (nothing to fall back to) but a request storm costs ONE pointer
@@ -286,7 +286,7 @@ class SnapshotSyncSpec extends SparkSpec {
     now = now.plusSeconds(300)
     assert(reader.refreshIfStale(), "healed generation not adopted")
     assert(reader.currentManifest.get.version == r3.manifest.get.version)
-    assert(spark.sql("SELECT count(*) FROM b_items").first().getLong(0) == 3)
+    assert(reader.session.sql("SELECT count(*) FROM b_items").first().getLong(0) == 3)
     assert(cold.refreshIfStale(), "cold reader did not recover post-heal")
     assert(cold.currentManifest.get.version == r3.manifest.get.version)
   }
@@ -817,5 +817,85 @@ class SnapshotSyncSpec extends SparkSpec {
     val mgr = new SyncManager(spark, badSource, store)
     val r = mgr.runCycle()
     assert(!r.success && r.error.nonEmpty)
+  }
+
+  test("zero-width swap: adoption is one volatile session publish; a captured session never mixes generations") {
+    // round 15 (closes the limitation register() documented in r14):
+    // the per-view swap loop over the SHARED session let a query racing
+    // a successful refresh resolve some tables on the new generation
+    // and some on the old. Adoption now registers the generation's
+    // views in a FRESH child session published by a single volatile
+    // write, so one captured session == one complete generation —
+    // pinned three ways: (a) adoption swaps the session object and the
+    // new one serves the new generation whole; (b) the PREVIOUS session
+    // still serves its generation whole afterwards (a refresh never
+    // mutates a session an in-flight query may hold); (c) a hammering
+    // thread capturing sessions across repeated publishes never
+    // observes a left/right generation mismatch.
+    val srcDir = Files.createTempDirectory("graft-swap-src").toString
+    val snapDir = Files.createTempDirectory("graft-swap-snap").toString
+    def seedGen(g: Int): Unit = Seq("left_t", "right_t").foreach { t =>
+      (1 to 3).map(i => (i.toLong, g.toLong, ts(s"2024-01-0$i 00:00:00")))
+        .toDF("id", "gen", "updated_at")
+        .write.mode("overwrite").parquet(s"$srcDir/$t.parquet")
+    }
+    seedGen(1)
+    val store = new SnapshotStore(spark, snapDir)
+    val mgr = new SyncManager(spark,
+      new ParquetSource(srcDir, Seq("left_t", "right_t")), store)
+    assert(mgr.runCycle(Instant.parse("2024-09-01T00:00:00Z")).success)
+    @volatile var now = Instant.parse("2024-09-01T00:00:00Z")
+    val reader = new SnapshotReader(store,
+      ttl = java.time.Duration.ofSeconds(120), clock = () => now)
+    assert(reader.refreshIfStale())
+    val s1 = reader.session
+    def gens(s: org.apache.spark.sql.SparkSession): (Long, Long) = {
+      val r = s.sql("SELECT (SELECT max(gen) FROM left_t) AS lg," +
+        " (SELECT max(gen) FROM right_t) AS rg").first()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(gens(s1) == ((1L, 1L)))
+
+    // (a) adoption publishes a NEW session serving the new generation
+    seedGen(2)
+    assert(mgr.runCycle(Instant.parse("2024-09-01T01:00:00Z")).success)
+    now = now.plusSeconds(300)
+    assert(reader.refreshIfStale())
+    val s2 = reader.session
+    assert(!(s2 eq s1), "adoption must swap the serving session, not " +
+      "mutate the one in-flight queries hold")
+    assert(gens(s2) == ((2L, 2L)))
+    // (b) the captured previous session still serves ITS generation
+    // whole — the swap is invisible to a query that started before it
+    assert(gens(s1) == ((1L, 1L)),
+      "a refresh mutated a previously-captured session's catalog")
+    // a non-adopting lapse re-reads the pointer but must NOT churn the
+    // serving session (same generation == same catalog object)
+    now = now.plusSeconds(300)
+    assert(!reader.refreshIfStale())
+    assert(reader.session eq s2, "non-adopting refresh churned the session")
+
+    // (c) hammer: capture-and-join across live publishes — zero mixes
+    val mixes = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var stop = false
+    val hammer = new Thread(() =>
+      try while (!stop) {
+        val g = gens(reader.session)
+        if (g._1 != g._2) mixes.add(g)
+      } catch { case e: Throwable => errs.add(e) })
+    hammer.start()
+    (3 to 6).foreach { g =>
+      seedGen(g)
+      assert(mgr.runCycle(
+        Instant.parse(s"2024-09-01T0$g:00:00Z")).success)
+      now = now.plusSeconds(300)
+      assert(reader.refreshIfStale())
+    }
+    stop = true
+    hammer.join(30000)
+    assert(errs.isEmpty, s"hammer failed: ${errs.peek()}")
+    assert(mixes.isEmpty, s"mixed-generation reads observed: $mixes")
+    assert(gens(reader.session) == ((6L, 6L)))
   }
 }
