@@ -10,8 +10,10 @@ package graft.tools
   *                 against a store holding only the bootstrap)
   *
   * Pure preview via SyncFuzzScenario.deckFor — no scenarios run. Usage:
-  *   java <add-opens> -cp "<test-classes>:<classes>:/opt/spark/jars/*"
+  *   java <add-opens> -cp "<test-classes>:<classes>:<spark jars>"
   *     graft.tools.DeckScan <fromSeed> <toSeed>
+  * (spell the spark-jars glob out on the command line; written here it
+  * would open a nested block comment and break the build)
   */
 object DeckScan {
   def main(args: Array[String]): Unit = {
