@@ -152,7 +152,24 @@ object Dedup {
       col(idCol).as("id_a"), col("__sig").as("sig_a"))
     val b = sized.select(col("band"), col("bh"),
       col(idCol).as("id_b"), col("__sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
+    // shuffle_hash-hinted (round 15): both sides are the BANDED CORPUS
+    // (bands × N rows, each carrying the k-element signature array) —
+    // data-dependent, so never a legal broadcast at scale. Left
+    // unhinted, AQE's runtime conversion sometimes built a broadcast
+    // hash relation from one side anyway: fixed-width int64 signature
+    // arrays compress brutally, so the COMPRESSED stage size the
+    // runtime threshold checks sits far below the in-memory relation
+    // size (the exact squeezability that flipped e08). Measured via
+    // DrawProbe at the sf1 gate corpus: the converted shape drew
+    // 25–40 s against ~4 s for the shuffled shapes (driver-heap GC
+    // churn building the relation), nondeterministically per draw —
+    // and at 100 TB the conversion is an OOM, not a slowdown. This is
+    // a big×big join (both sides the banded corpus), so the pin is
+    // sort-merge — the one strategy that spills on BOTH sides at any
+    // partition size; per-key groups are already capped by the bucket
+    // guard above, so the merge never holds more than maxBucketSize
+    // rows per key in memory.
+    a.hint("shuffle_merge").join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
@@ -175,9 +192,21 @@ object Dedup {
                     threshold: Double): DataFrame = {
     val sets = docs.select(col(idCol).as("__id"),
       TextSketches.shingleHashSet(col(textCol), shingleWords).as("__set"))
-    candidates
+    // shuffle_hash-hinted on the CANDIDATES side (round 15, same find
+    // as the band self-join): both sides are data-dependent —
+    // candidates scale with collisions, sets with the corpus — and the
+    // shingle-hash arrays share the squeezability that lets AQE's
+    // compressed-size threshold admit a runtime broadcast whose
+    // in-memory hash relation is ~10× larger. DrawProbe tied the
+    // heavy-tail sf1 draws to exactly those residual conversions; at
+    // 100 TB the SETS side as a broadcast is an OOM. Pinning the build
+    // to the candidates side keeps it on the join's naturally-smaller
+    // input (the est_jaccard prefilter has already run), per-partition
+    // (sized by the shuffle width), and never sorts the corpus.
+    candidates.hint("shuffle_hash")
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "set_a"), Seq("id_a"))
+      .hint("shuffle_hash")
       .join(sets.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__set", "set_b"), Seq("id_b"))
       // empty ∪ empty would give 0/0 = NaN, and Spark orders NaN ABOVE
