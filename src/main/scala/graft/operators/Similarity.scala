@@ -167,7 +167,15 @@ object Similarity {
     val sized = v.join(keepBuckets, Seq("bucket"))
     val a = sized.select(col("bucket"), col(idCol).as("id_a"), col("__v").as("va"))
     val b = sized.select(col("bucket"), col(idCol).as("id_b"), col("__v").as("vb"))
-    a.join(b, Seq("bucket"))
+    // merge-hinted (round 15, the d12/e08 rule): both sides are the
+    // bucketed CORPUS carrying fixed-width float arrays — the class
+    // whose compressed stage size sits far below its in-memory hash
+    // relation, so AQE's runtime broadcast conversion can
+    // nondeterministically build a corpus-sized broadcast that is a GC
+    // storm at the sf1 gate and an OOM at scale (measured on d12's LSH
+    // joins, same shape). Big×big ⇒ sort-merge, the strategy that
+    // spills both sides; per-key width is capped by the bucket guard.
+    a.hint("shuffle_merge").join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorKernels.cosineSim(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
