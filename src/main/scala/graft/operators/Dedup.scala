@@ -152,7 +152,7 @@ object Dedup {
       col(idCol).as("id_a"), col("__sig").as("sig_a"))
     val b = sized.select(col("band"), col("bh"),
       col(idCol).as("id_b"), col("__sig").as("sig_b"))
-    // shuffle_hash-hinted (round 15): both sides are the BANDED CORPUS
+    // shuffle_merge-hinted (round 15): both sides are the BANDED CORPUS
     // (bands × N rows, each carrying the k-element signature array) —
     // data-dependent, so never a legal broadcast at scale. Left
     // unhinted, AQE's runtime conversion sometimes built a broadcast
@@ -192,21 +192,30 @@ object Dedup {
                     threshold: Double): DataFrame = {
     val sets = docs.select(col(idCol).as("__id"),
       TextSketches.shingleHashSet(col(textCol), shingleWords).as("__set"))
-    // shuffle_hash-hinted on the CANDIDATES side (round 15, same find
-    // as the band self-join): both sides are data-dependent —
-    // candidates scale with collisions, sets with the corpus — and the
-    // shingle-hash arrays share the squeezability that lets AQE's
-    // compressed-size threshold admit a runtime broadcast whose
-    // in-memory hash relation is ~10× larger. DrawProbe tied the
-    // heavy-tail sf1 draws to exactly those residual conversions; at
-    // 100 TB the SETS side as a broadcast is an OOM. Pinning the build
-    // to the candidates side keeps it on the join's naturally-smaller
-    // input (the est_jaccard prefilter has already run), per-partition
-    // (sized by the shuffle width), and never sorts the corpus.
+    // Both verify joins are fenced off AQE's runtime broadcast
+    // conversion (round 15, same find as the band self-join): both
+    // sides are data-dependent — candidates scale with collisions,
+    // sets with the corpus — and the shingle-hash arrays share the
+    // squeezability that lets the COMPRESSED-size threshold admit a
+    // runtime broadcast whose in-memory hash relation is ~10× larger.
+    // DrawProbe tied the heavy-tail sf1 draws to exactly those
+    // residual conversions; at 100 TB the SETS side as a broadcast is
+    // an OOM. Join 1 pins SHUFFLE_HASH with the build on the
+    // candidates side: bare (id_a, id_b, est_jaccard) rows — the
+    // join's naturally-smaller input (post est_jaccard prefilter),
+    // narrow enough that the non-spilling per-partition hash relation
+    // is bounded by the shuffle width, and the corpus side streams
+    // unsorted. Join 2 does NOT reuse that hint (round 16): its left
+    // side now carries a full shingle-hash set per row (set_a), and a
+    // ShuffledHashJoin build side cannot spill — under a band-collision
+    // storm the per-partition relation of wide-array rows is an
+    // executor OOM, the exact failure the "sort-merge spills both
+    // sides" rule exists for. Array-carrying × array-carrying ⇒
+    // shuffle_merge, like the band self-join above.
     candidates.hint("shuffle_hash")
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "set_a"), Seq("id_a"))
-      .hint("shuffle_hash")
+      .hint("shuffle_merge")
       .join(sets.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__set", "set_b"), Seq("id_b"))
       // empty ∪ empty would give 0/0 = NaN, and Spark orders NaN ABOVE
@@ -290,7 +299,20 @@ object Dedup {
       col("simhash").as("sh_a"))
     val b = sized.select(col("band"), col("bh"), col(idCol).as("id_b"),
       col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
+    // merge-hinted (round 16): the round-15 sweep exempted this join
+    // from the squeezability fence by ANALYSIS ("scalar rows compress
+    // honestly") — measurement says otherwise. These scalars are
+    // maximally repetitive per stage file: band is one of `bands`
+    // values, bh repeats across every bucket member, ids are
+    // near-sequential — dictionary/delta encoding squeezes the banded
+    // corpus far below its in-memory hash-relation size, so AQE's
+    // compressed-size threshold can still admit a runtime broadcast of
+    // a side that GROWS WITH THE CORPUS (the sf10 gate drew 29.9 s vs
+    // 51.0 s across rounds on identical code — the flip's signature;
+    // DrawProbe at sf1 confirmed the converted shape, see
+    // OPERATORS.md round 16). Big×big self-join ⇒ sort-merge, spills
+    // both sides; per-key memory capped by the bucket-size guard.
+    a.hint("shuffle_merge").join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", SimHash64.hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
