@@ -47,19 +47,28 @@ object SyncFuzzScenario {
     * previews instead of running scenarios. Must remain the exact
     * multiset + shuffle `run` deals from the same rng position.
     */
-  def deckFor(rng: scala.util.Random): Seq[String] =
+  def deckFor(rng: scala.util.Random): Seq[String] = deckFor(rng, Nil)
+
+  /** Deck with extra ops mixed into the shuffle. With `extra = Nil`
+    * this deals the EXACT historical deck for a given seed (same
+    * multiset, same rng consumption), so every pinned seed keeps its
+    * shape; extra ops (e.g. "midshift") are only ever dealt to NEW
+    * seeds that ask for them.
+    */
+  def deckFor(rng: scala.util.Random, extra: Seq[String]): Seq[String] =
     rng.shuffle(Seq.fill(8)("churn") ++ Seq.fill(2)("nochange") ++
       Seq.fill(2)("tie") ++ Seq.fill(2)("add") ++ Seq.fill(2)("drop") ++
       Seq("retype") ++ Seq.fill(2)("torn") ++ Seq("absent") ++
       Seq.fill(2)("failpub") ++ Seq("stalepub") ++ Seq("crashpub") ++
-      Seq.fill(2)("deploy"))
+      Seq.fill(2)("deploy") ++ extra)
 
   /** Runs the seeded scenario; returns the dealt deck so callers can
     * pin op coverage (every kind is force-included, but the PIN makes
     * that measured, not assumed — r12 verdict item 5). */
   def run(spark: SparkSession, sfDir: String, seed: Int,
           log: String => Unit,
-          killer: Option[(Int, () => Unit)] = None): Seq[String] = {
+          killer: Option[(Int, () => Unit)] = None,
+          extraOps: Seq[String] = Nil): Seq[String] = {
     val rng = new scala.util.Random(seed)
     val srcDir = Files.createTempDirectory(s"graft-sfz$seed-src").toString
     val snapDir = Files.createTempDirectory(s"graft-sfz$seed-snap").toString
@@ -221,7 +230,7 @@ object SyncFuzzScenario {
       s"bootstrap failed: ${r0.error}")
 
     // ── the deck: every op kind present, seeded-random order ─────────
-    val deck = deckFor(rng)
+    val deck = deckFor(rng, extraOps)
     log(s"seed $seed deck: ${deck.mkString(" ")}")
 
     deck.zipWithIndex.foreach { case (op, opIdx) =>
@@ -457,6 +466,76 @@ object SyncFuzzScenario {
           churnCycle(opIdx) // life goes on against the pointer generation
           require(store.readCurrentManifest().get.version != orphanKey,
             "the orphan generation got served")
+
+        case "midshift" =>
+          // mid-cycle handover (round 16, r15 verdict task 7): the
+          // successor claims a higher epoch AND publishes INSIDE the
+          // retired instance's in-flight cycle — after the cycle-entry
+          // fence passed (the old instance was genuinely current at
+          // entry), before the pre-write fence. This is exactly the
+          // window the entry fence documents it cannot see
+          // (SnapshotWriter.assertCurrentPublisher scaladoc): the
+          // pre-write fence must catch it with ZERO bytes written by
+          // the old cycle, the watermark and pointer must be the
+          // successor's, and the pending delta must land EXACTLY ONCE
+          // (via the successor's cycle, which runs during the old
+          // cycle's extract phase). Injection is a delegating Source
+          // whose first delta scan triggers the handover — the main
+          // code path runs unmodified.
+          val prevEpoch = epoch
+          val delta = makeDelta(opIdx, None)
+          archive(delta)
+          val deltaDisk = spark.read.parquet(s"$archDir/v${nVersions - 1}")
+          val nDelta = deltaDisk.count()
+          replaceSource(source()
+            .join(deltaDisk.select("id"), Seq("id"), "left_anti")
+            .unionByName(deltaDisk, allowMissingColumns = true))
+          val plain = new ParquetSource(srcDir, Seq("orders"))
+          val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+          var landed = Option.empty[Long]
+          var newEpoch = 0L
+          var gensAfterSuccessor = -1
+          val ambush: Source = new Source {
+            def tableNames: Seq[String] = plain.tableNames
+            def read(s2: SparkSession, table: String): DataFrame =
+              plain.read(s2, table)
+            override def readChangedSince(s2: SparkSession, table: String,
+                since: Option[String],
+                watermarkCol: String): DataFrame = {
+              if (fired.compareAndSet(false, true)) {
+                newEpoch = SyncManager.claimEpoch(store)
+                require(newEpoch > prevEpoch,
+                  s"mid-cycle claim $newEpoch not above live $prevEpoch")
+                val rNew = new SyncManager(s2, plain, store,
+                  mode = SyncMode.Merge, publisherEpoch = newEpoch)
+                  .runCycle()
+                require(rNew.success,
+                  s"successor's mid-cycle publish failed: ${rNew.error}")
+                landed = Some(rNew.changedCounts("orders"))
+                gensAfterSuccessor = store.listGenerations().size
+              }
+              plain.readChangedSince(s2, table, since, watermarkCol)
+            }
+          }
+          val oldMgr = new SyncManager(spark, ambush, store,
+            mode = SyncMode.Merge, publisherEpoch = prevEpoch)
+          val rOld = oldMgr.runCycle()
+          require(fired.get, "the mid-cycle ambush never fired — vacuous")
+          require(!rOld.success && rOld.error.exists(
+            _.contains("StalePublisher")),
+            s"old cycle not fenced after a mid-cycle handover: $rOld")
+          require(landed.contains(nDelta),
+            s"successor consumed $landed of $nDelta delta rows")
+          require(storedWm == ts(cycleIdx),
+            s"watermark $storedWm != successor's ${ts(cycleIdx)} — the " +
+              "fenced old cycle touched it")
+          require(store.readCurrentManifest().get.publisherEpoch == newEpoch,
+            "pointer does not carry the successor's epoch")
+          require(store.listGenerations().size == gensAfterSuccessor,
+            "the fenced old cycle wrote a generation (pre-write fence " +
+              "must make it zero bytes)")
+          epoch = newEpoch // the deck continues under the replacement
+          genIntegrity()
 
         case "deploy" =>
           // rolling deploy mid-deck (round 13): the replacement claims a

@@ -84,4 +84,22 @@ class SyncFuzzSpec extends SparkSpec {
           s"always-run deck for seed $s lost the '$op' op: $deck"))
     }
   }
+
+  // mid-cycle handover decks (round 16, r15 verdict task 7): two
+  // "midshift" ops dealt into the shuffle — the successor claims and
+  // publishes inside the retired instance's in-flight cycle, the
+  // window the cycle-entry fence explicitly cannot see. Widen with
+  //   GRAFT_SYNC_MIDSHIFT_SEEDS=a,b,c
+  private val midshiftSeeds = sys.env.get("GRAFT_SYNC_MIDSHIFT_SEEDS")
+    .map(_.split(",").map(_.trim.toInt).toSeq)
+    .getOrElse(Seq(1609101))
+
+  midshiftSeeds.foreach { s =>
+    test(s"mid-cycle handover deck converges to the window oracle (seed $s)") {
+      val deck = SyncFuzzScenario.run(spark, sfDir, s, info(_),
+        extraOps = Seq("midshift", "midshift"))
+      assert(deck.count(_ == "midshift") == 2,
+        s"midshift deck for seed $s lost its midshift ops: $deck")
+    }
+  }
 }
