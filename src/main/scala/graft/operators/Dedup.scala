@@ -146,7 +146,20 @@ object Dedup {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") <= maxBucketSize && col("__cnt") > 1)
       .select("band", "bh")
-    val sized = withSig.join(bucketSizes, Seq("band", "bh"))
+    // shuffle_hash-hinted on the FILTER side (round 16): the round-15
+    // audit cleared this join because the bucketSizes side is bare
+    // (band, bh) keys — but nothing pinned the BUILD to that side, and
+    // the round-16 plan-assertion spec caught AQE building the hash
+    // relation from the BANDED CORPUS instead (BuildLeft, full __sig
+    // arrays): the banded side's dictionary/delta-compressed stage size
+    // undersells its in-memory relation by ~10× (the squeezability
+    // class), so the runtime side-comparison picks the wrong winner
+    // nondeterministically. The hint pins the build to the keys-only
+    // filter relation — per-partition, minimal width — and the shuffle
+    // it forces on (band, bh) is the same partitioning the self-join
+    // below needs anyway, so the corpus pays no extra exchange.
+    val sized = withSig.join(bucketSizes.hint("shuffle_hash"),
+      Seq("band", "bh"))
 
     val a = sized.select(col("band"), col("bh"),
       col(idCol).as("id_a"), col("__sig").as("sig_a"))
@@ -289,12 +302,21 @@ object Dedup {
       .select(col(idCol), col("simhash"), col("__b.band").as("band"),
         col("__b.bh").as("bh"))
     // same hash-aggregated skew guard as minhashCandidates (buckets of
-    // size 1 can't pair, so they're dropped here too)
+    // size 1 can't pair, so they're dropped here too) — and the same
+    // round-16 build-side pin: pre-pin sf1 plan dumps showed AQE
+    // building this join's broadcast hash relation from the BANDED
+    // CORPUS side (BuildLeft) in every draw — scalar (band, bh, id,
+    // simhash) rows are maximally repetitive per stage file, so the
+    // compressed side-comparison lies here exactly as it does for the
+    // array-carrying families. Build pinned to the keys-only filter
+    // relation; the forced (band, bh) shuffle is reused by the
+    // self-join below.
     val keepBuckets = banded.groupBy("band", "bh")
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") <= maxBucketSize && col("__cnt") > 1)
       .select("band", "bh")
-    val sized = banded.join(keepBuckets, Seq("band", "bh"))
+    val sized = banded.join(keepBuckets.hint("shuffle_hash"),
+      Seq("band", "bh"))
     val a = sized.select(col("band"), col("bh"), col(idCol).as("id_a"),
       col("simhash").as("sh_a"))
     val b = sized.select(col("band"), col("bh"), col(idCol).as("id_b"),

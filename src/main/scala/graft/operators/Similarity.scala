@@ -164,7 +164,12 @@ object Similarity {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") <= maxBucketSize && col("__cnt") > 1)
       .select("bucket")
-    val sized = v.join(keepBuckets, Seq("bucket"))
+    // build pinned to the keys-only filter relation (round 16, same
+    // find as the LSH bucket-size joins): left unpinned, AQE's
+    // compressed-size comparison can build the broadcast hash relation
+    // from the embedding-carrying corpus side — the squeezable class.
+    // The forced bucket shuffle is the self-join's partitioning anyway.
+    val sized = v.join(keepBuckets.hint("shuffle_hash"), Seq("bucket"))
     val a = sized.select(col("bucket"), col(idCol).as("id_a"), col("__v").as("va"))
     val b = sized.select(col("bucket"), col(idCol).as("id_b"), col("__v").as("vb"))
     // merge-hinted (round 15, the d12/e08 rule): both sides are the

@@ -104,19 +104,60 @@ class BroadcastFenceSpec extends SparkSpec {
     }
   }
 
-  /** Invariant 2: no broadcast hash build side carries an array. */
-  private def assertNoArrayBroadcast(nodes: Seq[SparkPlan]): Unit =
-    nodes.collect { case j: BroadcastHashJoinExec => j }.foreach { j =>
-      val build = j.buildSide match {
-        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
-        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+  /** Invariant 2 (tightened round 16 after the suite run caught AQE
+    * building the d08 bucket-filter join's hash relation from the
+    * CORPUS side): every broadcast hash build must be a keys-only
+    * filter relation — no array columns, and no output beyond the join
+    * keys. The first full-suite run of this spec proved the need: the
+    * fence-key assertions alone passed while the sized-join broadcast
+    * the full __sig-carrying banded corpus (the build SIDE, not the
+    * join strategy, had flipped). Shuffled-hash builds get the matching
+    * side rule: when exactly one side is keys-only, the build must be
+    * that side.
+    */
+  private def assertBuildSidesSafe(nodes: Seq[SparkPlan]): Unit = {
+    def buildOf(j: SparkPlan): (SparkPlan, Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        SparkPlan, Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = j match {
+      case b: BroadcastHashJoinExec => b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+          (b.left, b.leftKeys, b.right, b.rightKeys)
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+          (b.right, b.rightKeys, b.left, b.leftKeys)
       }
-      val arrays = build.output.filter(_.dataType.isInstanceOf[ArrayType])
-      assert(arrays.isEmpty,
-        s"BroadcastHashJoin builds an array-carrying side ${
-          arrays.map(_.name).mkString(",")} — the squeezable class " +
-          "must never be a broadcast hash relation")
+      case s: ShuffledHashJoinExec => s.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+          (s.left, s.leftKeys, s.right, s.rightKeys)
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+          (s.right, s.rightKeys, s.left, s.leftKeys)
+      }
+      case _ => sys.error("not a hash join")
     }
+    def keysOnly(side: SparkPlan,
+        keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+      side.output.map(_.name).toSet.subsetOf(keyNames(keys))
+    nodes.foreach {
+      case j: BroadcastHashJoinExec =>
+        val (build, bKeys, _, _) = buildOf(j)
+        val arrays = build.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"BroadcastHashJoin builds an array-carrying side ${
+            arrays.map(_.name).mkString(",")} — the squeezable class " +
+            "must never be a broadcast hash relation")
+        assert(keysOnly(build, bKeys),
+          s"BroadcastHashJoin build side outputs ${build.output.map(_.name)
+            .mkString(",")} beyond its keys ${keyNames(bKeys)} — only " +
+            "keys-only filter relations may be hash-broadcast in the " +
+            "fenced operators (a wide build here is the corpus at scale)")
+      case j: ShuffledHashJoinExec =>
+        val (build, bKeys, stream, sKeys) = buildOf(j)
+        if (!keysOnly(build, bKeys) && keysOnly(stream, sKeys))
+          fail(s"ShuffledHashJoin builds the wide side ${build.output
+            .map(_.name).mkString(",")} while the keys-only side ${stream
+            .output.map(_.name).mkString(",")} streams — the non-spilling " +
+            "build must be the filter relation, never the corpus")
+      case _ => ()
+    }
+  }
 
   private val smj = classOf[SortMergeJoinExec]
   private val shj = classOf[ShuffledHashJoinExec]
@@ -126,25 +167,25 @@ class BroadcastFenceSpec extends SparkSpec {
     assertFenced(nodes, Set("band", "bh"), smj)   // banded-corpus self-join
     assertFenced(nodes, Set("id_a"), shj)         // verify join 1: build on bare candidates
     assertFenced(nodes, Set("id_b"), smj)         // verify join 2: array×array, spills both sides
-    assertNoArrayBroadcast(nodes)
+    assertBuildSidesSafe(nodes)
   }
 
   test("d09: simhash band self-join stays sort-merge") {
     val nodes = finalNodes("d09_simhash_neardups")
     assertFenced(nodes, Set("band", "bh"), smj)
-    assertNoArrayBroadcast(nodes)
+    assertBuildSidesSafe(nodes)
   }
 
   test("e04: SRP-bucket embedding self-join stays sort-merge") {
     val nodes = finalNodes("e04_embedding_neardups")
     assertFenced(nodes, Set("bucket"), smj)
-    assertNoArrayBroadcast(nodes)
+    assertBuildSidesSafe(nodes)
   }
 
   test("e08: SemDedup cell pair join stays sort-merge") {
     val nodes = finalNodes("e08_semantic_dedup")
     assertFenced(nodes, Set("cell_id"), smj)
-    assertNoArrayBroadcast(nodes)
+    assertBuildSidesSafe(nodes)
   }
 
   test("d12: the composed curation pipeline inherits every dedup fence") {
@@ -163,6 +204,6 @@ class BroadcastFenceSpec extends SparkSpec {
     }
     val nodes = walk(cur.queryExecution.executedPlan)
     assertFenced(nodes, Set("band", "bh"), smj)
-    assertNoArrayBroadcast(nodes)
+    assertBuildSidesSafe(nodes)
   }
 }
