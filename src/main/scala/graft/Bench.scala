@@ -10,9 +10,43 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{name:sec},"sf":…}`.
   *
-  * Each query is forced through full materialization with the noop
-  * sink — `count()` would let Catalyst collapse scan-only plans to
-  * parquet-footer metadata and under-report real work.
+  * Each query is forced through full materialization by running a
+  * whole-plan job over `queryExecution.toRdd` (every row of every
+  * partition iterated, nothing collected to the driver) — `count()`
+  * would let Catalyst collapse scan-only plans to parquet-footer
+  * metadata and under-report real work. Through round 16 the forcing
+  * sink was a noop DataFrameWriter; the toRdd job does the identical
+  * distributed work minus the V2 writer wrapper (A/B-verified
+  * like-for-like at round 17 switch time, see OPERATORS.md) and —
+  * the reason for the switch — leaves the FINAL adaptive plan
+  * readable on the frame's own QueryExecution, so every draw can be
+  * fingerprinted.
+  *
+  * SELF-CERTIFICATION (round 17, r16 verdict task 1): twice running,
+  * the driver's bench artifact carried outliers (d12 at sf1: 151 s vs
+  * a 9.0–11.7 s same-code DrawProbe band) that needed a post-hoc probe
+  * session to classify as noise-vs-flip. Now the artifact carries the
+  * verdict itself:
+  *
+  *  - every execution of every entry is fingerprinted
+  *    ([[graft.tools.PlanFingerprint]] — the DrawProbe normalization,
+  *    hashed); entries whose draws produced >1 distinct final plan are
+  *    listed in `"flips"` on the driver line (normally `[]`). An
+  *    outlier duration with an empty flips list is HOST CONDITION,
+  *    certified by the artifact; a flipped entry is a real plan
+  *    nondeterminism to pin.
+  *  - `"plans"` is one hash over the {entry → headline fingerprint}
+  *    map, so cross-round plan drift (an optimizer or code change that
+  *    re-plans anything) is visible by comparing two BENCH lines.
+  *  - `"canary"` carries a pre/post rig reading: seconds for a fixed
+  *    pure-CPU xorshift workload, 1-min loadavg, and MemAvailable GiB.
+  *    A degraded post-canary (or a pre/post gap) stamps the run as
+  *    measured on a loaded host — the drifting-rig signature that
+  *    inflated whole BENCH sections in r15/r16.
+  *
+  * Per-entry fingerprint lists and per-pass canaries go to the detail
+  * file (SPARK_GRAFT_BENCH_FILE) — the driver tail window (~2 KB) only
+  * has room for the compact summary fields.
   *
   * Measurement is steady-state and interference-resistant. This host
   * has co-tenant bursts lasting minutes (measured: the same query at
@@ -63,6 +97,36 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  // sink defeating dead-code elimination of the canary loop
+  @volatile private var canarySink: Long = 0L
+
+  /** Rig canary: (seconds for a fixed single-thread CPU workload,
+    * 1-min loadavg, MemAvailable GiB). The CPU number moves with
+    * frequency scaling / co-tenant steal; loadavg and free memory
+    * catch the burst-shaped interference measured on this host.
+    */
+  private def canary(): (Double, Double, Double) = {
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < (1 << 26)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    canarySink = x
+    val sec = (System.nanoTime() - t0) / 1e9
+    val load = try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+    val memGb = try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().find(_.startsWith("MemAvailable"))
+        .map(_.split("\\s+")(1).toDouble / 1048576.0).getOrElse(-1.0)
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+    (sec, load, memGb)
+  }
+
+  private def canaryJson(c: (Double, Double, Double)): String =
+    s"[${fmt(c._1)},${fmt(c._2)},${fmt(c._3)}]"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -83,22 +147,46 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // every execution's fingerprint, keyed "<dir-tag>:<name>" — warm,
+    // timed, and rescue draws all append, so a flip in ANY draw is seen
+    val fps = mutable.LinkedHashMap.empty[String, Vector[String]]
     def execIn(dir: String)(name: String): Double = {
+      var qe: org.apache.spark.sql.execution.QueryExecution = null
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        val df = SparkEntry.queries(name)(spark, dir)
+        qe = df.queryExecution
+        // full-materialization forcing job: iterate every row of every
+        // partition on the executors (nothing returned); the final
+        // adaptive plan is then readable from qe.executedPlan
+        spark.sparkContext.runJob(qe.toRdd,
+          (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+            while (it.hasNext) it.next(); ()
+          })
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        qe = null
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // fingerprint OUTSIDE the timed window (string work, ~ms)
+      val fp =
+        if (qe == null) "err"
+        else try graft.tools.PlanFingerprint.of(qe.executedPlan)
+        catch { case _: Throwable => "err" }
+      val key = (if (dir == sfDir) "" else "sf1:") + name
+      fps(key) = fps.getOrElse(key, Vector.empty) :+ fp
+      sec
     }
     def exec(name: String): Double = execIn(sfDir)(name)
 
     val names = graft.queries.Catalog.all.map(_.name)
+    val canaries = mutable.LinkedHashMap("pre" -> canary())
     names.foreach(exec) // warm pass: codegen + JIT + page cache
     val draws = mutable.LinkedHashMap(names.map(_ -> Vector.empty[Double]): _*)
-    for (_ <- 1 to timedRuns; n <- names)
-      draws(n) = draws(n) :+ exec(n)
+    for (pass <- 1 to timedRuns) {
+      for (n <- names) draws(n) = draws(n) :+ exec(n)
+      canaries(s"pass$pass") = canary()
+    }
     // interference rescue: if an entry's spread still says the sample
     // is polluted after round-robin separation, buy two more draws —
     // themselves round-robin over the flagged set. Breadth-capped:
@@ -174,8 +262,26 @@ object Bench {
         s""","sf1":$entries,"sf1_total":${fmt(core.map(sf1Draws(_).min).sum)}"""
       }
 
+    canaries("post") = canary()
+
+    // self-certification summary (r16 verdict task 1): entries whose
+    // executions produced more than one distinct final plan this run
+    // (an outlier draw with an empty flips list is host condition, not
+    // a plan flip), plus one hash over the headline fingerprint map so
+    // cross-round plan drift shows up by diffing two BENCH lines
+    val flips = fps.collect {
+      case (k, v) if v.filterNot(_ == "err").distinct.size > 1 => k
+    }.toVector
+    val flipsJson = flips.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val plansSha = graft.tools.PlanFingerprint.ofString(
+      fps.map { case (k, v) => s"$k=${v.lastOption.getOrElse("")}" }
+        .mkString("\n"))
+    val canaryJsonLine =
+      s""""canary":{"pre":${canaryJson(canaries("pre"))},"post":${
+        canaryJson(canaries("post"))}}"""
+
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"vmed":${fmt(totalMed)},"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json}"""
+      s"""{"metric":"total","value":${fmt(total)},"vmed":${fmt(totalMed)},"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json,"plans":"$plansSha","flips":$flipsJson,$canaryJsonLine}"""
 
     // full-precision per-draw detail for offline analysis (not part of
     // the driver contract); draws are in pass order, so a burst shows
@@ -188,10 +294,18 @@ object Bench {
       val d1 = sf1Draws.map { case (n, v) =>
         "\"" + n + "\":[" + v.map(_.toString).mkString(",") + "]"
       }.mkString("{", ",", "}")
+      // full per-execution fingerprint lists (warm first, then timed
+      // draws in pass order, then any rescue draws) + per-pass canaries
+      val fpJson = fps.map { case (k, v) =>
+        "\"" + k + "\":[" + v.map("\"" + _ + "\"").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val canJson = canaries.map { case (k, c) =>
+        "\"" + k + "\":" + canaryJson(c)
+      }.mkString("{", ",", "}")
       val p = java.nio.file.Paths.get(benchFile)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"total":$total,"total_median":$totalMed,"sf":"$sfDir","runs":$d,"sf1_runs":$d1}""".getBytes("UTF-8"))
+        s"""{"total":$total,"total_median":$totalMed,"sf":"$sfDir","runs":$d,"sf1_runs":$d1,"fingerprints":$fpJson,"flips":$flipsJson,"plans":"$plansSha","canaries":$canJson}""".getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }

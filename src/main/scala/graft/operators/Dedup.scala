@@ -158,6 +158,15 @@ object Dedup {
     // filter relation — per-partition, minimal width — and the shuffle
     // it forces on (band, bh) is the same partitioning the self-join
     // below needs anyway, so the corpus pays no extra exchange.
+    // Sizing assumption (r16 ADVICE): an SHJ build cannot spill, so
+    // this pin assumes build rows per partition ≈ distinct surviving
+    // buckets / shuffle width — bare (band, bh) longs, ~16 B/row. At
+    // 100 TB with buckets ∝ corpus, size spark.sql.shuffle.partitions
+    // so that quotient stays in the tens of millions per partition
+    // (hundreds of MB); if bucket cardinality is unbounded relative to
+    // the shuffle width you can afford, degrade this hint to
+    // shuffle_merge — correctness is unchanged, only the probe cost
+    // moves.
     val sized = withSig.join(bucketSizes.hint("shuffle_hash"),
       Seq("band", "bh"))
 

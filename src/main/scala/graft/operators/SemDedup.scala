@@ -64,10 +64,19 @@ object SemDedup {
     * where auto-k stays linear). At 100 TB, always auto-size or pass
     * k ∝ N explicitly.
     */
+  /** @param broadcastableCells the k bound above which the pairable
+    *   cell list is SHUFFLE_HASH-pinned instead of broadcast — the
+    *   production value is [[BroadcastableCells]]; it is a parameter
+    *   (round 17, r16 verdict task 5) so the degraded branch — whose
+    *   entire purpose is the trillion-document regime — can be
+    *   executed and plan-asserted at test scale instead of needing an
+    *   8-billion-document corpus.
+    */
   def verdicts(corpus: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nCells: Int = -1, iterations: Int = 1,
                maxCellSize: Int = 100000,
-               targetCellSize: Int = 2048): DataFrame = {
+               targetCellSize: Int = 2048,
+               broadcastableCells: Int = BroadcastableCells): DataFrame = {
     val k =
       // one count job when auto-sizing; the fit below scans the corpus
       // anyway
@@ -96,7 +105,7 @@ object SemDedup {
     // still pins the build side away from the corpus, without shipping
     // a multi-GB relation through the driver.
     val sized =
-      if (k <= SemDedup.BroadcastableCells)
+      if (k <= broadcastableCells)
         cells.join(broadcast(pairable), Seq("cell_id"))
       else cells.join(pairable.hint("shuffle_hash"), Seq("cell_id"))
     val a = sized.select(col("cell_id"), col(idCol).as("__ida"), col(vecCol).as("__va"))

@@ -253,10 +253,21 @@ object TextQueries {
           .orderBy(col("tf").desc, col("term"))
         // rank FIRST (WindowGroupLimit keeps ≤5 rows per doc ahead of
         // the sort), join the vocab-scale DF table onto the k·docs
-        // survivors — not onto every (doc, term) pair
+        // survivors — not onto every (doc, term) pair.
+        // shuffle_merge-pinned (round 17): BOTH sides are data-
+        // dependent and unbounded — the survivors side is 5 rows per
+        // document (corpus-proportional), the DF side is the corpus
+        // VOCABULARY (web-scale: billions of distinct terms) — so
+        // neither is ever a legal broadcast at 100 TB, and left
+        // unhinted AQE runtime-converted this join with a per-draw
+        // NONDETERMINISTIC build side (BuildLeft ↔ BuildRight on
+        // identical code+data — caught by the round-17 bench plan
+        // fingerprint on its first run, the same conversion class as
+        // the d08/d09/e04 fences). Sort-merge is the strategy that
+        // spills both sides; a SHJ build of the vocabulary cannot.
         tf.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
-          .join(df_, "term")
+          .join(df_.hint("shuffle_merge"), "term")
           .select("doc_id", "term", "tf", "df")
           .orderBy(col("doc_id"), col("tf").desc, col("term"))
       },

@@ -150,6 +150,16 @@ class BroadcastFenceSpec extends SparkSpec {
             "fenced operators (a wide build here is the corpus at scale)")
       case j: ShuffledHashJoinExec =>
         val (build, bKeys, stream, sKeys) = buildOf(j)
+        // r16 ADVICE: an SHJ build carrying ArrayType columns is the
+        // exact non-spilling OOM mode the jaccardVerify join-2 comment
+        // describes — forbidden REGARDLESS of what the stream side
+        // looks like (the original rule only fired when a keys-only
+        // alternative existed)
+        val arrays = build.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"ShuffledHashJoin builds an array-carrying side ${
+            arrays.map(_.name).mkString(",")} — an SHJ build cannot " +
+            "spill; array-carrying sides must be sort-merge joined")
         if (!keysOnly(build, bKeys) && keysOnly(stream, sKeys))
           fail(s"ShuffledHashJoin builds the wide side ${build.output
             .map(_.name).mkString(",")} while the keys-only side ${stream
@@ -158,6 +168,57 @@ class BroadcastFenceSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  /** Opposite-direction fence (round 17, r16 verdict task 3): a
+    * construction-bounded side that is SUPPOSED to broadcast must STAY
+    * broadcast. A refactor that drops `broadcast(...)` from the
+    * decontamination benchmark side, the IVF/PQ centroid and ADC-LUT
+    * relations, the Bloom bitmap, or the DSIR/NgramLm weight tables
+    * would silently degrade to a corpus-wide shuffle — a perf cliff,
+    * not a wrong answer, so nothing else in the suite can see it.
+    * Asserts a BroadcastHashJoin keyed exactly `keys` exists in the
+    * final adaptive plan.
+    */
+  private def withNoAutoBroadcast[A](f: => A): A = {
+    // presence tests run with size-based broadcasting OFF: at sf0.01
+    // every relation sits under the threshold, so the planner would
+    // re-broadcast a hint-less join by size and the assertion could
+    // never go red (observed: the first red-proof attempt stayed
+    // green). With both thresholds at -1 the ONLY broadcasts left are
+    // the explicit hints — which is also the honest 100 TB semantics,
+    // where nothing is below threshold and only the hints matter.
+    val k1 = "spark.sql.autoBroadcastJoinThreshold"
+    val k2 = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val o1 = spark.conf.getOption(k1)
+    val o2 = spark.conf.getOption(k2)
+    spark.conf.set(k1, "-1")
+    spark.conf.set(k2, "-1")
+    try f
+    finally {
+      o1.fold(spark.conf.unset(k1))(spark.conf.set(k1, _))
+      o2.fold(spark.conf.unset(k2))(spark.conf.set(k2, _))
+    }
+  }
+  private def assertBroadcastJoin(nodes: Seq[SparkPlan],
+                                  keys: Set[String]): Unit = {
+    val hits = nodes.collect {
+      case j: BroadcastHashJoinExec if keyNames(j.leftKeys) == keys => j
+    }
+    assert(hits.nonEmpty,
+      s"no BroadcastHashJoin on $keys in the final plan — a bounded " +
+        "side's broadcast hint was dropped (the corpus now shuffles " +
+        "for a relation that is small by construction)")
+  }
+
+  /** The ANN operators' centroid/query relations ride
+    * `crossJoin(broadcast(...))` — k×dim / |queries|-bounded by
+    * construction; their physical shape is BroadcastNestedLoopJoin.
+    */
+  private def assertBnlj(nodes: Seq[SparkPlan]): Unit =
+    assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "no BroadcastNestedLoopJoin in the final plan — a bounded " +
+        "crossJoin(broadcast(...)) relation (centroids/queries/bloom) " +
+        "lost its broadcast")
 
   private val smj = classOf[SortMergeJoinExec]
   private val shj = classOf[ShuffledHashJoinExec]
@@ -186,6 +247,97 @@ class BroadcastFenceSpec extends SparkSpec {
     val nodes = finalNodes("e08_semantic_dedup")
     assertFenced(nodes, Set("cell_id"), smj)
     assertBuildSidesSafe(nodes)
+  }
+
+  test("d13: the tf⋈df term join stays sort-merge (both sides unbounded)") {
+    // round 17: the bench plan fingerprint caught AQE runtime-
+    // converting this join with a nondeterministic build side — the
+    // survivors side is 5 rows per document, the DF side is the corpus
+    // vocabulary; neither is a legal broadcast at 100 TB
+    val nodes = finalNodes("d13_term_stats")
+    assertFenced(nodes, Set("term"), smj)
+    assertBuildSidesSafe(nodes)
+  }
+
+  test("d17/d32: decontamination's benchmark-bounded sides stay broadcast") {
+    withNoAutoBroadcast {
+      val d17 = finalNodes("d17_decontamination")
+      assertBroadcastJoin(d17, Set("band", "bh")) // bench buckets / keep
+      assertBroadcastJoin(d17, Set("doc_id"))     // candidate pair list
+      assertBroadcastJoin(d17, Set("bench_id"))   // benchmark shingle sets
+      val d32 = finalNodes("d32_ngram_contamination")
+      assertBroadcastJoin(d32, Set("__h"))        // eval 8-gram hash set
+    }
+  }
+
+  test("e05/e06/e07: IVF and PQ bounded relations stay broadcast") {
+    withNoAutoBroadcast {
+      val e05 = finalNodes("e05_knn_ivf")
+      assertBnlj(e05)                             // k×dim centroid array
+      assertBroadcastJoin(e05, Set("cell_id"))    // probe list
+      val e06 = finalNodes("e06_knn_ivf_index")
+      assertBnlj(e06)
+      assertBroadcastJoin(e06, Set("cell_id"))
+      // e07's codebook trains via its own driver-bounded jobs (a local
+      // PqCodebook), so the serving frame's only broadcast is the
+      // per-query ADC LUT crossJoin
+      val e07 = finalNodes("e07_knn_pq")
+      assertBnlj(e07)                             // per-query ADC LUTs
+    }
+  }
+
+  test("d22/d25/d30: bloom bitmap and LM weight tables stay broadcast") {
+    withNoAutoBroadcast {
+      val d22 = finalNodes("d22_bloom_incremental_dedup")
+      assertBnlj(d22)                             // the Bloom bitmap row
+      assertBroadcastJoin(d22, Set("__key"))      // candidate/match keys
+      val d25 = finalNodes("d25_dsir_importance")
+      assertBroadcastJoin(d25, Set("bucket"))     // DSIR weight table
+      val d30 = finalNodes("d30_bigram_crossentropy")
+      assertBroadcastJoin(d30, Set("bb"))         // bigram count table
+      assertBroadcastJoin(d30, Set("ub"))         // unigram count table
+    }
+  }
+
+  test("SemDedup degraded branch: past the broadcast bound the cell " +
+    "filter pins SHUFFLE_HASH off the corpus and verdicts are identical") {
+    // r16 verdict task 5: the >BroadcastableCells branch exists FOR the
+    // trillion-document regime and no test executed its plan. The test
+    // seam (broadcastableCells param) forces it at sf0.01 scale.
+    // threshold 0.0: the synthetic embeddings are near-orthogonal, so
+    // a high threshold drops NOBODY — and an empty `dropped` lets
+    // AQE's empty-relation elimination erase the whole pair pipeline
+    // from the executed plan (observed: the first version of this test
+    // asserted against a plan containing no joins at all)
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    def run(bound: Int) = graft.operators.SemDedup.verdicts(
+      emb, "vec_id", "embedding", threshold = 0.0, nCells = 8,
+      broadcastableCells = bound)
+    val degraded = run(4) // k=8 > 4 → shuffle_hash branch
+    degraded.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec => p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val nodes = walk(degraded.queryExecution.executedPlan)
+    // the cells⋈pairable filter join: SHJ with the build side the
+    // keys-only cell list — never the corpus (id + embedding)
+    val filterJoins = nodes.collect {
+      case j: ShuffledHashJoinExec if keyNames(j.leftKeys) == Set("cell_id") &&
+        (j.left.output.size == j.leftKeys.size ||
+          j.right.output.size == j.rightKeys.size) => j
+    }
+    assert(filterJoins.nonEmpty,
+      "degraded branch executed no ShuffledHashJoin on cell_id with a " +
+        "keys-only side — the SHUFFLE_HASH pin is gone")
+    // the pair join inherits the e08 merge pin in this branch too
+    assertFenced(nodes, Set("cell_id"), smj)
+    assertBuildSidesSafe(nodes)
+    // behavior parity: branch choice is a physical-plan concern only
+    val a = run(Int.MaxValue).orderBy("vec_id").collect().toSeq
+    val b = degraded.orderBy("vec_id").collect().toSeq
+    assert(a == b, "degraded branch changed SemDedup verdicts")
   }
 
   test("d12: the composed curation pipeline inherits every dedup fence") {

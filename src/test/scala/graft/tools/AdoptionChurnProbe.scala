@@ -37,6 +37,10 @@ object AdoptionChurnProbe {
 
   def main(args: Array[String]): Unit = {
     val iters = if (args.nonEmpty) args(0).toInt else 2000
+    // warm point scales with the run (r16 ADVICE): a fixed 200 left
+    // heapWarm at 0 for short arg-driven runs, silently turning the
+    // spec's growth check into a compare-against-zero
+    val warmAt = math.max(1, iters / 10)
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-adoption-churn-probe")
@@ -118,12 +122,17 @@ object AdoptionChurnProbe {
         // heapWarm taken AFTER the steady state establishes (caches,
         // codegen, file-status cache warm) so the end-to-warm delta
         // isolates per-adoption growth
-        if (adoptions == 200) heapWarm = usedAfterGc()
+        if (adoptions == warmAt) heapWarm = usedAfterGc()
       }
     }
+    // heapEnd sampled BEFORE stopping the query threads (r16 ADVICE):
+    // both used-after-GC readings are taken under the same concurrent
+    // query load — an asymmetric baseline (warm under load, end after
+    // quiesce) would deflate heapEnd and mask real per-adoption growth
+    // near the spec's threshold
+    val heapEnd = usedAfterGc()
     stop.set(true)
     threads.foreach(_.join(10000))
-    val heapEnd = usedAfterGc()
     println(s"[churn] adoptions=$adoptions swaps=$swaps " +
       s"queries=${queries.get} errors=${qErrs.size} mixes=${mixes.get} " +
       s"heapWarm=$heapWarm heapEnd=$heapEnd heapMax=${rt.maxMemory}")

@@ -65,18 +65,37 @@ object DrawProbe {
         })
     }
 
-    def exec(): Double = {
+    // round 17: same forcing mechanism as graft.Bench (whole-plan job
+    // over toRdd) so the main frame's FINAL adaptive plan is readable
+    // per draw — each draw prints its structural fingerprint
+    // (PlanFingerprint), making flip-vs-noise legible from the probe's
+    // own output; the listener above still captures every interior
+    // execution's raw plan when SPARK_GRAFT_PROBE_PLANS is set.
+    def exec(): (Double, String) = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val qe = df.queryExecution
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.runJob(qe.toRdd,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          while (it.hasNext) it.next(); ()
+        })
+      val sec = (System.nanoTime() - t0) / 1e9
+      sys.env.get("SPARK_GRAFT_PROBE_PLANS").foreach { dir =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(
+            s"$dir/main_${(sec * 1000).toLong}ms_${System.nanoTime()}.txt"),
+          PlanFingerprint.describe(qe.executedPlan) + "\n----RAW----\n" +
+            qe.executedPlan.toString)
+      }
+      (sec, PlanFingerprint.of(qe.executedPlan))
     }
 
     exec() // warm (page cache + codegen)
-    val times = (1 to draws).map(_ => exec())
+    val runs = (1 to draws).map(_ => exec())
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(s"""{"query":"$name","sf":"$sfDir","draws":[${
-      times.map(t => f"$t%.3f").mkString(",")}]}""")
+      runs.map(r => f"${r._1}%.3f").mkString(",")}],"fps":[${
+      runs.map(r => "\"" + r._2 + "\"").mkString(",")}]}""")
   }
 }
