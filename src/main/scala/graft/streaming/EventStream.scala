@@ -397,8 +397,23 @@ object EventStream {
     val q = df.writeStream.outputMode(outputMode)
       .option("checkpointLocation", ckpt.toString)
       .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally {
+    try {
+      q.processAllAvailable()
+      // dev/probe hook (round 17, r16 verdict task 4): dump every
+      // micro-batch's progress JSON — stateOperators.numRowsTotal is
+      // the number that would grow without bound if an interval-join
+      // watermark eviction regressed, and nothing else surfaces it
+      // (the t-entries' oracles only see the FINAL frame). DrawProbe
+      // runs the t-entries with this set to classify bench drift as
+      // rig-vs-state-growth from the artifact alone.
+      sys.env.get("SPARK_GRAFT_STREAM_PROGRESS").foreach { dir =>
+        val f = java.nio.file.Paths.get(dir,
+          s"${name}_${System.nanoTime()}.json")
+        java.nio.file.Files.createDirectories(f.getParent)
+        java.nio.file.Files.writeString(f,
+          q.recentProgress.map(_.json).mkString("[\n", ",\n", "\n]"))
+      }
+    } finally {
       q.stop()
       // best-effort cleanup; replay checkpoints are one-shot. NonFatal,
       // not just IOException: a concurrent tmp sweeper makes the walk

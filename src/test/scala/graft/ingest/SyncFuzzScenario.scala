@@ -537,6 +537,79 @@ object SyncFuzzScenario {
           epoch = newEpoch // the deck continues under the replacement
           genIntegrity()
 
+        case "midshift_late" =>
+          // the SYMMETRIC handover window (round 17, r16 verdict task
+          // 7): where "midshift" ambushes the first delta SCAN (so the
+          // old cycle dies on the PRE-WRITE fence, zero bytes), this op
+          // lands the successor's claim+publish between the old cycle's
+          // TABLE WRITES and its pointer-swap attempt — the window only
+          // the AT-SWAP fence can see. Injection is a delegating store
+          // whose first GENERATION-manifest write (i.e. after the old
+          // cycle's table writes, immediately before its swap path)
+          // triggers the handover; the main code path runs unmodified.
+          // Expected: the old cycle has genuinely written an orphan
+          // generation (that is this window's unavoidable cost — the
+          // pre-write fence passed honestly), the at-swap fence refuses
+          // the pointer swap with the "refusing to publish" arm, the
+          // watermark and pointer are the successor's, the delta lands
+          // exactly once, and the orphan is never served (retention
+          // ages it out — the deck-final ≤24 pin covers that).
+          val prevEpochL = epoch
+          val deltaL = makeDelta(opIdx, None)
+          archive(deltaL)
+          val deltaDiskL = spark.read.parquet(s"$archDir/v${nVersions - 1}")
+          val nDeltaL = deltaDiskL.count()
+          replaceSource(source()
+            .join(deltaDiskL.select("id"), Seq("id"), "left_anti")
+            .unionByName(deltaDiskL, allowMissingColumns = true))
+          val plainL = new ParquetSource(srcDir, Seq("orders"))
+          val firedL = new java.util.concurrent.atomic.AtomicBoolean(false)
+          var landedL = Option.empty[Long]
+          var newEpochL = 0L
+          var successorGen = ""
+          val lateStore = new SnapshotStore(spark, snapDir) {
+            override def writeString(p: org.apache.hadoop.fs.Path,
+                                     content: String): Unit = {
+              // the old cycle's FIRST generation-manifest write: table
+              // writes are done, the swap attempt is next
+              if (p.getName == "manifest.json" && p != currentManifestPath &&
+                  firedL.compareAndSet(false, true)) {
+                newEpochL = SyncManager.claimEpoch(store)
+                require(newEpochL > prevEpochL,
+                  s"late claim $newEpochL not above live $prevEpochL")
+                val rNew = new SyncManager(spark, plainL, store,
+                  mode = SyncMode.Merge, publisherEpoch = newEpochL)
+                  .runCycle()
+                require(rNew.success,
+                  s"successor's at-swap-window publish failed: ${rNew.error}")
+                landedL = Some(rNew.changedCounts("orders"))
+                successorGen = rNew.manifest.get.version
+              }
+              super.writeString(p, content)
+            }
+          }
+          val oldMgrL = new SyncManager(spark, plainL, lateStore,
+            mode = SyncMode.Merge, publisherEpoch = prevEpochL)
+          val rOldL = oldMgrL.runCycle()
+          require(firedL.get, "the at-swap ambush never fired — vacuous")
+          require(!rOldL.success && rOldL.error.exists(e =>
+            e.contains("StalePublisher") && e.contains("refusing to publish")),
+            s"old cycle not fenced AT THE SWAP after a late handover " +
+              s"(the 'refusing to publish' arm pins which fence fired): $rOldL")
+          require(landedL.contains(nDeltaL),
+            s"successor consumed $landedL of $nDeltaL delta rows")
+          require(storedWm == ts(cycleIdx),
+            s"watermark $storedWm != successor's ${ts(cycleIdx)} — the " +
+              "fenced old cycle touched it")
+          val ptr = store.readCurrentManifest().get
+          require(ptr.publisherEpoch == newEpochL,
+            "pointer does not carry the successor's epoch")
+          require(ptr.version == successorGen,
+            s"pointer serves ${ptr.version}, not the successor's " +
+              s"$successorGen — the old cycle's orphan got served")
+          epoch = newEpochL // the deck continues under the replacement
+          genIntegrity()
+
         case "deploy" =>
           // rolling deploy mid-deck (round 13): the replacement claims a
           // strictly higher epoch — through whatever the deck just did

@@ -102,4 +102,23 @@ class SyncFuzzSpec extends SparkSpec {
         s"midshift deck for seed $s lost its midshift ops: $deck")
     }
   }
+
+  // at-swap handover decks (round 17, r16 verdict task 7): the
+  // symmetric window — the successor claims and publishes between the
+  // retired cycle's table writes and its pointer-swap attempt, so the
+  // AT-SWAP fence (not the pre-write fence) must fire, with the
+  // "refusing to publish" diagnosis pinned. Widen with
+  //   GRAFT_SYNC_LATE_SEEDS=a,b,c
+  private val lateSeeds = sys.env.get("GRAFT_SYNC_LATE_SEEDS")
+    .map(_.split(",").map(_.trim.toInt).toSeq)
+    .getOrElse(Seq(1708017))
+
+  lateSeeds.foreach { s =>
+    test(s"at-swap handover deck converges to the window oracle (seed $s)") {
+      val deck = SyncFuzzScenario.run(spark, sfDir, s, info(_),
+        extraOps = Seq("midshift_late", "midshift_late"))
+      assert(deck.count(_ == "midshift_late") == 2,
+        s"late deck for seed $s lost its midshift_late ops: $deck")
+    }
+  }
 }
