@@ -273,9 +273,14 @@ object Bench {
       case (k, v) if v.filterNot(_ == "err").distinct.size > 1 => k
     }.toVector
     val flipsJson = flips.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // primary-SF entries only: the sf1 section's key set is top-10-by-
+    // this-run's-minima, so including it makes the hash vary with rig
+    // jitter instead of with plans (observed across the first three
+    // draws: identical primary fingerprint maps, three different
+    // hashes). sf1 plan identity is still covered by flips + detail.
     val plansSha = graft.tools.PlanFingerprint.ofString(
-      fps.map { case (k, v) => s"$k=${v.lastOption.getOrElse("")}" }
-        .mkString("\n"))
+      fps.collect { case (k, v) if !k.startsWith("sf1:") =>
+        s"$k=${v.lastOption.getOrElse("")}" }.mkString("\n"))
     val canaryJsonLine =
       s""""canary":{"pre":${canaryJson(canaries("pre"))},"post":${
         canaryJson(canaries("post"))}}"""

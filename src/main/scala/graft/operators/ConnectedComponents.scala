@@ -103,7 +103,18 @@ object ConnectedComponents {
     val labels = components(edges, srcCol, dstCol, maxIterations)
     val sizes = labels.groupBy("component")
       .agg(count(lit(1)).as("component_size"))
-    labels.join(sizes, "component")
+    // shuffle_merge-pinned (round 17): BOTH sides are data-dependent
+    // and cluster-universe-proportional — labels is one row per
+    // clustered doc, sizes one row per component — and both are the
+    // squeezable scalar shape (near-sequential ids, repetitive
+    // component values: the overturned d09 exemption), so neither is a
+    // legal broadcast at scale. Left unhinted, AQE runtime-converted
+    // this join with a per-draw NONDETERMINISTIC build side (BuildLeft
+    // ↔ BuildRight at the sf1 gate corpus, 5/40 DrawProbe draws on the
+    // rare side — caught by the round-17 bench fingerprint). Sort-merge
+    // spills both sides at any scale; per-key groups are component
+    // members (already the operator's working set).
+    labels.join(sizes.hint("shuffle_merge"), "component")
       .select("id", "component", "component_size")
   }
 

@@ -259,6 +259,16 @@ class BroadcastFenceSpec extends SparkSpec {
     assertBuildSidesSafe(nodes)
   }
 
+  test("d18: the cluster-size join stays sort-merge (both sides unbounded)") {
+    // round 17: the bench fingerprint caught AQE converting clusters()'
+    // labels⋈sizes join with a nondeterministic build side (5/40 sf1
+    // draws) — labels is one row per clustered doc, sizes one per
+    // component; both data-dependent, both the squeezable scalar shape
+    val nodes = finalNodes("d18_neardup_clusters")
+    assertFenced(nodes, Set("component"), smj)
+    assertBuildSidesSafe(nodes)
+  }
+
   test("d17/d32: decontamination's benchmark-bounded sides stay broadcast") {
     withNoAutoBroadcast {
       val d17 = finalNodes("d17_decontamination")
