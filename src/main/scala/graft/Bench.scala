@@ -61,12 +61,27 @@ import org.apache.spark.sql.SparkSession
   *     draw. With passes separated by a full catalog sweep (~1–4 min),
   *     a burst must outlast the whole suite to own all draws of any
   *     single entry.
-  *  2. The per-entry MINIMUM across passes is the headline number —
-  *     the minimum estimates intrinsic cost, the only quantity
+  *  2. The per-entry map carries the MINIMUM across passes — the
+  *     minimum estimates intrinsic cost, the only per-entry quantity
   *     comparable across rounds (medians made round 4's d19 read as a
   *     15× regression on unchanged code). Entries whose spread still
   *     says "polluted" (max >> min) get two rescue draws at the end,
   *     again round-robin over the flagged set.
+  *
+  * HEADLINE + RIG VERDICT (round 18, r17 verdict task 3): `value` is
+  * the MEDIAN of per-pass totals — the verify skill's median-of-3
+  * protocol computed inside one invocation — with `vmin` (sum of
+  * per-entry minima, the former `value`) kept for cross-round
+  * continuity, and `rig` a self-verdict ("quiet"/"degraded") derived
+  * from the vmed/vmin gap (quiet ≤ ~1.17 on this host, the loaded r17
+  * driver artifact at 1.74; threshold 1.35) or a systemic-interference
+  * rescue skip. `errors` lists entries with any failed execution (r17
+  * ADVICE — a failing entry used to deflate totals invisibly), and
+  * with SPARK_GRAFT_INTERIOR_FP=true every Dataset-action execution
+  * INSIDE an entry (checkpoint rounds, counts, model fits) is also
+  * fingerprinted and cross-draw-compared into `iflips` (r17 verdict
+  * task 2 — the localCheckpoint-hidden join class). SPARK_GRAFT_
+  * BENCH_ONLY=<a,b,…> restricts the catalog for targeted probes.
   *
   * Because min-of-draws can only hide contention effects, the JSON
   * line also carries `vmed` (sum of per-entry medians): a vmed far
@@ -150,8 +165,72 @@ object Bench {
     // every execution's fingerprint, keyed "<dir-tag>:<name>" — warm,
     // timed, and rescue draws all append, so a flip in ANY draw is seen
     val fps = mutable.LinkedHashMap.empty[String, Vector[String]]
+
+    // INTERIOR-plan fingerprinting (round 18, r17 verdict task 2):
+    // checkpointing entries (d12/d18 via ConnectedComponents, the
+    // IVF/PQ model fits) do most of their join work in Dataset actions
+    // the final-plan fingerprint never sees — localCheckpoint and
+    // count() run their own QueryExecutions, and a nondeterministic
+    // AQE build-side flip there (the d13/d18 class, round 17) would
+    // not land in "flips" today. Env-gated (SPARK_GRAFT_INTERIOR_FP):
+    // a QueryExecutionListener fingerprints EVERY Dataset-action
+    // execution; attribution is by a current-entry label plus a
+    // quiesce-drain after each entry (the listener bus is async, so
+    // the drain waits for the per-entry event stream to go stable
+    // before the next entry starts). The per-execution interior lists
+    // go to the detail file; entries whose executions produced more
+    // than one distinct interior list are summarized in "iflips".
+    // Not on by default: the drain adds ~0.1 s floor per execution,
+    // which would pollute the headline timings of the full catalog.
+    val interiorOn = sys.env.get("SPARK_GRAFT_INTERIOR_FP").contains("true")
+    val interiorSeen =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    @volatile var interiorLabel = ""
+    val interior = mutable.LinkedHashMap.empty[String, Vector[Vector[String]]]
+    if (interiorOn) spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val fp = try graft.tools.PlanFingerprint.of(qe.executedPlan)
+          catch { case _: Throwable => "err" }
+          interiorSeen.add((interiorLabel, s"$funcName:$fp")); ()
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = {
+          interiorSeen.add((interiorLabel, s"$funcName:err")); ()
+        }
+      })
+    /** Wait for the async listener bus to go quiet, then fold this
+      * execution's interior events into `interior` under `key`.
+      */
+    def drainInterior(key: String): Unit = {
+      var stable = 0
+      var last = -1
+      var waited = 0
+      while (stable < 2 && waited < 3000) {
+        val n = interiorSeen.size
+        if (n == last) stable += 1 else stable = 0
+        last = n
+        Thread.sleep(50); waited += 50
+      }
+      val mine = Vector.newBuilder[String]
+      val it = interiorSeen.iterator()
+      while (it.hasNext) {
+        val (lbl, fp) = it.next()
+        if (lbl == key) mine += fp
+        // events mislabeled across a boundary would surface as a
+        // spurious iflip; the drain makes that structurally rare and
+        // any residue is visible in the detail file's raw lists
+      }
+      interiorSeen.clear()
+      interior(key) = interior.getOrElse(key, Vector.empty) :+ mine.result()
+    }
+
     def execIn(dir: String)(name: String): Double = {
       var qe: org.apache.spark.sql.execution.QueryExecution = null
+      if (interiorOn) interiorLabel = (if (dir == sfDir) "" else "sf1:") + name
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, dir)
@@ -175,16 +254,27 @@ object Bench {
         catch { case _: Throwable => "err" }
       val key = (if (dir == sfDir) "" else "sf1:") + name
       fps(key) = fps.getOrElse(key, Vector.empty) :+ fp
+      if (interiorOn) drainInterior(key)
       sec
     }
     def exec(name: String): Double = execIn(sfDir)(name)
 
+    // probe filter (round 18): a comma list restricts the catalog —
+    // 10-draw interior-fingerprint probes of the checkpointing entries
+    // would otherwise pay a full 105-entry sweep per draw
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = graft.queries.Catalog.all.map(_.name)
+      .filter(n => only.forall(_.contains(n)))
+    require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY matched no catalog entry")
     val canaries = mutable.LinkedHashMap("pre" -> canary())
     names.foreach(exec) // warm pass: codegen + JIT + page cache
     val draws = mutable.LinkedHashMap(names.map(_ -> Vector.empty[Double]): _*)
+    val passTotals = Vector.newBuilder[Double]
     for (pass <- 1 to timedRuns) {
-      for (n <- names) draws(n) = draws(n) :+ exec(n)
+      var pt = 0.0
+      for (n <- names) { val s = exec(n); draws(n) = draws(n) :+ s; pt += s }
+      passTotals += pt
       canaries(s"pass$pass") = canary()
     }
     // interference rescue: if an entry's spread still says the sample
@@ -206,6 +296,16 @@ object Bench {
         s"${names.size} entries polluted — skipping rescue draws")
 
     val results = names.map(n => n -> draws(n).min)
+    // headline protocol (round 18, r17 verdict task 3): `value` is the
+    // MEDIAN of per-pass totals — the verify skill's median-of-3
+    // protocol computed inside the artifact, so the driver's single
+    // invocation stops publishing what is effectively one draw's
+    // minimum envelope as the headline. `vmin` keeps the former
+    // semantics (sum of per-entry minima, the intrinsic-cost floor)
+    // for cross-round continuity with BENCH_r01–r17.
+    val vmin = results.map(_._2).sum
+    val passTotalsV = passTotals.result()
+    val total = if (passTotalsV.size >= 3) median(passTotalsV) else vmin
     // short keys (the driver-contract example's "q1":sec shape): the
     // catalog id before the first underscore is unique per entry, and
     // the full-name map at ~27 chars/entry × 100+ entries overflows
@@ -214,8 +314,18 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     val totalMed = names.map(n => median(draws(n))).sum
+    // rig self-verdict (round 18, r17 verdict task 3): the vmed/vmin
+    // gap is the discriminator this host actually separates on — the
+    // four r17 quiet-window draws sat at 1.10/1.10/1.15/1.17 while the
+    // loaded driver artifact hit 1.74 (the canary CPU loop stayed flat
+    // at ~0.14 s in BOTH regimes, and post-run 1-min loadavg overlaps:
+    // quiet 9.6–12.7 vs loaded 12.6, our own 32 threads dominate it).
+    // A systemic-interference rescue skip is a degraded verdict by
+    // definition (most of the catalog polluted at once).
+    val systemic = flagged.size > names.size / 3
+    val rigGap = if (vmin > 0) totalMed / vmin else 1.0
+    val rig = if (systemic || rigGap > 1.35) "degraded" else "quiet"
 
     // sf1 decade section: the 10 heaviest entries by this run's sf0.1
     // minimum, re-measured at the synthesized sf1 point (warm + 2
@@ -273,6 +383,23 @@ object Bench {
       case (k, v) if v.filterNot(_ == "err").distinct.size > 1 => k
     }.toVector
     val flipsJson = flips.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // r17 ADVICE: an intermittently failing entry used to be invisible
+    // here — its "err" fingerprints are filtered out of flips and its
+    // near-zero partial elapsed deflates the totals, with only a
+    // stderr note. The artifact now certifies failures the way it
+    // certifies flips.
+    val errors = fps.collect {
+      case (k, v) if v.contains("err") => k
+    }.toVector
+    val errorsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // interior flips: executions of one entry that ran different
+    // interior plan sequences (order-sensitive — the checkpoint rounds
+    // of an iterative operator are a sequence, and a flip in ANY round
+    // must show). Only meaningful when SPARK_GRAFT_INTERIOR_FP ran.
+    val iflips = interior.collect {
+      case (k, lists) if lists.map(_.mkString(";")).distinct.size > 1 => k
+    }.toVector
+    val iflipsJson = iflips.map("\"" + _ + "\"").mkString("[", ",", "]")
     // primary-SF entries only: the sf1 section's key set is top-10-by-
     // this-run's-minima, so including it makes the hash vary with rig
     // jitter instead of with plans (observed across the first three
@@ -285,8 +412,9 @@ object Bench {
       s""""canary":{"pre":${canaryJson(canaries("pre"))},"post":${
         canaryJson(canaries("post"))}}"""
 
+    val iflipsField = if (interiorOn) s""","iflips":$iflipsJson""" else ""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"vmed":${fmt(totalMed)},"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json,"plans":"$plansSha","flips":$flipsJson,$canaryJsonLine}"""
+      s"""{"metric":"total","value":${fmt(total)},"vmin":${fmt(vmin)},"vmed":${fmt(totalMed)},"rig":"$rig","unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json,"plans":"$plansSha","flips":$flipsJson,"errors":$errorsJson$iflipsField,$canaryJsonLine}"""
 
     // full-precision per-draw detail for offline analysis (not part of
     // the driver contract); draws are in pass order, so a burst shows
@@ -307,10 +435,19 @@ object Bench {
       val canJson = canaries.map { case (k, c) =>
         "\"" + k + "\":" + canaryJson(c)
       }.mkString("{", ",", "}")
+      // interior fingerprint lists: one inner array per execution of
+      // the entry (warm, timed passes, rescue — same order as
+      // "fingerprints"); each element "actionName:fp"
+      val intJson = interior.map { case (k, lists) =>
+        "\"" + k + "\":" + lists.map(
+          _.map("\"" + _ + "\"").mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val ptJson = passTotalsV.map(_.toString).mkString("[", ",", "]")
       val p = java.nio.file.Paths.get(benchFile)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"total":$total,"total_median":$totalMed,"sf":"$sfDir","runs":$d,"sf1_runs":$d1,"fingerprints":$fpJson,"flips":$flipsJson,"plans":"$plansSha","canaries":$canJson}""".getBytes("UTF-8"))
+        s"""{"total":$total,"vmin":$vmin,"total_median":$totalMed,"rig":"$rig","rig_gap":$rigGap,"pass_totals":$ptJson,"sf":"$sfDir","runs":$d,"sf1_runs":$d1,"fingerprints":$fpJson,"flips":$flipsJson,"errors":$errorsJson,"interior":$intJson,"iflips":$iflipsJson,"plans":"$plansSha","canaries":$canJson}""".getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }

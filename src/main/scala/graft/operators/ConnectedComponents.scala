@@ -21,7 +21,8 @@ import org.apache.spark.storage.StorageLevel
   * representative independent of execution order. Rounds needed =
   * graph diameter, which for near-dup graphs is small (clusters are
   * dense: variants of one underlying document). Each round is one
-  * shuffle-join plus one min-aggregation — no collect, no driver-side
+  * shuffle-join, one min-aggregation, and one scalar label-sum probe
+  * for convergence — no collect of data-scale frames, no driver-side
   * graph.
   *
   * Each round ends in an EAGER `localCheckpoint`: the round's plan
@@ -71,23 +72,52 @@ object ConnectedComponents {
         .select(col("a").as("id"), least(col("a"), col("__mn")).as("component"))
         .localCheckpoint(true)
 
+      // convergence by EXACT label-sum (round 18, r17 verdict task 1):
+      // labels are pointwise monotone non-increasing (each round takes
+      // min over the node's own label and its neighbors'), so the sum
+      // of components strictly decreases until fixpoint and equality
+      // of consecutive sums IS convergence. The former check was a
+      // next⋈labels join — both sides node-scale, data-dependent, the
+      // squeezable two-long shape, and it executed INSIDE checkpoint
+      // lineage where the bench's final-plan fingerprint is blind; the
+      // round-18 interior-plan probe (10 sf1 draws + 11 Bench interior
+      // draws) showed AQE runtime-converting it to a broadcast join
+      // every draw — not a legal broadcast at 100 TB corpus scale.
+      // Replacing the join with one map-side-partial aggregation is
+      // strictly less work AND removes the join family entirely.
+      // DECIMAL(38,0): an exact sum of ≤1e12 labels ≤ 2^63 tops out
+      // ~1e31 < 1e38 — long sum would wrap and could alias two
+      // different label states.
+      def labelSum(l: DataFrame): java.math.BigDecimal = {
+        val r = l.agg(sum(col("component")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+        if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+      }
+      var prevSum = labelSum(labels)
+
       var iter = 0
       var converged = false
       while (!converged && iter < maxIterations) {
         // neighbor labels flow along edges; the union with the node's
         // own label makes min() monotone non-increasing, so the
-        // fixpoint is exactly min-reachable-id
-        val msgs = e.join(labels, e("a") === labels("id"))
+        // fixpoint is exactly min-reachable-id.
+        // shuffle_merge pin (round 18): the labels side is node-scale,
+        // data-dependent, near-sequential two-long rows — the
+        // squeezable scalar shape (d09 r16 / d13+d18 r17). Unpinned,
+        // AQE runtime-converted this join to a broadcast build every
+        // sf1 probe draw; at 100 TB labels ∝ clustered docs and no
+        // side is a legal broadcast. Sort-merge spills both sides; the
+        // per-round sort is node/edge-scale work the round already
+        // does in its groupBy shuffle.
+        val msgs = e.join(labels.hint("shuffle_merge"), e("a") === labels("id"))
           .select(e("b").as("id"), labels("component"))
         val next = msgs.union(labels)
           .groupBy("id").agg(min("component").as("component"))
           .localCheckpoint(true) // materializes; truncates the plan
-        val changed = next
-          .join(labels.select(col("id"), col("component").as("__prev")), "id")
-          .filter(col("component") < col("__prev"))
-          .count()
+        val nextSum = labelSum(next)
         labels = next // the dropped generation is context-cleaned
-        converged = changed == 0
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         iter += 1
       }
       labels

@@ -85,6 +85,12 @@ object PqAnn {
   private def assign(subs: DataFrame, cents: DataFrame): DataFrame = {
     val byM = cents.groupBy("m")
       .agg(collect_list(struct(col("cell_id"), col("centroid"))).as("__cs"))
+    // not presence-fenced (round 18 fence audit): this broadcast lives
+    // in the TRAINING fold's interior executions — invisible to a
+    // final-plan walk; byM is numSub×ksub centroid structs, bounded by
+    // construction, and the e07 interior fingerprint (Bench
+    // SPARK_GRAFT_INTERIOR_FP) now records the executed strategy per
+    // draw
     subs.join(broadcast(byM), Seq("m"))
       .withColumn("__best", array_min(transform(col("__cs"), c =>
         struct(

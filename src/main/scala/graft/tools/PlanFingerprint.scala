@@ -41,13 +41,18 @@ object PlanFingerprint {
   def describe(plan: SparkPlan): String = {
     val sb = new StringBuilder
     def walk(p: SparkPlan, depth: Int): Unit = {
+      // schema v2 (round 18, r17 ADVICE): BOTH sides' key names — with
+      // only left-side keys, a change confined to the right-side join
+      // keys (or an equal-named child swap) hashed identically. One-time
+      // hash reset vs r17 artifacts; cross-round "plans" comparison
+      // restarts at this round's values.
       val extra = p match {
         case j: SortMergeJoinExec =>
-          s"|${j.joinType}|keys=${keyNames(j.leftKeys)}"
+          s"|${j.joinType}|keys=${keyNames(j.leftKeys)}~${keyNames(j.rightKeys)}"
         case j: ShuffledHashJoinExec =>
-          s"|${j.joinType}|${j.buildSide}|keys=${keyNames(j.leftKeys)}"
+          s"|${j.joinType}|${j.buildSide}|keys=${keyNames(j.leftKeys)}~${keyNames(j.rightKeys)}"
         case j: BroadcastHashJoinExec =>
-          s"|${j.joinType}|${j.buildSide}|keys=${keyNames(j.leftKeys)}"
+          s"|${j.joinType}|${j.buildSide}|keys=${keyNames(j.leftKeys)}~${keyNames(j.rightKeys)}"
         case j: BroadcastNestedLoopJoinExec =>
           s"|${j.joinType}|${j.buildSide}"
         case e: ShuffleExchangeExec => e.outputPartitioning match {

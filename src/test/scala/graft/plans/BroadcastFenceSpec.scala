@@ -66,7 +66,11 @@ class BroadcastFenceSpec extends SparkSpec {
   }
 
   private def keyNames(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Set[String] =
-    keys.collect { case a: AttributeReference => a.name }.toSet
+    // deep collect (round 18): null-safe equi-joins (<=>) decompose
+    // into coalesce(key, default)/isnull(key) key expressions — a
+    // top-level match saw no AttributeReference at all and the d14
+    // quota-join fence could never match its key set
+    keys.flatMap(_.collect { case a: AttributeReference => a.name }).toSet
 
   /** (node, key set, both-sides-wider-than-keys) for every equi-join. */
   private def joins(nodes: Seq[SparkPlan]): Seq[(SparkPlan, Set[String], Boolean)] =
@@ -207,7 +211,9 @@ class BroadcastFenceSpec extends SparkSpec {
     assert(hits.nonEmpty,
       s"no BroadcastHashJoin on $keys in the final plan — a bounded " +
         "side's broadcast hint was dropped (the corpus now shuffles " +
-        "for a relation that is small by construction)")
+        "for a relation that is small by construction); joins present: " +
+        nodes.collect { case j: BroadcastHashJoinExec =>
+          s"BHJ(leftKeys=${j.leftKeys})" }.mkString(", "))
   }
 
   /** The ANN operators' centroid/query relations ride
@@ -309,6 +315,57 @@ class BroadcastFenceSpec extends SparkSpec {
     }
   }
 
+  test("d26/d24/d14/d28/d29: bounded stats, threshold, and quota " +
+    "tables stay broadcast") {
+    // round 18 (r17 verdict task 4): the remaining construction- or
+    // cardinality-bounded broadcast families. BM25's df table is
+    // |query terms|-bounded (the tokens semi-filter precedes it); the
+    // quantile-gate and sampling quota tables are one row per group
+    // (languages/sources — low-cardinality dimensions, not corpus-
+    // proportional); DSIR's weight table is numBuckets-fixed. Losing
+    // any of these hints shuffles the corpus for a relation that is
+    // small by construction.
+    withNoAutoBroadcast {
+      val d26 = finalNodes("d26_bm25_search")
+      assertBroadcastJoin(d26, Set("__term"))     // per-term df table
+      assertBnlj(d26)                             // corpus-stats scalar row
+      val d24 = finalNodes("d24_quality_quantile_gate")
+      assertBroadcastJoin(d24, Set("lang"))       // per-group thresholds
+      val d14 = finalNodes("d14_stratified_sample")
+      assertBroadcastJoin(d14, Set("lang"))       // per-stratum keep list
+      val d28 = finalNodes("d28_temperature_mix")
+      assertBroadcastJoin(d28, Set("source"))     // per-source quotas
+      assertBnlj(d28)                             // weight-sum scalar row
+      val d29 = finalNodes("d29_dsir_resample")
+      assertBroadcastJoin(d29, Set("bucket"))     // DSIR weight table
+    }
+  }
+
+  test("e01/e02/e10: broadcast query sets stay broadcast") {
+    // the ANN query relations are |queries|-bounded by construction;
+    // e01/e10 ride crossJoin(broadcast(q)) (BNLJ), e02's multiprobe
+    // explosion joins on the SRP bucket (BHJ — the build side carries
+    // the query vectors, which is fine: bounded side, not the corpus)
+    withNoAutoBroadcast {
+      assertBnlj(finalNodes("e01_knn_brute"))
+      assertBroadcastJoin(finalNodes("e02_knn_srp"), Set("bucket"))
+      assertBnlj(finalNodes("e10_knn_int8"))
+    }
+  }
+
+  test("e08: the pairable-cell filter and dropped-id relations stay broadcast") {
+    // SemDedup's two bounded sides in the default branch: the
+    // keys-only pairable cell list (≤ nCells rows) and the dropped-id
+    // verdict join (dropped ∝ duplicates found, bounded by the pair
+    // stage's own output — and keys-only); the >4M-cell degraded
+    // branch has its own SHUFFLE_HASH pin test below
+    withNoAutoBroadcast {
+      val e08 = finalNodes("e08_semantic_dedup")
+      assertBroadcastJoin(e08, Set("cell_id"))
+      assertBroadcastJoin(e08, Set("vec_id"))
+    }
+  }
+
   test("SemDedup degraded branch: past the broadcast bound the cell " +
     "filter pins SHUFFLE_HASH off the corpus and verdicts are identical") {
     // r16 verdict task 5: the >BroadcastableCells branch exists FOR the
@@ -348,6 +405,78 @@ class BroadcastFenceSpec extends SparkSpec {
     val a = run(Int.MaxValue).orderBy("vec_id").collect().toSeq
     val b = degraded.orderBy("vec_id").collect().toSeq
     assert(a == b, "degraded branch changed SemDedup verdicts")
+  }
+
+  test("CC iteration: the propagation join stays sort-merge and no " +
+    "broadcast join executes inside checkpoint lineage") {
+    // round 18 (r17 verdict task 1): the min-label iteration joins run
+    // inside per-round localCheckpoint actions — a final-plan walk
+    // never sees them, so this fence captures EVERY interior execution
+    // via a QueryExecutionListener (the Bench SPARK_GRAFT_INTERIOR_FP
+    // mechanism, inlined). The sf1 probe (10 DrawProbe draws + 11
+    // Bench interior draws, OPERATORS.md round 18) showed AQE
+    // runtime-converting both the propagation join e(a)⋈labels(id)
+    // and the old convergence join to broadcast builds — labels is
+    // node-scale, data-dependent, the squeezable two-long shape, not
+    // a legal broadcast at corpus scale. The convergence join was
+    // REMOVED (monotone label-sum check); the propagation join is
+    // merge-pinned. Red-proven: deleting the shuffle_merge hint turns
+    // the all-interior-joins-SMJ assert red at this tiny scale (AQE
+    // broadcasts both sides unpinned).
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { seen.add(qe.executedPlan); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // a path graph (diameter 9) forces several propagation rounds —
+      // a clique would converge at the seed and never execute the join
+      import spark.implicits._
+      val edges = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val labels = graft.operators.ConnectedComponents
+        .components(edges, "id_a", "id_b")
+      // correctness anchor: one component labeled by the min id
+      assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        (0L to 9L).map(i => (i, 0L)).toSet)
+      // drain the async listener bus: wait until the captured-plan
+      // stream goes stable (two consecutive quiet polls)
+      var stable = 0; var last = -1; var waited = 0
+      while (stable < 2 && waited < 5000) {
+        val n = seen.size
+        if (n == last) stable += 1 else stable = 0
+        last = n; Thread.sleep(50); waited += 50
+      }
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+        case q: QueryStageExec => p +: walk(q.plan)
+        case _ => p +: p.children.flatMap(walk)
+      }
+      val nodes = seen.toArray(Array.empty[SparkPlan]).toSeq.flatMap(walk)
+      // joins() keys off the LEFT side: e(a)⋈labels(id) → {a}
+      val prop = joins(nodes).filter { case (_, k, _) => k == Set("a") }
+      assert(prop.nonEmpty,
+        "no propagation join e(a)⋈labels(id) captured from the interior " +
+          "executions — the listener drain missed the checkpoint rounds; " +
+          "spec is vacuous")
+      prop.foreach { case (j, _, _) =>
+        assert(j.isInstanceOf[SortMergeJoinExec],
+          s"CC propagation join executed as ${j.getClass.getSimpleName} — " +
+            "the shuffle_merge pin on the labels side was dropped")
+      }
+      // nothing inside components() may broadcast: every side is
+      // node- or edge-scale and data-dependent (the old convergence
+      // join would trip this assert were it still present)
+      val bhj = nodes.filter(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+        n.isInstanceOf[BroadcastNestedLoopJoinExec])
+      assert(bhj.isEmpty,
+        s"broadcast join(s) executed inside ConnectedComponents lineage: " +
+          bhj.map(_.getClass.getSimpleName).mkString(", "))
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("d12: the composed curation pipeline inherits every dedup fence") {
