@@ -394,26 +394,69 @@ object EventStream {
                   outputMode: OutputMode = OutputMode.Append()): Unit = {
     val ckpt =
       java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt-")
+    // dev/probe hook (round 17, r16 verdict task 4): dump every
+    // micro-batch's progress JSON — stateOperators.numRowsTotal is
+    // the number that would grow without bound if an interval-join
+    // watermark eviction regressed, and nothing else surfaces it
+    // (the t-entries' oracles only see the FINAL frame). DrawProbe
+    // runs the t-entries with this set to classify bench drift as
+    // rig-vs-state-growth from the artifact alone.
+    //
+    // Round 18 (r17 verdict task 5 + ADVICE): progress is collected by
+    // a StreamingQueryListener, NOT q.recentProgress — the buffer
+    // behind recentProgress is capped at
+    // spark.sql.streaming.numRecentProgressUpdates (default 100), so a
+    // replay with >100 micro-batches silently dropped the HEAD of the
+    // state trajectory this dump exists to certify. The listener sees
+    // every progress event. sys.props fallback so in-process specs can
+    // turn the hook on; the whole dump path is try/caught — an IO
+    // failure in a dev hook must not fail the replay itself.
+    val progressDir = sys.env.get("SPARK_GRAFT_STREAM_PROGRESS")
+      .orElse(sys.props.get("SPARK_GRAFT_STREAM_PROGRESS"))
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[
+      (java.util.UUID, Long, String)]()
+    val listener = progressDir.map { _ =>
+      val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          collected.add((e.progress.id, e.progress.batchId, e.progress.json)); ()
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      df.sparkSession.streams.addListener(l)
+      l
+    }
     val q = df.writeStream.outputMode(outputMode)
       .option("checkpointLocation", ckpt.toString)
       .format("memory").queryName(name).start()
     try {
       q.processAllAvailable()
-      // dev/probe hook (round 17, r16 verdict task 4): dump every
-      // micro-batch's progress JSON — stateOperators.numRowsTotal is
-      // the number that would grow without bound if an interval-join
-      // watermark eviction regressed, and nothing else surfaces it
-      // (the t-entries' oracles only see the FINAL frame). DrawProbe
-      // runs the t-entries with this set to classify bench drift as
-      // rig-vs-state-growth from the artifact alone.
-      sys.env.get("SPARK_GRAFT_STREAM_PROGRESS").foreach { dir =>
-        val f = java.nio.file.Paths.get(dir,
-          s"${name}_${System.nanoTime()}.json")
-        java.nio.file.Files.createDirectories(f.getParent)
-        java.nio.file.Files.writeString(f,
-          q.recentProgress.map(_.json).mkString("[\n", ",\n", "\n]"))
+      progressDir.foreach { dir =>
+        try {
+          // the listener bus is async: wait (bounded) until the final
+          // committed batch's progress event has arrived before dumping
+          val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+          def mine = collected.toArray(Array.empty[(java.util.UUID, Long, String)])
+            .filter(_._1 == q.id)
+          val deadline = System.nanoTime() + 5000000000L
+          while (System.nanoTime() < deadline &&
+            !mine.exists(_._2 >= lastBatch)) Thread.sleep(25)
+          val f = java.nio.file.Paths.get(dir,
+            s"${name}_${System.nanoTime()}.json")
+          java.nio.file.Files.createDirectories(f.getParent)
+          java.nio.file.Files.writeString(f,
+            mine.sortBy(_._2).map(_._3).mkString("[\n", ",\n", "\n]"))
+          ()
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[stream-progress] dump failed for $name: " +
+            e.getMessage)
+        }
       }
     } finally {
+      listener.foreach(df.sparkSession.streams.removeListener)
       q.stop()
       // best-effort cleanup; replay checkpoints are one-shot. NonFatal,
       // not just IOException: a concurrent tmp sweeper makes the walk

@@ -610,6 +610,91 @@ object SyncFuzzScenario {
           epoch = newEpochL // the deck continues under the replacement
           genIntegrity()
 
+        case "midshift_postswap" =>
+          // the POST-swap window (round 18, r17 verdict task 7): the
+          // old cycle's publish SUCCEEDS — pointer swapped to its
+          // generation — and the successor claims+publishes while the
+          // old cycle is still inside its post-swap tail (watermark
+          // write + retention GC). No fence can fire on the old cycle
+          // (its swap legitimately won); the hazard is the TAIL: a
+          // stale instance's GC whose notion of "old generations" can
+          // include the generation its successor just published and
+          // pointed at. Expected: the old cycle completes successfully,
+          // its stale prune deletes NOTHING (Retention's higher-epoch
+          // refusal), the successor's generation survives and stays
+          // served, the delta converges exactly once (both cycles read
+          // it — the watermark hadn't advanced at handover — and MERGE
+          // is idempotent), and the watermark lands at the delta's
+          // stamp. Injection is a delegating store whose pointer-swap
+          // write COMPLETES and then triggers the handover — the main
+          // code path runs unmodified.
+          val prevEpochP = epoch
+          val deltaP = makeDelta(opIdx, None)
+          archive(deltaP)
+          val deltaDiskP = spark.read.parquet(s"$archDir/v${nVersions - 1}")
+          val nDeltaP = deltaDiskP.count()
+          replaceSource(source()
+            .join(deltaDiskP.select("id"), Seq("id"), "left_anti")
+            .unionByName(deltaDiskP, allowMissingColumns = true))
+          val plainP = new ParquetSource(srcDir, Seq("orders"))
+          val firedP = new java.util.concurrent.atomic.AtomicBoolean(false)
+          var landedP = Option.empty[Long]
+          var newEpochP = 0L
+          var successorGenP = ""
+          var gensAfterSuccessorP = -1
+          val postStore = new SnapshotStore(spark, snapDir) {
+            override def writeString(p: org.apache.hadoop.fs.Path,
+                                     content: String): Unit = {
+              super.writeString(p, content)
+              // the old cycle's pointer swap has LANDED; its watermark
+              // write and retention prune are next
+              if (p == currentManifestPath &&
+                  firedP.compareAndSet(false, true)) {
+                newEpochP = SyncManager.claimEpoch(store)
+                require(newEpochP > prevEpochP,
+                  s"post-swap claim $newEpochP not above live $prevEpochP")
+                val rNew = new SyncManager(spark, plainP, store,
+                  mode = SyncMode.Merge, publisherEpoch = newEpochP)
+                  .runCycle()
+                require(rNew.success,
+                  s"successor's post-swap publish failed: ${rNew.error}")
+                landedP = Some(rNew.changedCounts("orders"))
+                successorGenP = rNew.manifest.get.version
+                gensAfterSuccessorP = store.listGenerations().size
+              }
+            }
+          }
+          val oldMgrP = new SyncManager(spark, plainP, postStore,
+            mode = SyncMode.Merge, publisherEpoch = prevEpochP)
+          val rOldP = oldMgrP.runCycle()
+          require(firedP.get, "the post-swap ambush never fired — vacuous")
+          require(rOldP.success,
+            s"the old cycle must complete — its swap landed BEFORE the " +
+              s"handover and the post-swap tail must fail nothing: $rOldP")
+          require(rOldP.prunedGenerations.isEmpty,
+            s"the STALE old cycle's GC deleted ${rOldP.prunedGenerations} " +
+              "— Retention's higher-epoch refusal is broken")
+          require(store.listGenerations().size == gensAfterSuccessorP,
+            s"generation count moved ${gensAfterSuccessorP} -> " +
+              s"${store.listGenerations().size} across the old cycle's " +
+              "post-swap tail — the stale instance deleted something")
+          require(landedP.contains(nDeltaP),
+            s"successor consumed $landedP of $nDeltaP delta rows")
+          require(store.fs.exists(store.genDir(successorGenP)),
+            "the successor's freshly-published generation is GONE — " +
+              "deleted by the fenced old cycle's GC")
+          val ptrP = store.readCurrentManifest().get
+          require(ptrP.publisherEpoch == newEpochP,
+            "pointer does not carry the successor's epoch")
+          require(ptrP.version == successorGenP,
+            s"pointer serves ${ptrP.version}, not the successor's " +
+              s"$successorGenP — the old cycle's post-swap tail moved it")
+          require(storedWm == ts(cycleIdx),
+            s"watermark $storedWm != ${ts(cycleIdx)} — the post-swap " +
+              "handover corrupted the watermark")
+          epoch = newEpochP // the deck continues under the replacement
+          genIntegrity()
+
         case "deploy" =>
           // rolling deploy mid-deck (round 13): the replacement claims a
           // strictly higher epoch — through whatever the deck just did

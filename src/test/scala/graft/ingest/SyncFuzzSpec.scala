@@ -121,4 +121,24 @@ class SyncFuzzSpec extends SparkSpec {
         s"late deck for seed $s lost its midshift_late ops: $deck")
     }
   }
+
+  // post-swap handover decks (round 18, r17 verdict task 7): the old
+  // cycle's swap legitimately WINS, and the successor lands while the
+  // old cycle is inside its post-swap tail (watermark write +
+  // retention GC) — the window where no fence can fire and the hazard
+  // is a stale instance's GC deleting the generation its successor
+  // just published. Retention's higher-epoch refusal is the pinned
+  // protection. Widen with GRAFT_SYNC_POSTSWAP_SEEDS=a,b,c
+  private val postswapSeeds = sys.env.get("GRAFT_SYNC_POSTSWAP_SEEDS")
+    .map(_.split(",").map(_.trim.toInt).toSeq)
+    .getOrElse(Seq(1808001))
+
+  postswapSeeds.foreach { s =>
+    test(s"post-swap handover deck converges to the window oracle (seed $s)") {
+      val deck = SyncFuzzScenario.run(spark, sfDir, s, info(_),
+        extraOps = Seq("midshift_postswap", "midshift_postswap"))
+      assert(deck.count(_ == "midshift_postswap") == 2,
+        s"postswap deck for seed $s lost its midshift_postswap ops: $deck")
+    }
+  }
 }
