@@ -65,9 +65,18 @@ object ExtraQueries {
         // countDistinct (planned via Expand, partials grouped by every
         // distinct key) with a low-rsd HLL would carry a ~16 KB sketch
         // buffer PER distinct-key group through the partial aggregate —
-        // measured 12 s at sf0.1 vs <1 s split like this
+        // measured 12 s at sf0.1 vs <1 s split like this.
+        // fanOut (round 18) on the EXACT branch only: its Expand ×2 +
+        // distinct-key partial aggregate was fused into the
+        // single-row-group scan (one core). The APPROX branch stays
+        // scan-fused DELIBERATELY: the rsd=0.01 HLL partial carries a
+        // 2×2731-word buffer whose per-task setup measured ~3.4 s
+        // FIXED — fanned to 64 tasks it cost 216 s of task time
+        // (probe, this round) vs 5 s unfanned; a wide fan-out
+        // multiplies exactly the cost that doesn't shrink with rows.
         val li = t(s, d, "lineitem")
-        val exact = li.agg(
+        val exact = fanOut(li.select("l_partkey", "l_orderkey"),
+          "l_orderkey").agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
         val approx = li.agg(
@@ -321,7 +330,10 @@ object ExtraQueries {
     // TPC-H Q15-shaped: argmax via scalar subquery over an aggregate
     Q("q49_top_supplier",
       (s, d) => {
-        val rev = t(s, d, "lineitem")
+        // fanOut on the groupBy key (round 18): the rev subtree runs
+        // twice (scalar max + the filtered result) and both runs'
+        // partial aggregates were scan-fused single-task — see Q.fanOut.
+        val rev = fanOut(t(s, d, "lineitem"), "l_suppkey")
           .groupBy(col("l_suppkey").as("supplier_no"))
           .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
             .cast("double").as("total_revenue"))
@@ -343,7 +355,8 @@ object ExtraQueries {
     // TPC-H Q18-shaped: large orders via IN over a grouped HAVING
     Q("q50_large_orders",
       (s, d) => {
-        val li = t(s, d, "lineitem")
+        // fanOut on the groupBy key (round 18) — see q10/Q.fanOut.
+        val li = fanOut(t(s, d, "lineitem"), "l_orderkey")
         val big = li.groupBy("l_orderkey")
           .agg(dsum(col("l_quantity")).as("total_qty"))
           .filter(col("total_qty") > 250)
@@ -361,8 +374,10 @@ object ExtraQueries {
                ORDER BY total_qty DESC, o_orderkey""")),
 
     // schema-on-read JSON parsing (from_json → typed struct) + agg
+    // fanOut (round 18): per-row JSON parsing fused into the
+    // single-task events scan — see Q.fanOut.
     Q("q46_from_json",
-      (s, d) => t(s, d, "events")
+      (s, d) => fanOut(t(s, d, "events"), "event_id")
         .withColumn("k",
           from_json(col("props"), lit("k INT")).getField("k"))
         .groupBy("event_type")

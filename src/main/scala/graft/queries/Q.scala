@@ -28,6 +28,33 @@ final case class Q(
 object Q {
   def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
 
+  /** Scale-adaptive fan-out before a compute-heavy stage (round 18,
+    * guide §2.5 "input skew" / §1.2 "the distributed algorithm"): the
+    * driver's tables ship as ONE single-row-group parquet file per
+    * table, and a parquet row group is the scan's minimum split unit —
+    * so every scan-fused stage (decimal aggregation, HLL sketches,
+    * count-distinct Expand) runs on ONE core regardless of cluster
+    * width (measured: q05's whole 2.5 s was one task's partial
+    * aggregate; 31 cores idle). Same discipline as Dedup.fanOut: only
+    * when the source arrives with fewer partitions than the cluster
+    * can use — at production scale a 100 TB table scans as thousands
+    * of row-group splits and this is a structural no-op, so no plan
+    * change and no extra exchange is ever paid there.
+    *
+    * `keys` chooses HASH repartitioning (no map-side sort) over
+    * round-robin, which pays a full local sort of every input row for
+    * retry determinism (spark.sql.execution.sortBeforeRepartition,
+    * guide §2.5) — pass a high-cardinality column; results are
+    * value-identical either way because every catalog measure is
+    * decimal-exact / order-independent by design (see the header).
+    */
+  def fanOut(df: DataFrame, keys: String*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism * 2
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys.map(col): _*)
+    else df.repartition(target)
+  }
+
   /** Exact SUM of a 2-dp double measure, emitted as double. */
   def dsum(c: Column, scale: Int = 2): Column =
     sum(dec(c, scale)).cast("double")

@@ -66,8 +66,12 @@ object RelationalQueries {
                FROM lineitem""")),
 
     // TPC-H Q1-shaped pricing summary (group_by whitelist shape).
+    // fanOut (round 18): the 8-measure decimal partial aggregate was
+    // fused into the single-row-group scan — one task owned the whole
+    // entry (measured 2.5 s task, 31 cores idle). Hash fan-out on
+    // l_orderkey parallelizes it; no-op at production scan widths.
     Q("q05_groupby_pricing",
-      (s, d) => t(s, d, "lineitem")
+      (s, d) => fanOut(t(s, d, "lineitem"), "l_orderkey")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -356,8 +360,10 @@ object RelationalQueries {
 
     // ── the reference's built-in view (K3: v_inventory_summary,
     //    etl-service/src/sync.py:105-114), mapped onto lineitem ─────────
+    // fanOut (round 18): five-measure decimal aggregate fused into the
+    // single-task scan — see Q.fanOut.
     Q("q26_summary_view",
-      (s, d) => t(s, d, "lineitem").agg(
+      (s, d) => fanOut(t(s, d, "lineitem"), "l_orderkey").agg(
         count(lit(1)).as("total_items"),
         dsum(col("l_quantity")).as("total_quantity"),
         davg(col("l_extendedprice")).as("avg_price"),
