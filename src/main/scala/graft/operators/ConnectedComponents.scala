@@ -65,13 +65,6 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK) // static across rounds
 
     try {
-      // seed with round 1's result directly: min over self and direct
-      // neighbors is one aggregation over the edge list (no join), so
-      // the loop starts one propagation round ahead
-      var labels = e.groupBy("a").agg(min("b").as("__mn"))
-        .select(col("a").as("id"), least(col("a"), col("__mn")).as("component"))
-        .localCheckpoint(true)
-
       // convergence by EXACT label-sum (round 18, r17 verdict task 1):
       // labels are pointwise monotone non-increasing (each round takes
       // min over the node's own label and its neighbors'), so the sum
@@ -83,17 +76,39 @@ object ConnectedComponents {
       // round-18 interior-plan probe (10 sf1 draws + 11 Bench interior
       // draws) showed AQE runtime-converting it to a broadcast join
       // every draw — not a legal broadcast at 100 TB corpus scale.
-      // Replacing the join with one map-side-partial aggregation is
-      // strictly less work AND removes the join family entirely.
       // DECIMAL(38,0): an exact sum of ≤1e12 labels ≤ 2^63 tops out
       // ~1e31 < 1e38 — long sum would wrap and could alias two
       // different label states.
-      def labelSum(l: DataFrame): java.math.BigDecimal = {
-        val r = l.agg(sum(col("component")
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
-        if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+      //
+      // The sum rides an `observe` on the SAME action that
+      // materializes the round (round 18, optimization pass): a
+      // CollectMetrics accumulator is harvested from the checkpoint
+      // job itself, where the separate labelSum aggregation was one
+      // extra full pass over the node-scale labels — O(rounds) probe
+      // jobs per run — for a number the materializing job already
+      // streams through.
+      def observedSum(l: DataFrame): (DataFrame, () => java.math.BigDecimal) = {
+        val obs = org.apache.spark.sql.Observation()
+        val observed = l.observe(obs, sum(col("component")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+          .localCheckpoint(true)
+        (observed, () => obs.get("s") match {
+          case null => java.math.BigDecimal.ZERO
+          case d: java.math.BigDecimal => d
+          case d: scala.math.BigDecimal => d.bigDecimal
+          case o => new java.math.BigDecimal(o.toString)
+        })
       }
-      var prevSum = labelSum(labels)
+
+      // seed with round 1's result directly: min over self and direct
+      // neighbors is one aggregation over the edge list (no join), so
+      // the loop starts one propagation round ahead
+      val (seed, seedSum) = observedSum(
+        e.groupBy("a").agg(min("b").as("__mn"))
+          .select(col("a").as("id"),
+            least(col("a"), col("__mn")).as("component")))
+      var labels = seed
+      var prevSum = seedSum()
 
       var iter = 0
       var converged = false
@@ -111,10 +126,9 @@ object ConnectedComponents {
         // does in its groupBy shuffle.
         val msgs = e.join(labels.hint("shuffle_merge"), e("a") === labels("id"))
           .select(e("b").as("id"), labels("component"))
-        val next = msgs.union(labels)
-          .groupBy("id").agg(min("component").as("component"))
-          .localCheckpoint(true) // materializes; truncates the plan
-        val nextSum = labelSum(next)
+        val (next, nextSumF) = observedSum(msgs.union(labels)
+          .groupBy("id").agg(min("component").as("component")))
+        val nextSum = nextSumF()
         labels = next // the dropped generation is context-cleaned
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum

@@ -100,14 +100,23 @@ object Curation {
     (result, release)
   }
 
-  /** Stage-by-stage survivor counts in ONE job: `Observation` counters
-    * are attached along the pipeline's linear prefix and harvested from
-    * the single final action, instead of re-deriving each stage with
-    * its own count job (5 full pipeline executions). The survivors
-    * frame is persisted for the duration so the observed prefix
-    * executes exactly once (block-level cache locking guarantees each
-    * partition is computed once even with concurrent consumers), then
-    * released.
+  /** Stage-by-stage survivor counts without per-stage recounts:
+    * `Observation` counters are attached along the pipeline's linear
+    * prefix and harvested from ONE counting action over the persisted
+    * survivors frame, instead of re-deriving each stage with its own
+    * count job (5 full pipeline executions). That count runs BEFORE the
+    * near-dup sweep, deliberately: the sweep's interior action
+    * (jaccardVerify eagerly checkpoints its candidate list, round 18)
+    * would otherwise be the first execution whose lineage carries the
+    * CollectMetrics nodes — and when the candidate set is EMPTY, AQE's
+    * empty-relation propagation collapses that plan to an
+    * EmptyRelation with no path to the metrics, which Spark 4.1's
+    * ObservationManager "resolves" by completing every observation it
+    * finds in the LOGICAL plan with Row.empty (observed empirically:
+    * `key not found: n`). The count's own plan builds the survivors
+    * cache — work the sweep needs anyway — so the prefix still executes
+    * exactly once, and its result IS the after-exact count, so that
+    * stage needs no observation at all.
     */
   def report(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.5,
@@ -116,7 +125,6 @@ object Curation {
     val oIn = Observation()
     val oQ = Observation()
     val oL = Observation()
-    val oE = Observation()
     val counted = count(lit(1)).as("n")
 
     val gated = docs.observe(oIn, counted)
@@ -130,15 +138,17 @@ object Curation {
       case None => gated
     }).observe(oL, counted)
     val exact = Dedup.exactSurvivors(langed.drop("__q"), idCol, textCol)
-      .observe(oE, counted)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // materializes the cache AND completes oIn/oQ/oL from an
+      // execution that cannot lose them (see scaladoc)
+      val afterExact = exact.count()
       val dupIds = Dedup.minhashNearDups(exact, idCol, textCol,
         threshold = nearDupThreshold)
         .select(col("id_b").as(idCol)).distinct()
       val afterNearDup = exact.join(dupIds, Seq(idCol), "left_anti").count()
       def n(o: Observation): Long = o.get("n").asInstanceOf[Long]
-      Report(n(oIn), n(oQ), n(oL), n(oE), afterNearDup)
+      Report(n(oIn), n(oQ), n(oL), afterExact, afterNearDup)
     } finally { exact.unpersist(blocking = false); () }
   }
 }

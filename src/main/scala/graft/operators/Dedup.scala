@@ -208,12 +208,52 @@ object Dedup {
     * strings (ShingleHashSet kernel): identical set semantics (modulo
     * ~2^-64 collisions) at a fraction of the shuffle width and
     * intersect cost.
+    *
+    * Round 18 (guide §3.2/§8): the verify joins only ever match docs
+    * whose id appears in a candidate pair, but the set build used to
+    * compute ShingleHashSet for EVERY doc and shuffle the full
+    * corpus's set arrays through both joins — at 100 TB that is a
+    * corpus-wide tokenize+hash plus two corpus-wide array shuffles
+    * spent mostly on rows the joins immediately drop (measured at
+    * sf0.1: the two set builds were 38 s of d08's 64 s task time). A
+    * fixed-size Bloom bitmap over the candidate ids (built by the d22
+    * partial aggregate, broadcast as a construction-bounded ~2 MB
+    * relation — legal at ANY corpus size, unlike the exact id set,
+    * which is duplicate-count-bounded i.e. data-dependent) prefilters
+    * the set build map-side, so the kernel and both shuffles are
+    * candidate-scale. False positives only add prefilter survivors the
+    * joins drop; there are no false negatives, so the result is
+    * unchanged. If candidates ever outgrow the bitmap it saturates and
+    * the prefilter degrades gracefully to today's keep-everything scan.
+    *
+    * The candidates frame MATERIALIZES here (eager localCheckpoint —
+    * the ConnectedComponents p0 discipline): it now has two consumers
+    * (the Bloom build and the verify join) that prune different
+    * columns, so lazily the whole LSH mining subtree would execute
+    * twice. Pair lists are duplicate-bounded — tiny next to the corpus.
     */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleWords: Int,
                     threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol).as("__id"),
-      TextSketches.shingleHashSet(col(textCol), shingleWords).as("__set"))
+    import graft.functions.Bloom
+    val cand = candidates.localCheckpoint(true)
+    // 2^24 bits / 6 hashes: <1% false positives up to ~2M candidate
+    // ids, a 2 MB broadcast always. Saturation (≫2M ids) only widens
+    // the prefilter back toward the full corpus — never wrong results.
+    val bloomBits = 1 << 24
+    val bloomHashes = 6
+    val bloom = cand
+      .select(explode(array(col("id_a").cast("string"),
+        col("id_b").cast("string"))).as("__cid"))
+      .select(Bloom.positions(col("__cid"), bloomHashes, bloomBits)
+        .as("__pos"))
+      .agg(Bloom.filterAgg(col("__pos"), bloomBits).as("__bm"))
+    val sets = docs
+      .crossJoin(broadcast(bloom))
+      .filter(Bloom.mightContain(col("__bm"),
+        Bloom.positions(col(idCol).cast("string"), bloomHashes, bloomBits)))
+      .select(col(idCol).as("__id"),
+        TextSketches.shingleHashSet(col(textCol), shingleWords).as("__set"))
     // Both verify joins are fenced off AQE's runtime broadcast
     // conversion (round 15, same find as the band self-join): both
     // sides are data-dependent — candidates scale with collisions,
@@ -234,7 +274,7 @@ object Dedup {
     // executor OOM, the exact failure the "sort-merge spills both
     // sides" rule exists for. Array-carrying × array-carrying ⇒
     // shuffle_merge, like the band self-join above.
-    candidates.hint("shuffle_hash")
+    cand.hint("shuffle_hash")
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "set_a"), Seq("id_a"))
       .hint("shuffle_merge")

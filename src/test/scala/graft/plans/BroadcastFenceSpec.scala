@@ -65,6 +65,42 @@ class BroadcastFenceSpec extends SparkSpec {
     walk(df.queryExecution.executedPlan)
   }
 
+  /** Like [[finalNodes]], but ALSO captures every INTERIOR execution
+    * (eager localCheckpoints run their own QueryExecutions — round 18:
+    * jaccardVerify materializes its candidate list, so the LSH mining
+    * joins now execute inside a checkpoint where a final-plan walk is
+    * blind, exactly like the ConnectedComponents rounds). Registers
+    * the listener BEFORE construction: the checkpoint fires during
+    * catalog-entry construction, not at collect time.
+    */
+  private def allNodes(name: String): Seq[SparkPlan] = {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { seen.add(qe.executedPlan); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val fin = finalNodes(name)
+      var stable = 0; var last = -1; var waited = 0
+      while (stable < 2 && waited < 5000) {
+        val n = seen.size
+        if (n == last) stable += 1 else stable = 0
+        last = n; Thread.sleep(50); waited += 50
+      }
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+        case q: QueryStageExec => p +: walk(q.plan)
+        case _ => p +: p.children.flatMap(walk)
+      }
+      seen.toArray(Array.empty[SparkPlan]).toSeq.flatMap(walk) ++ fin
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   private def keyNames(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Set[String] =
     // deep collect (round 18): null-safe equi-joins (<=>) decompose
     // into coalesce(key, default)/isnull(key) key expressions — a
@@ -230,7 +266,10 @@ class BroadcastFenceSpec extends SparkSpec {
   private val shj = classOf[ShuffledHashJoinExec]
 
   test("d08: band-bucket self-join stays sort-merge; verify joins stay shuffled") {
-    val nodes = finalNodes("d08_minhash_neardups")
+    // round 18: jaccardVerify checkpoints its candidate list, so the
+    // banded self-join executes inside the checkpoint — captured via
+    // the interior listener; the verify joins stay in the final plan
+    val nodes = allNodes("d08_minhash_neardups")
     assertFenced(nodes, Set("band", "bh"), smj)   // banded-corpus self-join
     assertFenced(nodes, Set("id_a"), shj)         // verify join 1: build on bare candidates
     assertFenced(nodes, Set("id_b"), smj)         // verify join 2: array×array, spills both sides
@@ -307,6 +346,10 @@ class BroadcastFenceSpec extends SparkSpec {
       val d22 = finalNodes("d22_bloom_incremental_dedup")
       assertBnlj(d22)                             // the Bloom bitmap row
       assertBroadcastJoin(d22, Set("__key"))      // candidate/match keys
+      // round 18: jaccardVerify's candidate-id Bloom bitmap (the set-
+      // build prefilter) — fixed-size, construction-bounded, must stay
+      // a broadcast or the set build degrades to the full-corpus scan
+      assertBnlj(finalNodes("d08_minhash_neardups"))
       val d25 = finalNodes("d25_dsir_importance")
       assertBroadcastJoin(d25, Set("bucket"))     // DSIR weight table
       val d30 = finalNodes("d30_bigram_crossentropy")
@@ -480,21 +523,42 @@ class BroadcastFenceSpec extends SparkSpec {
   }
 
   test("d12: the composed curation pipeline inherits every dedup fence") {
-    // the catalog entry localCheckpoints (lineage truncated — the
-    // dedup joins execute inside the checkpoint, invisible to a final-
-    // plan walk), so the pipeline is asserted on the uncached curate()
-    // frame directly: same composed plan, full lineage
-    val docs = graft.core.Tables.load(spark, sf, "documents")
-    val cur = graft.operators.Curation.curate(
-      docs, "doc_id", "text", minQuality = 0.3, nearDupThreshold = 0.5)
-    cur.collect()
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
-      case q: QueryStageExec => p +: walk(q.plan)
-      case _ => p +: p.children.flatMap(walk)
+    // the pipeline is asserted on the uncached curate() frame (the
+    // catalog entry's own localCheckpoint would hide even the verify
+    // joins); round 18: the banded self-join now executes inside
+    // jaccardVerify's candidate checkpoint, so interior executions are
+    // captured too — listener registered BEFORE construction, because
+    // the checkpoint fires inside curate()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { seen.add(qe.executedPlan); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
     }
-    val nodes = walk(cur.queryExecution.executedPlan)
-    assertFenced(nodes, Set("band", "bh"), smj)
-    assertBuildSidesSafe(nodes)
+    spark.listenerManager.register(listener)
+    try {
+      val docs = graft.core.Tables.load(spark, sf, "documents")
+      val cur = graft.operators.Curation.curate(
+        docs, "doc_id", "text", minQuality = 0.3, nearDupThreshold = 0.5)
+      cur.collect()
+      var stable = 0; var last = -1; var waited = 0
+      while (stable < 2 && waited < 5000) {
+        val n = seen.size
+        if (n == last) stable += 1 else stable = 0
+        last = n; Thread.sleep(50); waited += 50
+      }
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+        case q: QueryStageExec => p +: walk(q.plan)
+        case _ => p +: p.children.flatMap(walk)
+      }
+      val nodes = seen.toArray(Array.empty[SparkPlan]).toSeq.flatMap(walk) ++
+        walk(cur.queryExecution.executedPlan)
+      assertFenced(nodes, Set("band", "bh"), smj)
+      assertBuildSidesSafe(nodes)
+    } finally spark.listenerManager.unregister(listener)
   }
 }
