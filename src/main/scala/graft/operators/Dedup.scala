@@ -111,9 +111,21 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int = 3,
                         numHashes: Int = 32): DataFrame =
-    docs.select(col(idCol),
-      TextSketches.minhashSignature(col(textCol), shingleWords, numHashes)
-        .as("sig"))
+    // token-less docs are excluded HERE, on the text column, not by a
+    // sentinel check on `sig` downstream (round 18): a filter on the
+    // projected signature pushes below the fan-out exchange by
+    // SUBSTITUTING the projection, so the MinHashSignature kernel ran
+    // twice per row — once inside the pushed filter, once in the
+    // projection (observed in the executed d12 plan). `tokens(text)`
+    // nonempty is exactly the kernel's sentinel condition
+    // (Sketch.shingleHashes is empty iff tokenize(text) is empty — the
+    // oracle's sh CTE applies the same `len(t) > 0` guard), evaluates
+    // one regex split instead of the full shingle+minhash pass, and
+    // references only a base column so pushdown duplicates nothing.
+    docs.filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol),
+        TextSketches.minhashSignature(col(textCol), shingleWords, numHashes)
+          .as("sig"))
 
   /** LSH candidate pairs: signatures banded `bands × rowsPerBand`;
     * documents sharing any band bucket become candidates. Estimated
@@ -127,12 +139,14 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
     }
+    // PRECONDITION: `sig` must not contain the all-MaxValue sentinel
+    // signature (MinHashSignature on token-less text) — those rows
+    // would collide in EVERY band with each other despite carrying no
+    // similarity evidence. minhashSignatures enforces this at the text
+    // column (round 18); the sentinel filter that used to sit here on
+    // `sig` pushed down through the signature projection and evaluated
+    // the minhash kernel a second time per row.
     val withSig = sig
-      // shingle-less documents carry the all-MaxValue sentinel signature
-      // (MinHashSignature on empty text); they'd collide in EVERY band
-      // with each other — no shingles means no similarity evidence, so
-      // they never become candidates
-      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
       .withColumn("__b", explode(array(bandCols: _*)))
       .select(col(idCol), col("sig").as("__sig"), col("__b.band").as("band"),
         col("__b.bh").as("bh"))
@@ -208,52 +222,24 @@ object Dedup {
     * strings (ShingleHashSet kernel): identical set semantics (modulo
     * ~2^-64 collisions) at a fraction of the shuffle width and
     * intersect cost.
-    *
-    * Round 18 (guide §3.2/§8): the verify joins only ever match docs
-    * whose id appears in a candidate pair, but the set build used to
-    * compute ShingleHashSet for EVERY doc and shuffle the full
-    * corpus's set arrays through both joins — at 100 TB that is a
-    * corpus-wide tokenize+hash plus two corpus-wide array shuffles
-    * spent mostly on rows the joins immediately drop (measured at
-    * sf0.1: the two set builds were 38 s of d08's 64 s task time). A
-    * fixed-size Bloom bitmap over the candidate ids (built by the d22
-    * partial aggregate, broadcast as a construction-bounded ~2 MB
-    * relation — legal at ANY corpus size, unlike the exact id set,
-    * which is duplicate-count-bounded i.e. data-dependent) prefilters
-    * the set build map-side, so the kernel and both shuffles are
-    * candidate-scale. False positives only add prefilter survivors the
-    * joins drop; there are no false negatives, so the result is
-    * unchanged. If candidates ever outgrow the bitmap it saturates and
-    * the prefilter degrades gracefully to today's keep-everything scan.
-    *
-    * The candidates frame MATERIALIZES here (eager localCheckpoint —
-    * the ConnectedComponents p0 discipline): it now has two consumers
-    * (the Bloom build and the verify join) that prune different
-    * columns, so lazily the whole LSH mining subtree would execute
-    * twice. Pair lists are duplicate-bounded — tiny next to the corpus.
     */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleWords: Int,
                     threshold: Double): DataFrame = {
-    import graft.functions.Bloom
-    val cand = candidates.localCheckpoint(true)
-    // 2^24 bits / 6 hashes: <1% false positives up to ~2M candidate
-    // ids, a 2 MB broadcast always. Saturation (≫2M ids) only widens
-    // the prefilter back toward the full corpus — never wrong results.
-    val bloomBits = 1 << 24
-    val bloomHashes = 6
-    val bloom = cand
-      .select(explode(array(col("id_a").cast("string"),
-        col("id_b").cast("string"))).as("__cid"))
-      .select(Bloom.positions(col("__cid"), bloomHashes, bloomBits)
-        .as("__pos"))
-      .agg(Bloom.filterAgg(col("__pos"), bloomBits).as("__bm"))
-    val sets = docs
-      .crossJoin(broadcast(bloom))
-      .filter(Bloom.mightContain(col("__bm"),
-        Bloom.positions(col(idCol).cast("string"), bloomHashes, bloomBits)))
-      .select(col(idCol).as("__id"),
-        TextSketches.shingleHashSet(col(textCol), shingleWords).as("__set"))
+    // The sets frame feeds BOTH verify joins (set_a and set_b), so the
+    // tokenize+shingle-hash kernel runs twice per document — measured
+    // and DELIBERATELY kept (round 18): both alternatives lost. A
+    // candidate-id Bloom prefilter of the set build (bitmap agg +
+    // broadcast + per-row probes) plateaued d12 at 4.4 s steady-state
+    // vs 3.0 s without it, and a lazy localCheckpoint that computes the
+    // kernel once and serves both joins from block storage traded the
+    // fully-pipelined JIT-compiled kernel for block write+read and
+    // regressed d08's steady state 1.9 s → 2.3 s. The duplicated
+    // kernel is map-side, scales with the scan, and stays fused into
+    // each join's shuffle map stage — at any scale it is two extra
+    // CPU passes, never an extra shuffle.
+    val sets = docs.select(col(idCol).as("__id"),
+      TextSketches.shingleHashSet(col(textCol), shingleWords).as("__set"))
     // Both verify joins are fenced off AQE's runtime broadcast
     // conversion (round 15, same find as the band self-join): both
     // sides are data-dependent — candidates scale with collisions,
@@ -274,7 +260,7 @@ object Dedup {
     // executor OOM, the exact failure the "sort-merge spills both
     // sides" rule exists for. Array-carrying × array-carrying ⇒
     // shuffle_merge, like the band self-join above.
-    cand.hint("shuffle_hash")
+    candidates.hint("shuffle_hash")
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "set_a"), Seq("id_a"))
       .hint("shuffle_merge")
