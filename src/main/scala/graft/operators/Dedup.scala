@@ -46,14 +46,25 @@ object Dedup {
   }
 
   /** Rows surviving exact dedup (keep the min-id representative).
-    * Same md5 shuffle-key rationale as `exact`; the window partitions
-    * by content digest (high cardinality — no skew).
+    * Same md5 shuffle-key rationale as `exact`; the digest key is
+    * high-cardinality — no skew.
+    *
+    * min_by aggregation, not a row_number window (round 18): both
+    * shapes shuffle one row per (partition, digest) — partial min_by
+    * and partial WindowGroupLimit reduce identically — and because the
+    * struct buffer is not hash-aggregable this still plans as
+    * SortAggregate (a sort per side, like the window), but the
+    * row_number evaluation, the __rn projection, and the post-window
+    * filter disappear: paired DrawProbe runs put d12 ~13% faster
+    * (median 3.6 s vs 4.2 s) with d11 flat. Ids are unique, so
+    * min_by's tie behavior never fires and the surviving rows are
+    * identical (oracle-verified at sf0.01/sf0.1).
     */
   def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(lower(col(textCol)))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns
+    df.groupBy(md5(lower(col(textCol))).as("__k"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col("__r." + c).as(c)): _*)
   }
 
   /** Incremental-ingest dedup via a broadcast Bloom filter: per delta
