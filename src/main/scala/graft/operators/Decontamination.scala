@@ -33,10 +33,21 @@ object Decontamination {
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
       }
-      df.select(col(idCol).as(as),
-        TextSketches.minhashSignature(col(textCol), shingleWords, numHashes)
-          .as("sig"))
-        .filter(element_at(col("sig"), 1) =!= Long.MaxValue) // shingle-less
+      // shingle-less docs are excluded on the TEXT column, not by the
+      // old `element_at(sig, 1) =!= MaxValue` sentinel on the projected
+      // signature (round 18, the d08 find applied here): predicate
+      // pushdown substitutes the projection into the pushed filter, so
+      // the executed plan evaluated the MinHashSignature kernel TWICE
+      // per row on every banded scan (4 scans × 2 in the committed d17
+      // before-plan). `tokens(text)` nonempty is exactly the kernel's
+      // sentinel condition (Sketch.shingleHashes is empty iff
+      // tokenize(text) is empty; the oracle's sh CTE applies the same
+      // `len(t) > 0` guard), and a filter on a base column pushes to
+      // the scan without duplicating anything.
+      df.filter(size(TextFunctions.tokens(col(textCol))) > 0)
+        .select(col(idCol).as(as),
+          TextSketches.minhashSignature(col(textCol), shingleWords, numHashes)
+            .as("sig"))
         .withColumn("__b", explode(array(bandCols: _*)))
         .select(col(as), col("sig").as(s"sig_$as"),
           col("__b.band").as("band"), col("__b.bh").as("bh"))
