@@ -18,10 +18,20 @@ object TextQueries {
     Tables.load(s, d, "documents")
 
   /** Single-file sources arrive as one input split; per-row-compute-
-    * heavy entries spread rows over the cluster first (see Dedup.fanOut).
+    * heavy entries spread rows over the cluster first. CONDITIONAL
+    * (round 18): this used to be an unconditional repartition — at
+    * production scan widths (a 100 TB table arrives as thousands of
+    * row-group splits, already ≥ the cluster's parallelism) that is a
+    * gratuitous full-corpus round-robin exchange, each row paying the
+    * sort-before-repartition tax (guide §2.5), on every entry that
+    * spreads. Q.fanOut repartitions only when the source arrives
+    * narrower than the cluster can use — identical plan at the bench's
+    * single-row-group widths, a structural no-op at scale. Values are
+    * partition-width-invariant by construction (the check_invariance
+    * gate proves the whole catalog 107/107 across coprime widths).
     */
   private def spread(s: org.apache.spark.sql.SparkSession, d: String) =
-    docs(s, d).repartition(s.sparkContext.defaultParallelism * 2)
+    Q.fanOut(docs(s, d))
 
   val all: Seq[Q] = Seq(
 

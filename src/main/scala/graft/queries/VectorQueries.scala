@@ -15,9 +15,12 @@ object VectorQueries {
   private val built = scala.collection.mutable.Set.empty[String]
 
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.load(s, d, "embeddings")
-      // single-file source → spread before per-row vector math
-      .repartition(s.sparkContext.defaultParallelism * 2)
+    // single-file source → spread before per-row vector math; Q.fanOut
+    // repartitions ONLY when the source arrives narrower than the
+    // cluster (round 18 — the unconditional form was a gratuitous
+    // full-corpus exchange at production scan widths; see
+    // TextQueries.spread)
+    Q.fanOut(Tables.load(s, d, "embeddings"))
 
   val all: Seq[Q] = Seq(
 
